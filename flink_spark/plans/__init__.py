@@ -1,0 +1,23 @@
+"""Query catalog — importing this package registers every query.
+
+Modules map to SURVEY.md §2 operator families:
+
+- ``relational``  : P2-P4 projections/filters, J1-J7 joins, A8-A11 +
+                    T1-T3 + U3 ADS-style aggregates (batch core).
+- ``windows``     : A1-A4 tumbling event-time window aggregates.
+- ``state``       : A5-A7, W8 stateful-streaming ops in their exact
+                    batch formulations (the oracle semantics).
+- ``textops``     : dedup family (exact / n-gram Jaccard / MinHash-LSH)
+                    and text analysis (lang-id, quality, tokens,
+                    fingerprints) over ``documents``.
+- ``similarity``  : embedding cosine top-k + binary/multimodal
+                    plumbing over ``embeddings``/``documents``.
+"""
+
+from flink_spark.plans import (  # noqa: F401
+    relational,
+    similarity,
+    state,
+    textops,
+    windows,
+)

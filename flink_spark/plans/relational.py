@@ -1,0 +1,693 @@
+"""Relational core: projections, joins, aggregations, top-k, unions.
+
+Re-expresses the reference's batch-expressible operator surface
+(SURVEY.md §2.3-2.9) over the fixture star schema. Each query cites the
+reference operator(s) it covers.
+
+Scale notes (100 TB stance):
+- Dimension joins (`part`, `nation`, `region`, `customer` at dim scale)
+  are explicitly ``broadcast()`` — no shuffle of the fact table.
+- Fact-fact joins shuffle on their join key once; AQE handles skew.
+- All float aggregates use exact-decimal sums (see functions.scalar) so
+  results are partitioning-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+
+from flink_spark.functions.scalar import dec2, dec4, dsum
+from flink_spark.registry import query
+from flink_spark.sources import load
+
+# --- shared exact-decimal revenue expressions (Spark + DuckDB oracle) ---
+
+def rev_col() -> F.Column:
+    """l_extendedprice * (1 - l_discount), exact decimal."""
+    return dec2("l_extendedprice") * (F.lit(1) - dec4("l_discount")).cast(
+        DecimalType(8, 4)
+    )
+
+
+def charge_col() -> F.Column:
+    """l_extendedprice * (1 - l_discount) * (1 + l_tax), exact decimal."""
+    factor = (
+        (F.lit(1) - dec4("l_discount")) * (F.lit(1) + dec4("l_tax"))
+    ).cast(DecimalType(12, 8))
+    return dec2("l_extendedprice") * factor
+
+
+REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * CAST(1 - CAST(l_discount AS DECIMAL(6,4)) AS DECIMAL(8,4))"
+)
+CHARGE_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * CAST((1 - CAST(l_discount AS DECIMAL(6,4)))"
+    "        * (1 + CAST(l_tax AS DECIMAL(6,4))) AS DECIMAL(12,8))"
+)
+DSUM_SQL = "CAST(SUM(CAST({c} AS DECIMAL(18,2))) AS DOUBLE)"
+
+
+# --------------------------------------------------------------------------
+# Flagship: TPC-H Q1-style pricing summary (A1/A8 aggregate family)
+# --------------------------------------------------------------------------
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {DSUM_SQL.format(c='l_quantity')}                       AS sum_qty,
+           {DSUM_SQL.format(c='l_extendedprice')}                  AS sum_base_price,
+           CAST(SUM({REV_SQL}) AS DOUBLE)                          AS sum_disc_price,
+           CAST(SUM({CHARGE_SQL}) AS DOUBLE)                       AS sum_charge,
+           {DSUM_SQL.format(c='l_quantity')} / COUNT(*)            AS avg_qty,
+           {DSUM_SQL.format(c='l_extendedprice')} / COUNT(*)       AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*)                                                AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "flagship"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary report: grouped exact-decimal sums + averages.
+
+    Covers A8 rollups (pub22/mapper/TradeStatsMapper.java:10-53) and the
+    incremental keyed aggregate shape of A1
+    (rt/app/dws/DwsTrafficVcChArIsNewPageViewWindow.java:128-179).
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02"))
+    )
+    cnt = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_base_price"),
+        F.sum(rev_col()).cast("double").alias("sum_disc_price"),
+        F.sum(charge_col()).cast("double").alias("sum_charge"),
+        (F.sum(dec2("l_quantity")).cast("double") / cnt).alias("avg_qty"),
+        (F.sum(dec2("l_extendedprice")).cast("double") / cnt).alias("avg_price"),
+        (F.sum(dec4("l_discount")).cast("double") / cnt).alias("avg_disc"),
+        cnt.alias("count_order"),
+    )
+
+
+# --------------------------------------------------------------------------
+# J1 multi-way fact join + top-k (TPC-H Q3-style)
+# --------------------------------------------------------------------------
+
+@query(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           CAST(SUM({REV_SQL}) AS DOUBLE) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, order_date, l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "topk"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way inner equi-join + grouped revenue + deterministic top-k.
+
+    Covers J1 stream-stream inner join shape
+    (rt/app/dwd/db/DwdTradeOrderPreProcess.java:113-143) in batch form
+    and T2 top-k (pub22/mapper/CommodityStatsMapper.java:119-120).
+    """
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1998-03-15"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1998-03-15"))
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev_col()).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "order_date", "l_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# J5a snowflake dim chain, flattened once then broadcast (TPC-H Q5-style)
+# --------------------------------------------------------------------------
+
+@query(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name, CAST(SUM({REV_SQL}) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey  = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey  = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    tags=("join", "agg"),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-table snowflake join; dims broadcast, facts shuffle once.
+
+    Covers J5a snowflake enrichment chain
+    (rt/app/dws/DwsTradeSkuOrderWindow.java:195-293): the nation→region
+    chain is pre-flattened and broadcast instead of per-record async
+    lookups (rt/app/func/DimAsyncFunction.java:20-75).
+    """
+    nation_region = (
+        load(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    supplier = load(spark, sf_dir, "supplier").join(
+        F.broadcast(nation_region), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    cust = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            cust,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(rev_col()).cast("double").alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# J3/J5 broadcast dim lookup join
+# --------------------------------------------------------------------------
+
+@query(
+    "j_broadcast_dim_join",
+    oracle=f"""
+    SELECT p_brand,
+           COUNT(*) AS line_ct,
+           CAST(SUM({REV_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+    tags=("join",),
+)
+def j_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact enriched by a broadcast dim — the lookup-join replacement.
+
+    Covers J3 lookup join (rt/app/dwd/db/DwdTradeCartAdd.java:79-97,
+    FOR SYSTEM_TIME AS OF + LRU cache) and J5 async dim enrichment
+    (rt/utils/DimUtil.java:16-45): the broadcast IS the cache.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("line_ct"),
+            F.sum(rev_col()).cast("double").alias("revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# J2 left outer join (null-padded enrichment)
+# --------------------------------------------------------------------------
+
+@query(
+    "j_left_outer_enrich",
+    oracle=f"""
+    SELECT c_custkey, c_mktsegment,
+           COALESCE(o.order_ct, 0) AS order_ct,
+           COALESCE(o.spend, 0.0)  AS spend
+    FROM customer
+    LEFT JOIN (
+        SELECT o_custkey, COUNT(*) AS order_ct,
+               {DSUM_SQL.format(c='o_totalprice')} AS spend
+        FROM orders GROUP BY o_custkey
+    ) o ON c_custkey = o.o_custkey
+    """,
+    tags=("join",),
+)
+def j_left_outer_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join keeping unmatched rows (null-padded, coalesced).
+
+    Covers J2 stream-stream left outer join
+    (rt/app/dwd/db/DwdTradeOrderPreProcess.java:144-147); in batch the
+    final table contents are what the reference's changelog round-trip
+    converges to (SURVEY.md O10).
+    """
+    cust = load(spark, sf_dir, "customer")
+    per_cust = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("order_ct"), dsum("o_totalprice", "spend"))
+    )
+    return cust.join(
+        per_cust, cust.c_custkey == per_cust.o_custkey, "left"
+    ).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.coalesce("order_ct", F.lit(0)).alias("order_ct"),
+        F.coalesce("spend", F.lit(0.0)).alias("spend"),
+    )
+
+
+# --------------------------------------------------------------------------
+# J7 full outer join
+# --------------------------------------------------------------------------
+
+@query(
+    "j_full_outer_metrics",
+    oracle=f"""
+    SELECT COALESCE(f.o_custkey, o.o_custkey) AS custkey,
+           f.f_ct, f.f_amount, o.o_ct, o.o_amount
+    FROM (SELECT o_custkey, COUNT(*) AS f_ct,
+                 {DSUM_SQL.format(c='o_totalprice')} AS f_amount
+          FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey) f
+    FULL OUTER JOIN
+         (SELECT o_custkey, COUNT(*) AS o_ct,
+                 {DSUM_SQL.format(c='o_totalprice')} AS o_amount
+          FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey) o
+    ON f.o_custkey = o.o_custkey
+    """,
+    tags=("join",),
+)
+def j_full_outer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregate sides (nullable both ways).
+
+    Covers J7 (pub22/mapper/CommodityStatsMapper.java:15-37 — order
+    stats FULL OUTER JOIN refund stats on trademark/category keys).
+    """
+    orders = load(spark, sf_dir, "orders")
+    f = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("f_ct"), dsum("o_totalprice", "f_amount"))
+        .withColumnRenamed("o_custkey", "f_custkey")
+    )
+    o = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("o_ct"), dsum("o_totalprice", "o_amount"))
+        .withColumnRenamed("o_custkey", "o_custkey2")
+    )
+    return f.join(o, f.f_custkey == o.o_custkey2, "full_outer").select(
+        F.coalesce("f_custkey", "o_custkey2").alias("custkey"),
+        "f_ct",
+        "f_amount",
+        "o_ct",
+        "o_amount",
+    )
+
+
+# --------------------------------------------------------------------------
+# J1 two-column-key join
+# --------------------------------------------------------------------------
+
+@query(
+    "j_two_key_join",
+    oracle=f"""
+    WITH firsts AS (
+      SELECT l_orderkey, MIN(l_linenumber) AS mn FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l.l_linestatus,
+           COUNT(*) AS line_ct,
+           CAST(SUM({REV_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN firsts ON l.l_orderkey = firsts.l_orderkey
+                              AND l.l_linenumber = firsts.mn
+    GROUP BY l.l_linestatus
+    """,
+    tags=("join",),
+)
+def j_two_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite (two-column) equi-join key.
+
+    Covers the two-column-key stream join in
+    rt/app/dwd/db/DwdTradeRefundPaySuc.java:124-127
+    (``order_id AND sku_id``).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    firsts = li.groupBy("l_orderkey").agg(F.min("l_linenumber").alias("mn"))
+    return (
+        li.alias("l")
+        .join(
+            firsts.alias("f"),
+            (F.col("l.l_orderkey") == F.col("f.l_orderkey"))
+            & (F.col("l.l_linenumber") == F.col("f.mn")),
+        )
+        .groupBy(F.col("l.l_linestatus").alias("l_linestatus"))
+        .agg(
+            F.count(F.lit(1)).alias("line_ct"),
+            F.sum(rev_col()).cast("double").alias("revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# J4 interval join (time-bounded stream-stream join, batch form)
+# --------------------------------------------------------------------------
+
+@query(
+    "j_interval_join",
+    oracle="""
+    SELECT p.user_id,
+           COUNT(*) AS pair_ct,
+           COUNT(DISTINCT p.event_id) AS purchases_with_click
+    FROM (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events
+          WHERE event_type = 'purchase') p
+    JOIN (SELECT user_id, epoch_ms(ts) AS ms FROM events
+          WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ms BETWEEN p.ms - 300000 AND p.ms
+    GROUP BY p.user_id
+    """,
+    tags=("join", "interval"),
+)
+def j_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: clicks within 5 minutes before each purchase.
+
+    Covers J4 (rt-test/app/Flink01_DataStreamJoin.java:44-53 —
+    ``intervalJoin().between(-5s, +5s)``). Time compared at ms floor on
+    both sides (parquet ns truncates differently in Spark vs DuckDB).
+    Equi-key on user_id keeps this a hash join + range filter, not a
+    nested-loop join.
+    """
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.unix_millis("ts").alias("p_ms")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.unix_millis("ts").alias("c_ms")
+    )
+    return (
+        p.join(
+            c,
+            (p.user_id == c.c_user)
+            & (c.c_ms >= p.p_ms - 300000)
+            & (c.c_ms <= p.p_ms),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("pair_ct"),
+            F.countDistinct("event_id").alias("purchases_with_click"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# P2-P4 projection / filter / computed + conditional columns
+# --------------------------------------------------------------------------
+
+@query(
+    "p_projection_filter",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           CAST({REV_SQL} AS DOUBLE) AS revenue,
+           strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_returnflag = 'R'
+    """,
+    tags=("projection",),
+)
+def p_projection_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level projection with computed column + selective filter.
+
+    Covers P2 map-projection + predicates
+    (rt/app/dwd/db/DwdTradeOrderPreProcess.java:55-72) and O1/O2 manual
+    pushdown — here Catalyst pushes the filter and prunes columns into
+    the parquet scan (verified via .explain PushedFilters/ReadSchema).
+    """
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+            & (F.col("l_returnflag") == "R")
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            rev_col().cast("double").alias("revenue"),
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+        )
+    )
+
+
+@query(
+    "p_conditional_delta",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN CAST(value AS DECIMAL(18,2))
+                         WHEN event_type = 'error'
+                         THEN -CAST(value AS DECIMAL(18,2))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS net_value,
+           COUNT(*) AS event_ct
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("projection", "agg"),
+)
+def p_conditional_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional signed-delta column then keyed sum.
+
+    Covers P3 computed/conditional columns
+    (rt/app/dwd/db/DwdTradeCartAdd.java:48 — ``if(type='insert',
+    sku_num, cast(new - old as string))``) and P4 old-image predicates.
+    """
+    ev = load(spark, sf_dir, "events")
+    delta = (
+        F.when(F.col("event_type") == "purchase", dec2("value"))
+        .when(F.col("event_type") == "error", -dec2("value"))
+        .otherwise(F.lit(0).cast(DecimalType(18, 2)))
+    )
+    return ev.groupBy("user_id").agg(
+        F.sum(delta).cast("double").alias("net_value"),
+        F.count(F.lit(1)).alias("event_ct"),
+    )
+
+
+@query(
+    "p_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
+           COUNT(*) AS event_ct
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("projection", "json"),
+)
+def p_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from a string payload column.
+
+    Covers P1 tolerant JSON parse (rt/app/dim/DimApp.java:53-66,
+    fastjson ``JSON.parseObject``) — ``get_json_object`` returns null on
+    malformed input, the dirty-data side output becomes an isNull split.
+    """
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("k_total"),
+        F.count(F.lit(1)).alias("event_ct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.9 scalar/datetime function family
+# --------------------------------------------------------------------------
+
+@query(
+    "f_scalar_datetime",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS date_id,
+           CAST(hour(ts) AS INTEGER) AS hr,
+           COUNT(*) AS pv,
+           COUNT(DISTINCT user_id) AS uv
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("scalar",),
+)
+def f_scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_format / hour bucketing (ClickHouse toYYYYMMDD/toHour compat).
+
+    Covers §2.9: date_format → date_id
+    (rt/app/dwd/db/DwdTradeOrderPreProcess.java:124), toHour
+    (pub22/mapper/TrafficVisitorStatsMapper.java:24).
+    """
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("date_id"),
+        F.hour("ts").alias("hr"),
+    ).agg(
+        F.count(F.lit(1)).alias("pv"),
+        F.countDistinct("user_id").alias("uv"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A8-A11 ADS-style aggregates: ratios, conditional agg, top-k, unions
+# --------------------------------------------------------------------------
+
+@query(
+    "ads_channel_stats",
+    oracle="""
+    SELECT event_type AS ch,
+           COUNT(DISTINCT user_id) AS uv,
+           COUNT(*) AS pv,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value,
+           CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT user_id) AS pv_per_uv
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("ads", "agg"),
+)
+def ads_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel UV/PV + ratio metrics.
+
+    Covers A8 rollups + A9 ratio metrics
+    (pub22/mapper/TrafficChannelStatsMapper.java:27-49 — per-session
+    depth ``sum(pv)/sum(sv)`` etc.) and A11 count(distinct).
+    """
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(F.col("event_type").alias("ch")).agg(
+        F.countDistinct("user_id").alias("uv"),
+        F.count(F.lit(1)).alias("pv"),
+        (F.sum(dec2("value")).cast("double") / F.count(F.lit(1))).alias("avg_value"),
+        (
+            F.count(F.lit(1)).cast("double") / F.countDistinct("user_id")
+        ).alias("pv_per_uv"),
+    )
+
+
+@query(
+    "ads_conditional_score",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS date_id,
+           CAST(SUM(CASE event_type WHEN 'purchase' THEN 10
+                                    WHEN 'click' THEN 2
+                                    WHEN 'view' THEN 1
+                                    ELSE 0 END) AS BIGINT) AS score
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("ads", "agg"),
+)
+def ads_conditional_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted conditional aggregation (multiIf-style scoring).
+
+    Covers A10 (pub22/mapper/TrafficKeywordsMapper.java:10-21 —
+    ``sum(keyword_count * multiIf(source='SEARCH',10,...,0))``).
+    """
+    from flink_spark.functions.scalar import multi_if
+
+    ev = load(spark, sf_dir, "events")
+    score = multi_if(
+        F.col("event_type") == "purchase", F.lit(10),
+        F.col("event_type") == "click", F.lit(2),
+        F.col("event_type") == "view", F.lit(1),
+        default=F.lit(0),
+    )
+    return ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("date_id")).agg(
+        F.sum(score).cast("long").alias("score")
+    )
+
+
+@query(
+    "ads_topk_users",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS spend,
+           COUNT(*) AS purchase_ct
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+    ORDER BY spend DESC, user_id
+    LIMIT 5
+    """,
+    tags=("ads", "topk"),
+)
+def ads_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k by aggregate with deterministic tiebreak.
+
+    Covers T1 (pub/mapper/UvMapper.java:11-12 — top-k channels by UV)
+    and T2. Spark plans this as TakeOrderedAndProject — a per-partition
+    top-k then a k-row merge on the driver, no global sort at scale.
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return (
+        ev.groupBy("user_id")
+        .agg(dsum("value", "spend"), F.count(F.lit(1)).alias("purchase_ct"))
+        .orderBy(F.desc("spend"), "user_id")
+        .limit(5)
+    )
+
+
+@query(
+    "u_union_metrics",
+    oracle="""
+    SELECT 'purchase_amount' AS metric,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val
+    FROM events WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT 'click_ct' AS metric, CAST(COUNT(*) AS DOUBLE) AS val
+    FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT 'signup_ct' AS metric, CAST(COUNT(*) AS DOUBLE) AS val
+    FROM events WHERE event_type = 'signup'
+    """,
+    tags=("union",),
+)
+def u_union_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of labeled metric rows (funnel-style counters).
+
+    Covers U3 (pub22/mapper/TradeStatsMapper.java:17-37 — union of
+    labeled per-type counters) and U1 homogeneous stream union
+    (rt/app/dws/DwsTrafficVcChArIsNewPageViewWindow.java:117).
+    """
+    ev = load(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").agg(
+        F.sum(dec2("value")).cast("double").alias("val")
+    ).select(F.lit("purchase_amount").alias("metric"), "val")
+    b = ev.filter(F.col("event_type") == "click").agg(
+        F.count(F.lit(1)).cast("double").alias("val")
+    ).select(F.lit("click_ct").alias("metric"), "val")
+    c = ev.filter(F.col("event_type") == "signup").agg(
+        F.count(F.lit(1)).cast("double").alias("val")
+    ).select(F.lit("signup_ct").alias("metric"), "val")
+    return a.unionByName(b).unionByName(c)

@@ -1,0 +1,227 @@
+"""Stateful streaming operators in their exact batch formulations.
+
+The reference's keyed-state machinery (SURVEY.md §2.5 A5-A7, §2.10
+W5-W8) all has a precise batch equivalent over at-rest data — these ARE
+the oracle semantics the streaming implementations in
+``flink_spark.streaming`` must converge to:
+
+- A5 changelog dedup (latest row per key)      → row_number()=1 desc
+- A6 per-key-per-day dedup → daily uniques     → count(distinct (k,day))
+- A7 new/old-visitor correction                → min(first day) per key
+- 7-day returning-user rule                    → lag(day) per key
+- W8 CEP jump (next-within-10s, else timeout)  → lead(ts) per key
+
+Ordering determinism: event timestamps are compared at millisecond
+floor (``unix_millis`` ≡ DuckDB ``epoch_ms``) with ``event_id`` as the
+final tiebreak, so window-function order is a total order on both
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_spark.registry import query
+from flink_spark.sources import load
+
+
+@query(
+    "s_dedup_latest",
+    oracle="""
+    SELECT user_id,
+           event_type AS last_type,
+           CAST(value AS DOUBLE) AS last_value,
+           epoch_ms(ts) AS last_ms
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY epoch_ms(ts) DESC, event_id DESC) = 1
+    """,
+    tags=("state", "dedup"),
+)
+def s_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Take-latest-row-per-key (changelog compaction).
+
+    Covers A5 (rt/app/dws/DwsTradeSkuOrderWindow.java:81-111 — keyBy id,
+    keep max row_op_ts, emit via +5 s timer) — the reference's
+    downstream fix-up for upsert-kafka duplicates (SURVEY.md O10).
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc(F.unix_millis("ts")), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+            F.unix_millis("ts").alias("last_ms"),
+        )
+    )
+
+
+@query(
+    "s_daily_unique_users",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS date_id,
+           COUNT(DISTINCT user_id) AS uv
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("state", "dedup"),
+)
+def s_daily_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day unique visitors (the batch truth of stateful daily dedup).
+
+    Covers A6 (rt/app/dwd/log/DwdTrafficUniqueVisitorDetail.java:69-98 —
+    ValueState of last-seen date, 1-day TTL, emit first occurrence per
+    day) and A11 count(distinct) dailies
+    (pub22/mapper/TradeStatsMapper.java:24,34).
+    """
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("date_id")).agg(
+        F.countDistinct("user_id").alias("uv")
+    )
+
+
+@query(
+    "s_new_vs_returning",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(strftime(ts, '%Y-%m-%d')) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS date_id, user_id FROM events
+    )
+    SELECT date_id,
+           CAST(SUM(CASE WHEN first_day = date_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS new_users,
+           CAST(SUM(CASE WHEN first_day < date_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS returning_users
+    FROM active JOIN firsts USING (user_id)
+    GROUP BY date_id
+    """,
+    tags=("state",),
+)
+def s_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New vs returning users per day (is_new flag correction).
+
+    Covers A7 (rt/app/dwd/log/BaseLogApp.java:71-108 — rewrite
+    ``is_new=1`` to 0 when the mid was seen on an earlier date). Batch
+    truth: a user is "new" only on their first-ever active day.
+    """
+    ev = load(spark, sf_dir, "events")
+    active = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("date_id"), "user_id"
+    ).distinct()
+    firsts = active.groupBy("user_id").agg(F.min("date_id").alias("first_day"))
+    return (
+        active.join(firsts, "user_id")
+        .groupBy("date_id")
+        .agg(
+            F.sum(F.when(F.col("first_day") == F.col("date_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("new_users"),
+            F.sum(F.when(F.col("first_day") < F.col("date_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("returning_users"),
+        )
+    )
+
+
+@query(
+    "s_returning_users_7d",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS d FROM events
+    ),
+    lagged AS (
+      SELECT user_id, d,
+             lag(d) OVER (PARTITION BY user_id ORDER BY d) AS prev_d
+      FROM days
+    )
+    SELECT d AS date_id,
+           COUNT(*) AS active_users,
+           CAST(SUM(CASE WHEN prev_d IS NOT NULL
+                          AND date_diff('day', CAST(prev_d AS DATE), CAST(d AS DATE)) > 7
+                         THEN 1 ELSE 0 END) AS BIGINT) AS back_users
+    FROM lagged
+    GROUP BY d
+    """,
+    tags=("state",),
+)
+def s_returning_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day "back-flow" returning users per day.
+
+    Covers the returning-user rule of
+    rt/app/dws/DwsUserUserLoginWindow.java:111-117. Note: the
+    reference's expression has a precedence bug (division binds before
+    subtraction at :114); we implement the intended days-between > 7
+    semantics, as documented in SURVEY.md §7.2(5).
+    """
+    ev = load(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    lagged = days.withColumn("prev_d", F.lag("d").over(w))
+    return lagged.groupBy(F.col("d").alias("date_id")).agg(
+        F.count(F.lit(1)).alias("active_users"),
+        F.sum(
+            F.when(
+                F.col("prev_d").isNotNull()
+                & (F.datediff(F.to_date("d"), F.to_date("prev_d")) > 7),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("back_users"),
+    )
+
+
+@query(
+    "s_cep_jump",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS ms,
+             lead(epoch_ms(ts)) OVER (
+                 PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS next_ms
+      FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(CASE WHEN next_ms IS NULL OR next_ms - ms > 10000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS jump_ct,
+           COUNT(*) AS event_ct
+    FROM seq
+    GROUP BY user_id
+    """,
+    tags=("state", "cep"),
+)
+def s_cep_jump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP bounce/jump detection: no follow-up event within 10 s.
+
+    Covers W8 (rt/app/dwd/log/DwdTrafficUserJumpDetail.java:79-119 —
+    pattern ``next within 10s`` with the timeout side-output unioned
+    in). Batch truth via lead(): an event is a jump when the next event
+    of the same key is >10 s later or absent — exactly the match ∪
+    timeout union of the reference.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    seq = ev.select(
+        "user_id", "event_id", F.unix_millis("ts").alias("ms")
+    ).withColumn("next_ms", F.lead("ms").over(w))
+    return seq.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("next_ms").isNull() | (F.col("next_ms") - F.col("ms") > 10000),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("jump_ct"),
+        F.count(F.lit(1)).alias("event_ct"),
+    )

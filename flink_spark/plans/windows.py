@@ -1,0 +1,126 @@
+"""Tumbling event-time window aggregates (SURVEY.md §2.5 A1-A4, §2.10 W3).
+
+Every DWS job in the reference aggregates on 10-second tumbling
+event-time windows with the window bounds stamped as ``stt``/``edt``
+strings (e.g. rt/app/dws/DwsTrafficVcChArIsNewPageViewWindow.java:138-179).
+In Spark ``window(ts, '10 seconds')`` gives the same epoch-aligned
+buckets; ``window.start/end`` replace the WindowFunction finisher.
+
+Batch and streaming share these formulations: the streaming variants in
+``flink_spark.streaming`` add ``withWatermark`` and produce identical
+final tables (stream-batch equivalence is tested in tests/).
+
+Oracle note: DuckDB reproduces the bucketing with
+``make_timestamp((epoch_ms(ts)//10000)*10000000)`` — epoch-ms floor to
+10 s, built as a naive timestamp (never tz-converted on either side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_spark.functions.scalar import dsum
+from flink_spark.registry import query
+from flink_spark.sources import load
+
+# DuckDB expressions for 10s-tumble bounds formatted to seconds
+_STT = "strftime(make_timestamp((epoch_ms(ts)//10000)*10000000), '%Y-%m-%d %H:%M:%S')"
+_EDT = (
+    "strftime(make_timestamp((epoch_ms(ts)//10000)*10000000 + 10000000),"
+    " '%Y-%m-%d %H:%M:%S')"
+)
+
+
+def _windowed(df: DataFrame, *keys: str) -> DataFrame:
+    """Group by 10s tumble (+ optional keys), stamping stt/edt strings."""
+    grouped = df.groupBy(F.window("ts", "10 seconds"), *keys)
+    return grouped
+
+
+def _stamp(df: DataFrame) -> list[F.Column]:
+    return [
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("stt"),
+        F.date_format(F.col("window.end"), "yyyy-MM-dd HH:mm:ss").alias("edt"),
+    ]
+
+
+@query(
+    "w_tumble_10s_keyed",
+    oracle=f"""
+    SELECT {_STT} AS stt, {_EDT} AS edt, event_type,
+           COUNT(*) AS pv,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS amount
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    tags=("window",),
+)
+def w_tumble_10s_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed 10 s tumbling window: count + exact sum per key.
+
+    Covers A1 keyed tumble reduce + window-metadata finisher
+    (rt/app/dws/DwsTrafficVcChArIsNewPageViewWindow.java:128-179) and A3
+    SQL TUMBLE (rt/app/dws/DwsTrafficSourceKeywordPageViewWindow.java:69-79).
+    """
+    ev = load(spark, sf_dir, "events")
+    out = _windowed(ev, "event_type").agg(
+        F.count(F.lit(1)).alias("pv"), dsum("value", "amount")
+    )
+    return out.select(*_stamp(out), "event_type", "pv", "amount")
+
+
+@query(
+    "w_tumble_10s_global",
+    oracle=f"""
+    SELECT {_STT} AS stt, {_EDT} AS edt,
+           COUNT(*) AS pv,
+           COUNT(DISTINCT user_id) AS uv,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS amount
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("window",),
+)
+def w_tumble_10s_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (non-keyed) 10 s tumbling window totals.
+
+    Covers A2 windowAll reduce (rt/app/dws/DwsTradeOrderWindow.java:126-145
+    and 5 sibling jobs). In Spark this is just a groupBy(window) — the
+    single-slot bottleneck of windowAll disappears (partial aggregation
+    is map-side; only one row per window crosses the shuffle).
+    """
+    ev = load(spark, sf_dir, "events")
+    out = _windowed(ev).agg(
+        F.count(F.lit(1)).alias("pv"),
+        F.countDistinct("user_id").alias("uv"),
+        dsum("value", "amount"),
+    )
+    return out.select(*_stamp(out), "pv", "uv", "amount")
+
+
+@query(
+    "w_agg_distinct_users",
+    oracle=f"""
+    SELECT {_STT} AS stt, event_type,
+           COUNT(DISTINCT user_id) AS user_ct,
+           COUNT(*) AS pv
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("window", "distinct"),
+)
+def w_agg_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct count inside a window group.
+
+    Covers A4 (rt/app/dws/DwsTradeSkuOrderWindow.java:114-172 — order
+    count via an accumulated ``Set<String>`` marked @TransientSink;
+    rt/bean/TradeSkuOrderBean.java:44-47). Spark's count(distinct)
+    expands to a two-stage exact aggregate — no driver-side set.
+    """
+    ev = load(spark, sf_dir, "events")
+    out = _windowed(ev, "event_type").agg(
+        F.countDistinct("user_id").alias("user_ct"),
+        F.count(F.lit(1)).alias("pv"),
+    )
+    return out.select(_stamp(out)[0], "event_type", "user_ct", "pv")

@@ -1,0 +1,64 @@
+"""SparkSession factory.
+
+The reference pins every job to parallelism=1
+(``rt/app/dim/DimApp.java:31``); we instead rely on Spark's data
+parallelism and size shuffle partitions to the machine. All date math
+in the reference is fixed-zone (``rt/utils/DateFormatUtil.java:24``);
+we pin the session timezone (UTC here, matching the DuckDB oracle) so
+date bucketing is deterministic.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are safe to (re)apply on an existing session at runtime.
+# The correctness driver hands us *its* SparkSession, so everything the
+# query catalog depends on must be runtime-settable and applied lazily.
+_RUNTIME_CONFS = {
+    # deterministic date/window bucketing, matches DuckDB's naive timestamps
+    "spark.sql.session.timeZone": "UTC",
+    # events.parquet carries TIMESTAMP(NANOS); Spark reads it as long ns
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # runtime re-planning: coalesce tiny shuffle partitions, split skewed ones
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an externally-created session."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable on this build — keep going
+    return spark
+
+
+def get_spark(
+    app_name: str = "flink_spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | str | None = None,
+) -> SparkSession:
+    """Create (or fetch) a local SparkSession sized for this machine.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` (driver contract) else 4.
+    On a real cluster the same confs apply; only ``master`` changes.
+    """
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "4")
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "12g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return tune(builder.getOrCreate())
