@@ -1,0 +1,68 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
+
+Each query is fully executed via the no-op sink (forces every stage,
+no driver-side collect cost skewing the numbers). A warmup run of the
+first query absorbs JVM/codegen startup so per-query times reflect the
+plans, not session boot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "j_interval_join",
+    "w_tumble_10s_keyed",
+    "s_dedup_latest",
+    "s_daily_unique_users",
+    "t_token_stats",
+    "t_exact_dedup",
+    "t_minhash_lsh_dups",
+    "e_cosine_topk",
+    "e_ann_lsh_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from flink_spark.registry import spark_queries
+    from flink_spark.session import get_spark
+
+    spark = get_spark(app_name="flink_spark-bench", cpus=cpus,
+                      shuffle_partitions=cpus)
+    qs = spark_queries()
+
+    def run(name: str) -> float:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        return time.time() - t0
+
+    run(HEADLINE[0])  # warmup: JVM + codegen + parquet footer reads
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        times[name] = round(run(name), 3)
+
+    total = round(sum(times.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

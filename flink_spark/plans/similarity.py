@@ -1,0 +1,408 @@
+"""Embedding similarity + multimodal operators over ``embeddings``/``documents``.
+
+The reference has no vector operators (its "enrichment" is the dim
+point-lookup family, rt/app/func/DimAsyncFunction.java:20-75); this
+module supplies the similarity-search surface a training-data pipeline
+needs on top of the same engine: brute-force cosine top-k as the exact
+baseline, a sign-random-projection (LSH) bucketed variant as the scale
+path, and multimodal (binary payload) plumbing.
+
+Oracle determinism strategy
+---------------------------
+Cosine similarity is a float computation, so the DuckDB oracle must
+reproduce Spark's floats *bit-for-bit*. Both sides compute every dot
+product / norm as a **left-to-right fold over the array in element
+order with float64 accumulation**:
+
+- Spark: ``aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)),
+  0.0d, (acc,x) -> acc+x)`` — sequential fold, no shuffle order
+  involvement.
+- DuckDB: ``list_reduce(list_transform(range(1, dim+1),
+  i -> CAST(a[i] AS DOUBLE) * CAST(b[i] AS DOUBLE)), (x,y) -> x+y)``.
+
+``0.0 + t1 ≡ t1`` in IEEE-754, so the two folds produce identical
+bit patterns; division and sqrt are correctly-rounded and therefore
+also identical. LSH hyperplanes are ±1 vectors derived from md5 in
+*Python* at import time and embedded as literals in both the Spark
+plan and the oracle SQL — no cross-engine RNG to disagree.
+
+Scale notes (100 TB stance)
+---------------------------
+- Brute force broadcasts the (small) query set and scores pairs
+  map-side — one narrow pass over the big side, then a top-k shuffle
+  of |Q| x N scored pairs. That is the *baseline*; it is linear in N
+  per query and is what you fall back to for exactness.
+- The LSH variant reduces each vector to a b-bit bucket key map-side,
+  then joins query↔corpus *within buckets only* — candidate volume
+  drops by ~2^b and the join key is uniformly distributed (md5-derived
+  hyperplanes), so no skew. This is the 1000-executor design: bucket
+  assignment is embarrassingly parallel, and the per-bucket join is an
+  ordinary hash join Catalyst/AQE handles.
+- Per-query top-k uses ``row_number`` over (query partition); for huge
+  query sets you'd pre-aggregate per-partition top-k first, but the
+  query side here is explicitly the small side by construction.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_spark.registry import query
+from flink_spark.sources import load
+
+DIM = 64              # embedding width of the fixture corpus
+N_QUERIES = 10        # vec_id < 10 form the query set
+TOPK = 5
+LSH_BITS = 4          # 2^4 = 16 buckets
+LSH_TOPK = 3
+
+
+def _signs(j: int) -> list[int]:
+    """Hyperplane j as a ±1 vector, derived from md5 (shared literal)."""
+    out = []
+    for i in range(DIM):
+        h = hashlib.md5(f"{j}:{i}".encode()).hexdigest()
+        out.append(1 if int(h[0], 16) >= 8 else -1)
+    return out
+
+
+SIGN_PLANES = [_signs(j) for j in range(LSH_BITS)]
+
+
+# --- Spark-side fold helpers (sequential, order-deterministic) ---
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def _proj(a, signs: list[int]):
+    plane = F.array(*[F.lit(float(s)) for s in signs])
+    return _dot(a, plane)
+
+
+def _bucket(a):
+    expr = F.lit(0)
+    for j, signs in enumerate(SIGN_PLANES):
+        expr = expr + F.when(_proj(a, signs) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return expr
+
+
+# --- DuckDB-side fold helpers (identical op order) ---
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, {DIM + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+def _norm_sql(a: str) -> str:
+    return f"sqrt({_dot_sql(a, a)})"
+
+
+def _proj_sql(a: str, signs: list[int]) -> str:
+    lit = "[" + ", ".join(f"{s}.0" for s in signs) + "]"
+    return (
+        f"list_reduce(list_transform(range(1, {DIM + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * ({lit})[i]), (x, y) -> x + y)"
+    )
+
+
+def _bucket_sql(a: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN {_proj_sql(a, signs)} >= 0 THEN {1 << j} ELSE 0 END)"
+        for j, signs in enumerate(SIGN_PLANES)
+    )
+
+
+_COSINE_SQL = (
+    f"{_dot_sql('qe', 'ne')} / ({_norm_sql('qe')} * {_norm_sql('ne')})"
+)
+
+
+# --------------------------------------------------------------------------
+# Brute-force cosine top-k (exact ANN baseline)
+# --------------------------------------------------------------------------
+
+@query(
+    "e_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    n AS (SELECT vec_id AS neighbor_id, embedding AS ne FROM embeddings),
+    pairs AS (
+      SELECT query_id, neighbor_id, {_COSINE_SQL} AS cosine
+      FROM q, n WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS rnk FROM pairs)
+    WHERE rnk <= {TOPK}
+    """,
+    tags=("similarity", "ann"),
+)
+def e_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for the query set (brute force).
+
+    The query side is broadcast (it is small by construction), so
+    scoring is a map-side nested scan of the corpus — one pass, no
+    corpus shuffle; only |Q| x N scored pairs shuffle for the per-query
+    ranking. Dot products are JVM-side ``aggregate``/``zip_with``
+    folds — no Python UDF.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    n = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
+    pairs = (
+        n.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("qe"), F.col("ne"))
+             / (_norm(F.col("qe")) * _norm(F.col("ne")))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPK)
+        .select("query_id", "neighbor_id", F.col("rnk").cast("long").alias("rnk"),
+                "cosine")
+    )
+
+
+# --------------------------------------------------------------------------
+# LSH-bucketed ANN (the scale path)
+# --------------------------------------------------------------------------
+
+@query(
+    "e_ann_lsh_topk",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, CAST({_bucket_sql('embedding')} AS INTEGER) AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qe, bucket
+          FROM b WHERE vec_id < {N_QUERIES}),
+    n AS (SELECT vec_id AS neighbor_id, embedding AS ne, bucket FROM b),
+    pairs AS (
+      SELECT query_id, neighbor_id, {_COSINE_SQL} AS cosine
+      FROM q JOIN n USING (bucket) WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS rnk FROM pairs)
+    WHERE rnk <= {LSH_TOPK}
+    """,
+    tags=("similarity", "ann", "lsh"),
+)
+def e_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3 neighbors via sign-random-projection buckets.
+
+    Charikar-style SRP-LSH: each vector gets a 4-bit key of projection
+    signs onto md5-derived ±1 hyperplanes (map-side, deterministic);
+    candidates are same-bucket pairs only — the join is on a uniform
+    4-bit key instead of a cross product, which is the shape that
+    survives a 1000-executor corpus. Recall tradeoff vs ``e_cosine_topk``
+    is the standard LSH one; the oracle reproduces bucketing exactly.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id", "embedding", _bucket(F.col("embedding")).cast("int").alias("bucket")
+    )
+    q = b.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "bucket"
+    )
+    n = b.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"), "bucket"
+    )
+    pairs = (
+        n.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("qe"), F.col("ne"))
+             / (_norm(F.col("qe")) * _norm(F.col("ne")))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= LSH_TOPK)
+        .select("query_id", "neighbor_id", F.col("rnk").cast("long").alias("rnk"),
+                "cosine")
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding norm statistics (order-insensitive aggregates only)
+# --------------------------------------------------------------------------
+
+@query(
+    "e_norm_stats",
+    oracle=f"""
+    WITH n AS (SELECT label, {_norm_sql('embedding')} AS nrm FROM embeddings)
+    SELECT label, COUNT(*) AS vec_ct, MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
+    FROM n GROUP BY label
+    """,
+    tags=("similarity", "stats"),
+)
+def e_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector-norm profile (count/min/max).
+
+    min/max of doubles are order-insensitive (unlike sums), so the
+    rollup hashes identically under any shuffle order. One narrow
+    map-side fold per row, one |labels|-row shuffle.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", _norm(F.col("embedding")).alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("vec_ct"),
+            F.min("nrm").alias("min_norm"),
+            F.max("nrm").alias("max_norm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal: documents ⋈ embeddings (text modality joined to vectors)
+# --------------------------------------------------------------------------
+
+@query(
+    "m_doc_embedding_join",
+    oracle="""
+    SELECT d.source, e.label,
+           COUNT(*) AS doc_ct,
+           CAST(SUM(d.n_chars) AS BIGINT) AS char_total
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    GROUP BY d.source, e.label
+    """,
+    tags=("similarity", "multimodal", "join"),
+)
+def m_doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modality equi-join: text table ⋈ vector table on id.
+
+    The canonical multimodal layout: one row per asset, modalities in
+    separate columns/tables keyed by id. Join key is the unique id —
+    uniform, co-partitionable (bucket both tables by id at rest and
+    this is a zero-shuffle join at 100 TB).
+    """
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        docs.join(emb, docs["doc_id"] == emb["vec_id"])
+        .groupBy("source", "label")
+        .agg(
+            F.count(F.lit(1)).alias("doc_ct"),
+            F.sum("n_chars").cast("long").alias("char_total"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal: opaque binary payload column + typed metadata
+# --------------------------------------------------------------------------
+
+@query(
+    "m_binary_meta",
+    oracle="""
+    WITH p AS (
+      SELECT source,
+             octet_length(encode(text)) AS n_bytes,
+             md5(text) AS payload_fp
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS asset_ct,
+           CAST(SUM(n_bytes) AS BIGINT) AS byte_total,
+           CAST(MAX(n_bytes) AS BIGINT) AS max_bytes,
+           MIN(payload_fp) AS min_fp
+    FROM p GROUP BY source
+    """,
+    tags=("similarity", "multimodal", "binary"),
+)
+def m_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary-column plumbing: payload bytes + typed metadata.
+
+    Models image/audio/video assets as ``binary`` payloads with typed
+    metadata extracted JVM-side (byte length, content fingerprint) —
+    the decode-free part of a multimodal pipeline. The payload here is
+    the utf-8 encoding of ``text`` (the container has no media libs);
+    the schema/partitioning shape is the real thing.
+    """
+    docs = load(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    p = docs.select(
+        "source",
+        F.octet_length(payload).alias("n_bytes"),
+        F.md5(payload).alias("payload_fp"),
+    )
+    return p.groupBy("source").agg(
+        F.count(F.lit(1)).alias("asset_ct"),
+        F.sum("n_bytes").cast("long").alias("byte_total"),
+        F.max("n_bytes").cast("long").alias("max_bytes"),
+        F.min("payload_fp").alias("min_fp"),
+    )
+
+
+@query("m_decode_features", tags=("similarity", "multimodal", "pandas-udf"))
+def m_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched multimodal decode/feature-extract (mapInPandas).
+
+    The decode stage of an image/audio pipeline: binary payload →
+    fixed-width feature vector, executed as a vectorized Pandas stage
+    (Arrow batch transfer, never row-at-a-time). Real decoders (PIL,
+    torchaudio, ffmpeg) are not in this container, so ``_fake_decode``
+    is a clearly-marked deterministic stand-in over the raw bytes; the
+    Spark-side plumbing — schema contract, batch iteration, partition
+    parallelism — is exactly what a real decoder plugs into.
+
+    No SQL oracle (the feature extractor is not SQL-expressible);
+    driver records the rows-only check. Determinism is pytest-asserted.
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import pattern
+
+    docs = load(spark, sf_dir, "documents")
+    assets = docs.select(
+        "doc_id", F.col("text").cast("binary").alias("payload"), "source"
+    )
+
+    def _fake_decode(batches):
+        # STUB: deterministic stand-in for a media decoder. A real
+        # implementation would decode payload bytes (image/audio) and
+        # emit model features; this computes byte-level statistics so
+        # the full Arrow path is exercised end-to-end.
+        for pdf in batches:
+            feats = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "byte_mean": pdf["payload"].map(
+                        lambda b: float(sum(b)) / len(b) if len(b) else 0.0
+                    ),
+                    "first_byte": pdf["payload"].map(
+                        lambda b: int(b[0]) if len(b) else -1
+                    ).astype("int32"),
+                    "source": pdf["source"],
+                }
+            )
+            yield feats
+
+    schema = "doc_id long, n_bytes long, byte_mean double, first_byte int, source string"
+    return assets.mapInPandas(_fake_decode, schema=schema)

@@ -1,0 +1,543 @@
+"""Text-pipeline operators over ``documents``: dedup family + analysis.
+
+The reference's only text operator is the IK-segmentation UDTF used with
+``LATERAL TABLE`` + window count (rt/app/func/SplitFunction.java:12-27,
+rt/app/dws/DwsTrafficSourceKeywordPageViewWindow.java:60-79). We
+generalize that surface into the operators a large-scale training-data
+pipeline needs — exact dedup, n-gram Jaccard near-dup, MinHash-LSH,
+SimHash, token/quality/lang-id analysis — all expression-based
+(JVM-side, whole-stage codegen; no Python UDFs anywhere).
+
+Oracle determinism strategy
+---------------------------
+Every query here is checked against a DuckDB oracle, including the
+LSH ones. That works because all randomness is derived from ``md5``
+(identical hex output in both engines) and all arithmetic is integer
+or exact-ratio-of-integers (bit-identical IEEE division), never an
+order-dependent float accumulation:
+
+- MinHash_j(doc)  = min over shingles s of md5(s || '#' || j) — the min
+  of hex strings is a total order both engines agree on.
+- LSH band key    = md5(band_idx || '|' || sig_j ... ) — candidate
+  pairs are docs sharing any band key; verified with exact Jaccard.
+- SimHash bit b   = sign of Σ_tokens (nibble-bit b of md5(token) ? +1 : -1).
+
+Scale notes (100 TB stance)
+---------------------------
+- Near-dup is NEVER an all-pairs cross join. ``t_ngram_jaccard_pairs``
+  is an inverted-index self-join on shingles with a document-frequency
+  cap (hot shingles are dropped — the classic stop-shingle filter that
+  bounds the join's skew); ``t_minhash_lsh_dups`` reduces each doc to a
+  16-value signature and joins on 4 banded keys, so the join input is
+  O(docs), not O(shingles), and verification runs only on candidates.
+- All aggregations are map-side partial (sums/mins of fixed columns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_spark.functions.text import fingerprint, normalize_text, tokenize, word_shingles
+from flink_spark.registry import query
+from flink_spark.sources import load
+
+# --- shared constants (mirrored literally in the DuckDB oracles) ---
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+SHINGLE_N = 3          # 3-word shingles
+DF_CAP = 100           # drop shingles appearing in >100 docs (stop-shingle filter)
+JACCARD_THRESHOLD = 0.8
+MINHASHES = 16         # 16 hashes = 4 bands x 4 rows
+LSH_BANDS = 4
+SIMHASH_BITS = 16      # packed from the first 4 md5 hex nibbles
+HAMMING_MAX = 3
+
+# DuckDB fragments
+_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+_TOKS = f"string_split({_NORM}, ' ')"
+_STOP_LIST = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+# shared CTE prefix: normalized tokens and distinct 3-shingle lists
+_SHINGLE_CTE = f"""
+    norm AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t) - {SHINGLE_N - 2}),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sl
+      FROM norm WHERE len(t) >= {SHINGLE_N}
+    ),
+    ex AS (SELECT doc_id, unnest(sl) AS s FROM sh)
+"""
+
+
+def _shingled(spark: SparkSession, sf_dir: str):
+    """(sh, ex): per-doc distinct shingle arrays and their exploded form."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize("text").alias("t"))
+    sh = toks.filter(F.size("t") >= SHINGLE_N).select(
+        "doc_id", F.array_distinct(word_shingles(F.col("t"), SHINGLE_N)).alias("sl")
+    )
+    ex = sh.select("doc_id", F.explode("sl").alias("s"))
+    return sh, ex
+
+
+# --------------------------------------------------------------------------
+# Token / length statistics (token counting for a data pipeline)
+# --------------------------------------------------------------------------
+
+@query(
+    "t_token_stats",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS doc_ct,
+           CAST(SUM(len({_TOKS})) AS BIGINT) AS token_total,
+           CAST(SUM(len({_TOKS})) AS DOUBLE) / COUNT(*) AS avg_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS char_total
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("textops", "tokens"),
+)
+def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token counting (whitespace + regex pre-tokenization).
+
+    Generalizes F1 tokenization (rt/utils/KeyWordUtil.java:13-33) into
+    corpus-level token statistics. Pure expression pipeline — size() of
+    a split stays inside whole-stage codegen; one scan, one shuffle of
+    |sources| partial rows.
+    """
+    docs = load(spark, sf_dir, "documents")
+    ntok = F.size(tokenize("text"))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("doc_ct"),
+        F.sum(ntok).cast("long").alias("token_total"),
+        (F.sum(ntok).cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        F.sum("n_chars").cast("long").alias("char_total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact dedup: content fingerprint groups
+# --------------------------------------------------------------------------
+
+@query(
+    "t_exact_dedup",
+    oracle=f"""
+    SELECT md5({_NORM}) AS fp,
+           CAST(COUNT(*) AS BIGINT) AS dup_ct,
+           MIN(doc_id) AS canonical_id
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("textops", "dedup"),
+)
+def t_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via md5 of normalized text (hash-groupBy).
+
+    One shuffle keyed by the 128-bit fingerprint — uniformly
+    distributed, so no skew at any scale; dup groups keep the minimum
+    doc_id as canonical survivor.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy(fingerprint("text").alias("fp")).agg(
+        F.count(F.lit(1)).cast("long").alias("dup_ct"),
+        F.min("doc_id").alias("canonical_id"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality scoring (length / stopword / token-shape heuristics)
+# --------------------------------------------------------------------------
+
+@query(
+    "t_quality_score",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id,
+             len({_TOKS}) AS n_tokens,
+             len(list_filter({_TOKS}, x -> x IN {_STOP_LIST})) AS stop_ct,
+             length(replace({_NORM}, ' ', '')) AS alpha_chars
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(stop_ct AS BIGINT) AS stop_ct,
+           CAST(stop_ct AS DOUBLE) / n_tokens AS stop_ratio,
+           CAST(alpha_chars AS DOUBLE) / n_tokens AS avg_token_len,
+           CAST((CASE WHEN n_tokens BETWEEN 20 AND 200 THEN 1 ELSE 0 END)
+              + (CASE WHEN CAST(stop_ct AS DOUBLE) / n_tokens
+                      BETWEEN 0.02 AND 0.5 THEN 1 ELSE 0 END)
+              + (CASE WHEN CAST(alpha_chars AS DOUBLE) / n_tokens
+                      BETWEEN 3 AND 8 THEN 1 ELSE 0 END) AS BIGINT)
+             AS quality_score
+    FROM q
+    """,
+    tags=("textops", "quality"),
+)
+def t_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality heuristics: length, stopword ratio, token shape.
+
+    All ratios are exact integer divisions (bit-identical doubles in any
+    engine / any row order). Narrow row-level projection — no shuffle.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    q = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).alias("stop_ct"),
+        F.length(F.regexp_replace(normalize_text("text"), " ", "")).alias("alpha_chars"),
+    )
+    stop_ratio = F.col("stop_ct").cast("double") / F.col("n_tokens")
+    avg_len = F.col("alpha_chars").cast("double") / F.col("n_tokens")
+    score = (
+        F.when(F.col("n_tokens").between(20, 200), 1).otherwise(0)
+        + F.when(stop_ratio.between(0.02, 0.5), 1).otherwise(0)
+        + F.when(avg_len.between(3, 8), 1).otherwise(0)
+    )
+    return q.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("stop_ct").cast("long").alias("stop_ct"),
+        stop_ratio.alias("stop_ratio"),
+        avg_len.alias("avg_token_len"),
+        score.cast("long").alias("quality_score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Language-ID heuristic (marker-stopword scoring) vs labeled lang
+# --------------------------------------------------------------------------
+
+@query(
+    "t_lang_id",
+    oracle=f"""
+    WITH pred AS (
+      SELECT lang,
+             CASE WHEN len(list_filter({_TOKS}, x -> x IN {_STOP_LIST})) * 50
+                       > len({_TOKS})
+                  THEN 'en' ELSE 'unknown' END AS predicted
+      FROM documents
+    )
+    SELECT lang, predicted, COUNT(*) AS doc_ct
+    FROM pred GROUP BY lang, predicted
+    """,
+    tags=("textops", "langid"),
+)
+def t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword language-ID heuristic → confusion counts vs label.
+
+    Classifies each doc by English-marker density, then aggregates a
+    (label, prediction) confusion table. The heuristic is deliberately
+    simple (the fixture corpus is synthetic); the pipeline shape —
+    per-row classify, corpus-level confusion rollup — is the operator.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    marker_ct = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    # pure-integer threshold (ratio > 2%): decimal→int casts round in
+    # DuckDB but truncate in Spark, so never compare via a float cast.
+    predicted = F.when(marker_ct * 50 > F.size(toks), "en").otherwise("unknown")
+    return docs.select("lang", predicted.alias("predicted")).groupBy(
+        "lang", "predicted"
+    ).agg(F.count(F.lit(1)).alias("doc_ct"))
+
+
+# --------------------------------------------------------------------------
+# F1/P6: tokenize + explode → keyword counts (the reference's UDTF query)
+# --------------------------------------------------------------------------
+
+@query(
+    "t_keyword_counts",
+    oracle=f"""
+    SELECT word, COUNT(*) AS word_ct
+    FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY word_ct DESC, word
+    LIMIT 20
+    """,
+    tags=("textops", "udtf", "topk"),
+)
+def t_keyword_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer UDTF + explode + count + top-k.
+
+    Covers F1 (rt/app/func/SplitFunction.java:12-27 registered via
+    ``LATERAL TABLE``), P6 array unnesting
+    (rt/app/dwd/log/BaseLogApp.java:141-167) and the keyword-count shape
+    of A3 (rt/app/dws/DwsTrafficSourceKeywordPageViewWindow.java:60-79).
+    explode is JVM-side (generate node inside codegen); count then top-k
+    compiles to partial-agg + TakeOrderedAndProject.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokenize("text")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("word_ct"))
+        .orderBy(F.desc("word_ct"), "word")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Near-dup #1: n-gram Jaccard via inverted-index self-join
+# --------------------------------------------------------------------------
+
+@query(
+    "t_ngram_jaccard_dups",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    keep AS (
+      SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= {DF_CAP}
+    ),
+    ex2 AS (SELECT doc_id, s FROM ex JOIN keep USING (s)),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ex2 GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+      FROM ex2 a JOIN ex2 b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2,
+           CAST(shared AS BIGINT) AS shared,
+           CAST(shared AS DOUBLE) / (s1.sz + s2.sz - shared) AS jaccard
+    FROM pairs
+    JOIN sizes s1 ON d1 = s1.doc_id
+    JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE CAST(shared AS DOUBLE) / (s1.sz + s2.sz - shared) >= {JACCARD_THRESHOLD}
+    """,
+    tags=("textops", "dedup", "neardup"),
+)
+def t_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by exact 3-gram Jaccard >= 0.8.
+
+    The scalable formulation: an inverted-index self-join on shingles
+    (each doc pair is generated only via shingles they share), with a
+    document-frequency cap dropping shingles in >100 docs — the
+    stop-shingle filter that bounds worst-case join fan-out at 100 TB.
+    Jaccard = shared / (|A| + |B| - shared), exact integer ratio.
+    """
+    _, ex = _shingled(spark, sf_dir)
+    keep = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= DF_CAP
+    ).select("s")
+    ex2 = ex.join(keep, "s").select("doc_id", "s")
+    sizes = ex2.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = ex2.alias("a"), ex2.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
+    jac = F.col("shared").cast("double") / (
+        F.col("sz1") + F.col("sz2") - F.col("shared")
+    )
+    return (
+        pairs.join(s1, "d1")
+        .join(s2, "d2")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("d1", "d2", F.col("shared").cast("long").alias("shared"),
+                jac.alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Near-dup #2: MinHash + LSH banding (the 100 TB design), oracle-checked
+# --------------------------------------------------------------------------
+
+def _minhash_cols_spark() -> list:
+    return [
+        F.min(F.md5(F.concat(F.col("s"), F.lit(f"#{j}")))).alias(f"h{j}")
+        for j in range(MINHASHES)
+    ]
+
+
+def _band_keys_spark() -> list:
+    rows = MINHASHES // LSH_BANDS
+    return [
+        F.md5(F.concat_ws("|", F.lit(str(b)),
+                          *[F.col(f"h{b * rows + k}") for k in range(rows)]))
+        for b in range(LSH_BANDS)
+    ]
+
+
+def _minhash_sql() -> str:
+    cols = ",\n             ".join(
+        f"min(md5(s || '#{j}')) AS h{j}" for j in range(MINHASHES)
+    )
+    return f"SELECT doc_id,\n             {cols}\n      FROM ex GROUP BY doc_id"
+
+
+def _band_keys_sql() -> str:
+    rows = MINHASHES // LSH_BANDS
+    keys = ", ".join(
+        "md5('" + str(b) + "' || '|' || "
+        + " || '|' || ".join(f"h{b * rows + k}" for k in range(rows)) + ")"
+        for b in range(LSH_BANDS)
+    )
+    return f"[{keys}]"
+
+
+@query(
+    "t_minhash_lsh_dups",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    sigs AS (
+      {_minhash_sql()}
+    ),
+    bands AS (
+      SELECT doc_id, unnest({_band_keys_sql()}) AS bkey FROM sigs
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )
+    SELECT d1, d2,
+           CAST(len(list_intersect(x.sl, y.sl)) AS DOUBLE)
+             / (len(x.sl) + len(y.sl) - len(list_intersect(x.sl, y.sl)))
+             AS jaccard
+    FROM cand
+    JOIN sh x ON d1 = x.doc_id
+    JOIN sh y ON d2 = y.doc_id
+    WHERE CAST(len(list_intersect(x.sl, y.sl)) AS DOUBLE)
+             / (len(x.sl) + len(y.sl) - len(list_intersect(x.sl, y.sl)))
+             >= {JACCARD_THRESHOLD}
+    """,
+    tags=("textops", "dedup", "lsh"),
+)
+def t_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands x 4) near-dup pairs, verified exactly.
+
+    The banded-LSH design from the MinHash literature (Broder '97;
+    Leskovec/Rajaraman/Ullman ch.3): each doc is reduced to a 16-value
+    signature (one aggregation over its shingles), docs are joined on 4
+    band keys — candidate generation is O(docs x bands), never
+    all-pairs — and only candidates pay the exact-Jaccard verification
+    (array_intersect of two ~100-element arrays, JVM-side).
+
+    Determinism: MinHash_j = min md5(shingle || '#j'); md5 hex and
+    string-min order are identical in Spark and DuckDB, so the oracle
+    reproduces candidate generation exactly.
+    """
+    sh, ex = _shingled(spark, sf_dir)
+    sigs = ex.groupBy("doc_id").agg(*_minhash_cols_spark())
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*_band_keys_spark())).alias("bkey")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bkey") == F.col("b.bkey"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    x = sh.select(F.col("doc_id").alias("d1"), F.col("sl").alias("sl1"))
+    y = sh.select(F.col("doc_id").alias("d2"), F.col("sl").alias("sl2"))
+    shared = F.size(F.array_intersect("sl1", "sl2"))
+    jac = shared.cast("double") / (F.size("sl1") + F.size("sl2") - shared)
+    return (
+        cand.join(F.broadcast(x), "d1")
+        .join(F.broadcast(y), "d2")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("d1", "d2", jac.alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Near-dup #3: SimHash fingerprints + banded hamming candidates
+# --------------------------------------------------------------------------
+
+def _simhash_sums_sql(dialect: str) -> str:
+    """16 signed bit-sums over md5-nibble bits of each token."""
+    terms = []
+    for b in range(SIMHASH_BITS):
+        pos, shift = b // 4 + 1, 3 - b % 4
+        nib = f"(instr('0123456789abcdef', substr(m, {pos}, 1)) - 1)"
+        if dialect == "duckdb":
+            bit = f"(({nib} >> {shift}) & 1)"
+        else:
+            bit = f"(shiftright({nib}, {shift}) & 1)"
+        terms.append(
+            f"SUM(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS b{b}"
+        )
+    return ",\n             ".join(terms)
+
+
+def _simhash_pack_sql() -> str:
+    return " + ".join(
+        f"(CASE WHEN b{b} >= 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+
+
+@query(
+    "t_simhash_dups",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, md5(unnest({_TOKS})) AS m FROM documents
+    ),
+    sums AS (
+      SELECT doc_id,
+             {_simhash_sums_sql('duckdb')}
+      FROM toks GROUP BY doc_id
+    ),
+    sig AS (
+      SELECT doc_id, CAST({_simhash_pack_sql()} AS BIGINT) AS simhash FROM sums
+    ),
+    chunks AS (
+      SELECT doc_id, simhash, c AS chunk_idx, (simhash >> (4 * c)) & 15 AS chunk
+      FROM sig, unnest([0, 1, 2, 3]) AS u(c)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                      a.simhash AS h1, b.simhash AS h2
+      FROM chunks a
+      JOIN chunks b ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+                   AND a.doc_id < b.doc_id
+    )
+    SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(h1, h2)) <= {HAMMING_MAX}
+    """,
+    tags=("textops", "dedup", "simhash"),
+)
+def t_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(16-bit) fingerprints; near-dup pairs at hamming <= 3.
+
+    Charikar '02 sign-random-projection hashing: bit b of the signature
+    is the sign of the token-frequency-weighted sum of bit b of each
+    token's md5. Candidate pairs come from banding the 16 bits into 4
+    chunks (any exact chunk match ⇒ hamming-ball candidate — the
+    pigeonhole trick), so the pair join is on 4-bit chunk keys, never
+    all-pairs. All integer math ⇒ oracle-identical.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokenize("text")).alias("w")).select(
+        "doc_id", F.md5(F.col("w").cast("binary")).alias("m")
+    )
+    sums = toks.groupBy("doc_id").agg(
+        *[F.expr(t.replace(" AS b", " as b")).alias(f"b{i}")
+          for i, t in enumerate(_simhash_sums_sql("spark").split(",\n             "))]
+    )
+    sig = sums.select(
+        "doc_id", F.expr(_simhash_pack_sql()).cast("long").alias("simhash")
+    )
+    chunks = sig.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[F.lit(c) for c in range(4)])).alias("chunk_idx"),
+    ).withColumn("chunk", F.expr("shiftright(simhash, 4 * chunk_idx) & 15"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(b, (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+               & (F.col("a.chunk") == F.col("b.chunk"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"),
+                F.col("a.simhash").alias("h1"), F.col("b.simhash").alias("h2"))
+        .distinct()
+    )
+    hamming = F.expr("bit_count(h1 ^ h2)")
+    return cand.filter(hamming <= HAMMING_MAX).select(
+        "d1", "d2", hamming.cast("int").alias("hamming")
+    )

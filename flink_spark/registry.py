@@ -39,6 +39,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     """Decorator registering a catalog query (and optional DuckDB oracle)."""
 
     def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query registration: {name!r}")
         _REGISTRY[name] = Query(name, fn, oracle, tags, fn.__doc__ or "")
         return fn
 

@@ -35,7 +35,11 @@ def tune(spark: SparkSession) -> SparkSession:
         try:
             spark.conf.set(k, v)
         except Exception:
-            pass  # non-settable on this build — keep going
+            # nanosAsLong is load-bearing (events.parquet carries
+            # TIMESTAMP(NANOS)); failing to set it must surface rather
+            # than become an obscure downstream parquet read error.
+            if k == "spark.sql.legacy.parquet.nanosAsLong":
+                raise
     return spark
 
 

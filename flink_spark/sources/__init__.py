@@ -42,7 +42,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer division: `/ 1000` goes through double, whose 53-bit
+        # mantissa cannot represent epoch-ns (~1.7e18) exactly and flips
+        # ~1.5% of microseconds by one.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
