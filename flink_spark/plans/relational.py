@@ -681,13 +681,20 @@ def u_union_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rt/app/dws/DwsTrafficVcChArIsNewPageViewWindow.java:117).
     """
     ev = load(spark, sf_dir, "events")
-    a = ev.filter(F.col("event_type") == "purchase").agg(
-        F.sum(dec2("value")).cast("double").alias("val")
-    ).select(F.lit("purchase_amount").alias("metric"), "val")
-    b = ev.filter(F.col("event_type") == "click").agg(
-        F.count(F.lit(1)).cast("double").alias("val")
-    ).select(F.lit("click_ct").alias("metric"), "val")
-    c = ev.filter(F.col("event_type") == "signup").agg(
-        F.count(F.lit(1)).cast("double").alias("val")
-    ).select(F.lit("signup_ct").alias("metric"), "val")
-    return a.unionByName(b).unionByName(c)
+    agg = ev.agg(
+        F.sum(F.when(F.col("event_type") == "purchase", dec2("value")))
+        .cast("double").alias("purchase_amount"),
+        F.count(F.when(F.col("event_type") == "click", F.lit(1)))
+        .cast("double").alias("click_ct"),
+        F.count(F.when(F.col("event_type") == "signup", F.lit(1)))
+        .cast("double").alias("signup_ct"),
+    )
+    # single scan + pivot-to-rows: at 100x data this reads events once
+    # instead of three times; the unpivot runs on a 1-row aggregate.
+    return agg.select(
+        F.expr(
+            "stack(3, 'purchase_amount', purchase_amount,"
+            " 'click_ct', click_ct, 'signup_ct', signup_ct)"
+            " AS (metric, val)"
+        )
+    )

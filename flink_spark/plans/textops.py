@@ -16,8 +16,9 @@ LSH ones. That works because all randomness is derived from ``md5``
 or exact-ratio-of-integers (bit-identical IEEE division), never an
 order-dependent float accumulation:
 
-- MinHash_j(doc)  = min over shingles s of md5(s || '#' || j) — the min
-  of hex strings is a total order both engines agree on.
+- MinHash_j(doc)  = min over shingles s of (h1(s) + j*h2(s)) where
+  h1/h2 are the two leading 32-bit words of md5(s) — one md5 per
+  shingle (Kirsch-Mitzenmacher double hashing), pure integer mins.
 - LSH band key    = md5(band_idx || '|' || sig_j ... ) — candidate
   pairs are docs sharing any band key; verified with exact Jaccard.
 - SimHash bit b   = sign of Σ_tokens (nibble-bit b of md5(token) ? +1 : -1).
@@ -71,13 +72,22 @@ _SHINGLE_CTE = f"""
 """
 
 
-def _shingled(spark: SparkSession, sf_dir: str):
-    """(sh, ex): per-doc distinct shingle arrays and their exploded form."""
+def _shingled(spark: SparkSession, sf_dir: str, persist: bool = False):
+    """(sh, ex): per-doc distinct shingle arrays and their exploded form.
+
+    ``persist=True`` caches the shingle table: the near-dup queries
+    reference it from several plan branches (signatures + both sides
+    of candidate verification), and without a cache Spark re-runs the
+    tokenize→shingle pipeline once per branch. At cluster scale this
+    materialization is the "shingle table" stage of any LSH pipeline.
+    """
     docs = load(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokenize("text").alias("t"))
     sh = toks.filter(F.size("t") >= SHINGLE_N).select(
         "doc_id", F.array_distinct(word_shingles(F.col("t"), SHINGLE_N)).alias("sl")
     )
+    if persist:
+        sh = sh.persist()
     ex = sh.select("doc_id", F.explode("sl").alias("s"))
     return sh, ex
 
@@ -108,11 +118,13 @@ def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     |sources| partial rows.
     """
     docs = load(spark, sf_dir, "documents")
-    ntok = F.size(tokenize("text"))
-    return docs.groupBy("source").agg(
+    # project the token count once so the regex/split pipeline runs a
+    # single time per row (two agg references would evaluate it twice)
+    toks = docs.select("source", "n_chars", F.size(tokenize("text")).alias("ntok"))
+    return toks.groupBy("source").agg(
         F.count(F.lit(1)).alias("doc_ct"),
-        F.sum(ntok).cast("long").alias("token_total"),
-        (F.sum(ntok).cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        F.sum("ntok").cast("long").alias("token_total"),
+        (F.sum("ntok").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
         F.sum("n_chars").cast("long").alias("char_total"),
     )
 
@@ -318,7 +330,7 @@ def t_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop-shingle filter that bounds worst-case join fan-out at 100 TB.
     Jaccard = shared / (|A| + |B| - shared), exact integer ratio.
     """
-    _, ex = _shingled(spark, sf_dir)
+    _, ex = _shingled(spark, sf_dir, persist=True)
     keep = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= DF_CAP
     ).select("s")
@@ -349,10 +361,22 @@ def t_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def _minhash_cols_spark() -> list:
+    # Kirsch-Mitzenmacher double hashing: one md5 per shingle, 16
+    # derived hash families g_j = h1 + j*h2 — 16x fewer md5 evals
+    # than hashing (shingle, j) pairs, same MinHash guarantees.
     return [
-        F.min(F.md5(F.concat(F.col("s"), F.lit(f"#{j}")))).alias(f"h{j}")
+        F.min(F.col("h1") + j * F.col("h2")).alias(f"h{j}")
         for j in range(MINHASHES)
     ]
+
+
+def _hashed_shingles_spark(ex):
+    m = F.md5(F.col("s").cast("binary"))
+    return ex.select(
+        "doc_id",
+        F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("h2"),
+    )
 
 
 def _band_keys_spark() -> list:
@@ -366,9 +390,14 @@ def _band_keys_spark() -> list:
 
 def _minhash_sql() -> str:
     cols = ",\n             ".join(
-        f"min(md5(s || '#{j}')) AS h{j}" for j in range(MINHASHES)
+        f"min(h1 + {j} * h2) AS h{j}" for j in range(MINHASHES)
     )
-    return f"SELECT doc_id,\n             {cols}\n      FROM ex GROUP BY doc_id"
+    return f"""SELECT doc_id,
+             {cols}
+      FROM (SELECT doc_id,
+                   CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) AS h1,
+                   CAST(concat('0x', substr(md5(s), 9, 8)) AS BIGINT) AS h2
+            FROM ex) GROUP BY doc_id"""
 
 
 def _band_keys_sql() -> str:
@@ -418,12 +447,13 @@ def t_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs — and only candidates pay the exact-Jaccard verification
     (array_intersect of two ~100-element arrays, JVM-side).
 
-    Determinism: MinHash_j = min md5(shingle || '#j'); md5 hex and
-    string-min order are identical in Spark and DuckDB, so the oracle
-    reproduces candidate generation exactly.
+    Determinism: one md5 per shingle split into two 32-bit ints
+    (h1, h2); MinHash_j = min(h1 + j*h2) — pure integer min, identical
+    in Spark and DuckDB, so the oracle reproduces candidate generation
+    exactly.
     """
-    sh, ex = _shingled(spark, sf_dir)
-    sigs = ex.groupBy("doc_id").agg(*_minhash_cols_spark())
+    sh, ex = _shingled(spark, sf_dir, persist=True)
+    sigs = _hashed_shingles_spark(ex).groupBy("doc_id").agg(*_minhash_cols_spark())
     bands = sigs.select(
         "doc_id", F.explode(F.array(*_band_keys_spark())).alias("bkey")
     )
@@ -438,9 +468,11 @@ def t_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = sh.select(F.col("doc_id").alias("d2"), F.col("sl").alias("sl2"))
     shared = F.size(F.array_intersect("sl1", "sl2"))
     jac = shared.cast("double") / (F.size("sl1") + F.size("sl2") - shared)
+    # no explicit broadcast: at corpus scale the shingle table is the
+    # big side and candidates the small one — AQE picks the build side.
     return (
-        cand.join(F.broadcast(x), "d1")
-        .join(F.broadcast(y), "d2")
+        cand.join(x, "d1")
+        .join(y, "d2")
         .filter(jac >= JACCARD_THRESHOLD)
         .select("d1", "d2", jac.alias("jaccard"))
     )
