@@ -7,6 +7,9 @@ Modules map to SURVEY.md §2 operator families:
 - ``windows``     : A1-A4 tumbling event-time window aggregates.
 - ``state``       : A5-A7, W8 stateful-streaming ops in their exact
                     batch formulations (the oracle semantics).
+- ``routing``     : config-driven routing + pruning (J6/P7), 1→5
+                    split with dirty side-output (P5/P1), CDC
+                    MAP<STRING,STRING> envelope projection (P2).
 - ``textops``     : dedup family (exact / n-gram Jaccard / MinHash-LSH)
                     and text analysis (lang-id, quality, tokens,
                     fingerprints) over ``documents``.
@@ -16,6 +19,7 @@ Modules map to SURVEY.md §2 operator families:
 
 from flink_spark.plans import (  # noqa: F401
     relational,
+    routing,
     similarity,
     state,
     textops,

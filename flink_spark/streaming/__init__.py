@@ -1,0 +1,34 @@
+"""Structured Streaming layer (SURVEY.md §2.10 W1-W10, §2.1 S1-S6).
+
+The reference is a set of 23 Flink streaming jobs wired through Kafka
+topics. Here every pipeline is a pure DataFrame transform shared with
+the batch catalog (``flink_spark.plans``); this package adds the
+streaming-only machinery:
+
+- ``sources``  : replay/Kafka/CDC-envelope/socket readers (S1-S4, S6)
+- ``jobs``     : watermarked tumbling-window aggregation (W1-W3) and
+                 memory-sink test execution
+- ``state``    : keyed-state operators via ``applyInPandasWithState``
+                 (W5 ValueState dedup, W6 timers, W8 CEP jump)
+- ``sinks``    : kafka/upsert/jdbc/routed/console writers (K1-K6) and
+                 the config-driven router (J6/P7/F3/W10)
+
+Stream-batch equivalence is the correctness contract: each streaming
+operator converges to the matching batch query in
+``flink_spark.plans.state``/``windows`` (asserted in tests/).
+"""
+
+from flink_spark.streaming.jobs import run_to_memory, tumble_stream  # noqa: F401
+from flink_spark.streaming.sinks import (  # noqa: F401
+    foreach_batch_sink,
+    kafka_payload,
+    routed_dim_sink,
+    upsert_sink,
+)
+from flink_spark.streaming.sources import (  # noqa: F401
+    cdc_envelope_schema,
+    kafka_json_source,
+    kafka_source,
+    replay_events,
+)
+from flink_spark.streaming.state import cep_jump_stream, daily_unique_stream  # noqa: F401

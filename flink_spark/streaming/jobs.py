@@ -1,0 +1,68 @@
+"""Watermarked window jobs + test execution helpers (W1-W3).
+
+The batch window formulations live in ``flink_spark.plans.windows``;
+``tumble_stream`` is the same aggregation with a watermark bolted on —
+the Spark analog of the reference's
+``assignTimestampsAndWatermarks(boundedOutOfOrderness)`` + 10 s
+``TumblingEventTimeWindows`` + reduce
+(rt/app/dws/DwsTrafficVcChArIsNewPageViewWindow.java:120-179). The
+``WindowFunction`` stt/edt finisher becomes plain ``window.start/end``
+columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_spark.functions.scalar import dsum
+
+
+def tumble_stream(
+    sdf: DataFrame,
+    *keys: str,
+    ts_col: str = "ts",
+    duration: str = "10 seconds",
+    watermark: str = "2 seconds",
+) -> DataFrame:
+    """Keyed tumbling event-time window: count + exact sum (A1/A3/W1/W3).
+
+    Streaming form of ``w_tumble_10s_keyed`` — identical final table
+    (stream-batch equivalence asserted in tests). State is bounded by
+    the watermark: windows older than (max event time - watermark)
+    finalize and evict, the Spark analog of Flink window GC.
+    """
+    out = (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, duration), *keys)
+        .agg(F.count(F.lit(1)).alias("pv"), dsum("value", "amount"))
+    )
+    return out.select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+        F.date_format("window.end", "yyyy-MM-dd HH:mm:ss").alias("edt"),
+        *keys,
+        "pv",
+        "amount",
+    )
+
+
+def run_to_memory(
+    sdf: DataFrame, name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Execute a streaming DF to completion into a memory sink.
+
+    Drains all available input (every replay slice), lets empty
+    batches fire pending event-time timeouts, stops the query, and
+    returns the sink table. Test harness only — production jobs use
+    the sinks in ``flink_spark.streaming.sinks``.
+    """
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = sdf.sparkSession
+    return spark.table(name)

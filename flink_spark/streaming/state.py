@@ -1,0 +1,144 @@
+"""Keyed-state streaming operators via ``applyInPandasWithState``.
+
+Covers the reference's RichFunction/ValueState/CEP family:
+
+- W5 keyed ValueState + daily expiry → ``daily_unique_stream``
+  (rt/app/dwd/log/DwdTrafficUniqueVisitorDetail.java:69-98: ValueState
+  holding last-seen date, 1-day TTL — here the state is *just* the
+  last date string, so TTL is implicit in the date-rollover test)
+- W6/W8 timers + CEP-with-timeout → ``cep_jump_stream``
+  (rt/app/dwd/log/DwdTrafficUserJumpDetail.java:79-119: pattern
+  "session start ``next`` session start ``within 10 s``", timeout
+  side-output unioned with matches)
+- F4 rich stateful map/filter — both of the above are its Spark shape.
+
+Batch truth: ``flink_spark.plans.state`` (``s_daily_unique_users``,
+``s_cep_jump``) — stream-batch equivalence is asserted in tests.
+
+Scale notes: state per key is O(1) (a date string / one event tuple),
+keys partition by hash across executors, and the watermark bounds both
+state lifetime and timer firing — the same properties the reference
+gets from keyed ValueState + TTL + event-time timers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+_DAILY_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("date_id", T.StringType()),
+    ]
+)
+_DAILY_STATE = T.StructType([T.StructField("last_date", T.StringType())])
+
+
+def daily_unique_stream(sdf: DataFrame, watermark: str = "2 seconds") -> DataFrame:
+    """Emit (user_id, date_id) on each user's first event of a day.
+
+    ValueState = last-seen date only; a row is emitted when its date
+    is *later* than the stored one (events arrive per-key in event-time
+    order from the replay/Kafka source). Downstream ``groupBy(date_id)
+    .count()`` equals batch ``s_daily_unique_users``.
+    """
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            return
+        last = state.get[0] if state.exists else None
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for d in pdf["ts"].dt.strftime("%Y-%m-%d"):
+                if last is None or d > last:
+                    out.append((key[0], d))
+                    last = d
+        state.update((last,))
+        if out:
+            yield pd.DataFrame(out, columns=["user_id", "date_id"])
+
+    return (
+        sdf.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, _DAILY_OUT, _DAILY_STATE, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+_CEP_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ms", T.LongType()),
+        T.StructField("via", T.StringType()),
+    ]
+)
+_CEP_STATE = T.StructType(
+    [
+        T.StructField("last_ms", T.LongType()),
+        T.StructField("last_event", T.LongType()),
+    ]
+)
+
+
+def cep_jump_stream(
+    sdf: DataFrame, gap_ms: int = 10_000, watermark: str = "2 seconds"
+) -> DataFrame:
+    """Per-key jump detection: event with no successor within 10 s.
+
+    Two emission paths, exactly the reference's CEP match ∪ timeout
+    union:
+
+    - ``via='gap'``     — a newer event arrived more than ``gap_ms``
+      later, so the stored event is a jump (the PatternSelect path);
+    - ``via='timeout'`` — the event-time timer fired because the
+      watermark passed stored_ms + gap_ms with no successor (the
+      OutputTag timeout path).
+
+    Sentinel/flush rows (event_id < 0) advance state but are never
+    emitted. Equivalence: count of emitted rows per user equals batch
+    ``s_cep_jump.jump_ct`` once every key's state is flushed.
+    """
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        def emit(last_ms, last_event, via):
+            if last_event >= 0:
+                out.append((key[0], last_event, last_ms, via))
+
+        out = []
+        if state.hasTimedOut:
+            if state.exists:
+                lm, le = state.get
+                emit(lm, le, "timeout")
+            state.remove()
+        else:
+            have = tuple(state.get) if state.exists else None
+            rows = pd.concat(list(pdfs))
+            rows = rows.sort_values(["ms", "event_id"])
+            for r in rows.itertuples(index=False):
+                if have is not None and r.ms - have[0] > gap_ms:
+                    emit(have[0], have[1], "gap")
+                have = (int(r.ms), int(r.event_id))
+            state.update(have)
+            # timer must be strictly ahead of the current watermark
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(have[0] + gap_ms, wm + 1))
+        if out:
+            yield pd.DataFrame(out, columns=["user_id", "event_id", "ms", "via"])
+
+    prepared = sdf.withWatermark("ts", watermark).select(
+        "ts", "user_id", "event_id", F.unix_millis("ts").alias("ms")
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        fn, _CEP_OUT, _CEP_STATE, "append", GroupStateTimeout.EventTimeTimeout
+    )
