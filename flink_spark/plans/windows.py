@@ -100,6 +100,102 @@ def w_tumble_10s_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "w_event_time_fallback",
+    oracle="""
+    WITH et AS (
+      SELECT coalesce(
+               CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 3 = 0
+                    THEN NULL ELSE ts END,
+               date_trunc('hour', ts)) AS evt,
+             user_id
+      FROM events
+    )
+    SELECT strftime(make_timestamp((epoch_ms(evt)//10000)*10000000),
+                    '%Y-%m-%d %H:%M:%S') AS stt,
+           COUNT(*) AS pv
+    FROM et GROUP BY 1
+    """,
+    tags=("window", "event-time"),
+)
+def w_event_time_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time extraction with a fallback chain (W2).
+
+    Covers the reference's ``operate_time ?? create_time`` pattern
+    (rt/app/dws/DwsTradeCartAddUuWindow.java:62-72 and
+    DwsTradePaymentSucWindow.java:73-78): the primary event-time field
+    can be absent (here: nulled for k%3==0 rows), and the coarser
+    fallback timestamp buckets the row instead. ``coalesce`` keeps the
+    whole chain inside codegen.
+    """
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    primary = F.when(k % 3 == 0, F.lit(None)).otherwise(F.col("ts"))
+    evt = F.coalesce(primary, F.date_trunc("hour", F.col("ts")))
+    out = ev.select(evt.alias("evt")).groupBy(
+        F.window("evt", "10 seconds")
+    ).agg(F.count(F.lit(1)).alias("pv"))
+    return out.select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("stt"), "pv"
+    )
+
+
+KEYWORDS = ("table", "query", "spark", "data", "join")
+_KW_LIST = "(" + ", ".join(f"'{w}'" for w in KEYWORDS) + ")"
+
+
+@query(
+    "w_keyword_tumble",
+    oracle=f"""
+    WITH logs AS (
+      SELECT e.ts, d.text
+      FROM events e
+      JOIN documents d ON d.doc_id = e.event_id % 500
+      WHERE e.event_type = 'view'
+    ),
+    words AS (
+      SELECT ts, unnest(
+               string_split(trim(regexp_replace(lower(text),
+                            '[^a-z0-9]+', ' ', 'g')), ' ')[1:5]) AS word
+      FROM logs
+    )
+    SELECT {_STT} AS stt, word, COUNT(*) AS kw_ct
+    FROM words
+    WHERE word IN {_KW_LIST}
+    GROUP BY 1, 2
+    """,
+    tags=("window", "udtf", "keyword"),
+)
+def w_keyword_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword counts per 10 s tumble — the reference's full A3+F1 job.
+
+    The exact shape of DwsTrafficSourceKeywordPageViewWindow
+    (rt/app/dws/:60-79): filter search views, tokenize the query text
+    (F1 UDTF, rt/app/func/SplitFunction.java:12-27), ``LATERAL TABLE``
+    → ``explode``, then TUMBLE count per word. ``documents`` plays the
+    search-log text joined by id; only the leading 5 tokens count
+    (bounded fan-out) and a keyword whitelist keeps output narrow. The
+    doc side is broadcast (dims are small); explode happens after the
+    join so the shuffle carries one row per view, not per token.
+    """
+    from flink_spark.functions.text import tokenize
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.slice(tokenize("text"), 1, 5).alias("toks")
+    )
+    logs = ev.join(
+        F.broadcast(docs), docs["doc_id"] == ev["event_id"] % 500
+    ).select("ts", "toks")
+    words = logs.select("ts", F.explode("toks").alias("word")).filter(
+        F.col("word").isin(*KEYWORDS)
+    )
+    out = words.groupBy(F.window("ts", "10 seconds"), "word").agg(
+        F.count(F.lit(1)).alias("kw_ct")
+    )
+    return out.select(_stamp(out)[0], "word", "kw_ct")
+
+
+@query(
     "w_agg_distinct_users",
     oracle=f"""
     SELECT {_STT} AS stt, event_type,

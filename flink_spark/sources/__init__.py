@@ -49,6 +49,44 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def jdbc_dim(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 1,
+    **options: str,
+) -> DataFrame:
+    """S5 — JDBC dimension snapshot (rt/utils/MySqlUtil.java:5-29).
+
+    The reference declares ``base_dic`` as a ``FOR SYSTEM_TIME AS OF``
+    lookup table with a 10-row/1 h cache; the Spark shape is a
+    periodic snapshot read that downstream joins ``broadcast()`` (the
+    broadcast IS the cache — refresh cadence = batch trigger). For big
+    dims pass ``partition_column``/``num_partitions`` so the read
+    parallelizes instead of funneling through one connection.
+    Cluster-only: needs a JDBC driver on the classpath and a live DB.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        bounds = spark.read.format("jdbc").option("url", url).option(
+            "query",
+            f"SELECT MIN({partition_column}) lo, MAX({partition_column}) hi FROM {table}",
+        )
+        for k, v in options.items():
+            bounds = bounds.option(k, v)
+        row = bounds.load().collect()[0]
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(row["lo"]))
+            .option("upperBound", str(row["hi"]))
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for spark.sql use."""
     for t in TABLES:

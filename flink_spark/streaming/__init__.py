@@ -18,7 +18,11 @@ operator converges to the matching batch query in
 ``flink_spark.plans.state``/``windows`` (asserted in tests/).
 """
 
-from flink_spark.streaming.jobs import run_to_memory, tumble_stream  # noqa: F401
+from flink_spark.streaming.jobs import (  # noqa: F401
+    interval_join_stream,
+    run_to_memory,
+    tumble_stream,
+)
 from flink_spark.streaming.sinks import (  # noqa: F401
     foreach_batch_sink,
     kafka_payload,

@@ -46,6 +46,42 @@ def tumble_stream(
     )
 
 
+def interval_join_stream(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    lookback: str = "5 minutes",
+    watermark: str = "2 seconds",
+) -> DataFrame:
+    """Stream-stream interval join: clicks within 5 min before a purchase.
+
+    Streaming form of ``j_interval_join`` (J4,
+    rt-test/app/Flink01_DataStreamJoin.java:44-53) and the W7
+    join-state-TTL mechanism: the reference bounds join state with
+    ``table.exec.state.ttl`` (DwdTradeOrderPreProcess.java:23-25);
+    Spark bounds it with the watermark + the time-range predicate —
+    rows outside ``lookback`` of the watermark are evicted from join
+    state automatically.
+    """
+    p = (
+        purchases.select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("p_event"),
+            F.col("ts").alias("p_ts"),
+        ).withWatermark("p_ts", watermark)
+    )
+    c = (
+        clicks.select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+        ).withWatermark("c_ts", watermark)
+    )
+    return p.join(
+        c,
+        F.expr(
+            f"p_user = c_user AND c_ts BETWEEN p_ts - interval {lookback} AND p_ts"
+        ),
+    )
+
+
 def run_to_memory(
     sdf: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:
