@@ -361,6 +361,56 @@ def m_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the fixture embeddings are near-orthogonal random vectors (max
+# pairwise cosine ~0.51), so the operator uses a fixture-scaled
+# threshold; real corpora run this at ~0.9-0.95.
+COSDUP_THRESHOLD = 0.45
+
+
+@query(
+    "t_embedding_neardup",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, CAST({_bucket_sql('embedding')} AS INTEGER) AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS d1, embedding AS qe, bucket FROM b),
+    n AS (SELECT vec_id AS d2, embedding AS ne, bucket FROM b),
+    pairs AS (
+      SELECT d1, d2, {_COSINE_SQL} AS cosine
+      FROM q JOIN n USING (bucket) WHERE d1 < d2
+    )
+    SELECT d1, d2, cosine FROM pairs WHERE cosine >= {COSDUP_THRESHOLD}
+    """,
+    tags=("similarity", "dedup", "neardup"),
+)
+def t_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (semantic dedup).
+
+    The embedding-space member of the dedup family (alongside exact /
+    Jaccard / MinHash / SimHash in ``plans.textops``): candidate pairs
+    from SRP-LSH buckets, verified by exact cosine. The
+    self-join is on the 4-bit bucket key — O(n²/2^bits) candidate
+    volume instead of all-pairs, uniform keys, ordinary hash join.
+    At 100 TB you raise the bit count so buckets stay executor-sized.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id", "embedding", _bucket(F.col("embedding")).cast("int").alias("bucket")
+    )
+    q = b.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("qe"), "bucket")
+    n = b.select(F.col("vec_id").alias("d2"), F.col("embedding").alias("ne"), "bucket")
+    cosine = _dot(F.col("qe"), F.col("ne")) / (
+        _norm(F.col("qe")) * _norm(F.col("ne"))
+    )
+    return (
+        q.join(n, "bucket")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= COSDUP_THRESHOLD)
+    )
+
+
 @query("m_decode_features", tags=("similarity", "multimodal", "pandas-udf"))
 def m_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched multimodal decode/feature-extract (mapInPandas).

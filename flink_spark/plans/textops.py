@@ -483,15 +483,19 @@ def t_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def _simhash_sums_sql(dialect: str) -> str:
-    """16 signed bit-sums over md5-nibble bits of each token."""
+    """16 signed bit-sums over the token-hash int ``v`` (16 bits).
+
+    ``v`` is the leading 4 hex chars of md5(token) parsed ONCE into an
+    integer; bit b of the signature reads ``(v >> (15-b)) & 1`` — 16
+    cheap shifts instead of 16 substring/index-of parses per token.
+    """
     terms = []
     for b in range(SIMHASH_BITS):
-        pos, shift = b // 4 + 1, 3 - b % 4
-        nib = f"(instr('0123456789abcdef', substr(m, {pos}, 1)) - 1)"
+        shift = 15 - b
         if dialect == "duckdb":
-            bit = f"(({nib} >> {shift}) & 1)"
+            bit = f"((v >> {shift}) & 1)"
         else:
-            bit = f"(shiftright({nib}, {shift}) & 1)"
+            bit = f"(shiftright(v, {shift}) & 1)"
         terms.append(
             f"SUM(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS b{b}"
         )
@@ -509,7 +513,9 @@ def _simhash_pack_sql() -> str:
     "t_simhash_dups",
     oracle=f"""
     WITH toks AS (
-      SELECT doc_id, md5(unnest({_TOKS})) AS m FROM documents
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(unnest({_TOKS})), 1, 4)) AS INTEGER) AS v
+      FROM documents
     ),
     sums AS (
       SELECT doc_id,
@@ -547,7 +553,9 @@ def t_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(tokenize("text")).alias("w")).select(
-        "doc_id", F.md5(F.col("w").cast("binary")).alias("m")
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 4), 16, 10)
+        .cast("int").alias("v"),
     )
     sums = toks.groupBy("doc_id").agg(
         *[F.expr(t.replace(" AS b", " as b")).alias(f"b{i}")

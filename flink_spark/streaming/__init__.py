@@ -35,4 +35,8 @@ from flink_spark.streaming.sources import (  # noqa: F401
     kafka_source,
     replay_events,
 )
-from flink_spark.streaming.state import cep_jump_stream, daily_unique_stream  # noqa: F401
+from flink_spark.streaming.state import (  # noqa: F401
+    cep_jump_stream,
+    daily_unique_stream,
+    is_new_correction_stream,
+)

@@ -73,6 +73,57 @@ def daily_unique_stream(sdf: DataFrame, watermark: str = "2 seconds") -> DataFra
     )
 
 
+_VISITOR_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("date_id", T.StringType()),
+        T.StructField("is_new", T.IntegerType()),
+    ]
+)
+_VISITOR_STATE = T.StructType([T.StructField("first_date", T.StringType())])
+
+
+def is_new_correction_stream(sdf: DataFrame, watermark: str = "2 seconds") -> DataFrame:
+    """A7 — new/old-visitor flag correction state machine.
+
+    (rt/app/dwd/log/BaseLogApp.java:71-108): the client-reported
+    ``is_new`` flag lies after reinstalls; the keyed state holds the
+    first date each key was seen and rewrites the flag — 1 only on
+    events of the key's first-ever day, 0 afterwards. Batch truth:
+    ``s_new_vs_returning`` (a user is new only on min(date)).
+    """
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            return
+        first = state.get[0] if state.exists else None
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            dates = pdf["ts"].dt.strftime("%Y-%m-%d")
+            for eid, d in zip(pdf["event_id"], dates):
+                if first is None:
+                    first = d
+                out.append((key[0], int(eid), d, 1 if d == first else 0))
+        state.update((first,))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "event_id", "date_id", "is_new"]
+            )
+
+    return (
+        sdf.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, _VISITOR_OUT, _VISITOR_STATE, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 _CEP_OUT = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

@@ -47,6 +47,29 @@ def test_daily_unique_stream_equals_batch(spark, tmp_path):
     assert detail.count() == detail.select("user_id", "date_id").distinct().count()
 
 
+def test_is_new_correction_equals_batch(spark, tmp_path):
+    from flink_spark.streaming import is_new_correction_stream
+
+    sdf = replay_events(spark, SF_DIR, str(tmp_path / "replay"), slices=5)
+    out = run_to_memory(is_new_correction_stream(sdf), "visitor_mem")
+    # every event gets a corrected flag
+    ev_ct = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert out.count() == ev_ct
+    got = (
+        out.filter(F.col("is_new") == 1)
+        .select("date_id", "user_id")
+        .distinct()
+        .groupBy("date_id")
+        .agg(F.count(F.lit(1)).alias("new_users"))
+    )
+    batch = (
+        _Q["s_new_vs_returning"].fn(spark, SF_DIR)
+        .filter(F.col("new_users") > 0)
+        .select("date_id", "new_users")
+    )
+    assert _rows(got) == _rows(batch)
+
+
 def test_cep_jump_stream_equals_batch(spark, tmp_path):
     # sentinels for even users exercise the gap path; odd users' last
     # events must come out of the event-time timeout path
