@@ -21,13 +21,17 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "j_interval_join",
     "w_tumble_10s_keyed",
+    "w_keyword_tumble",
     "s_dedup_latest",
     "s_daily_unique_users",
+    "r_config_routing",
     "t_token_stats",
     "t_exact_dedup",
     "t_minhash_lsh_dups",
+    "t_simhash_dups",
     "e_cosine_topk",
     "e_ann_lsh_topk",
+    "t_embedding_neardup",
 ]
 
 

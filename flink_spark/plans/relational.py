@@ -629,6 +629,43 @@ def ads_conditional_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ads_hourly_stats",
+    oracle="""
+    SELECT CAST(strftime(ts, '%Y%m%d') AS INTEGER) AS date_num,
+           CAST(hour(ts) AS INTEGER) AS hr,
+           COUNT(*) AS pv,
+           COUNT(DISTINCT user_id) AS uv,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+               AS purchase_amount
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("ads", "agg", "hourly"),
+)
+def ads_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(day, hour) rollup — the toYYYYMMDD/toHour ADS shape.
+
+    Covers A8 with the ClickHouse date helpers
+    (pub22/mapper/TrafficVisitorStatsMapper.java:22-31 —
+    ``toYYYYMMDD(stt)``, ``toHour(stt)`` grouping; scalar helpers
+    ``to_yyyymmdd``/``to_hour`` in flink_spark/functions/scalar.py).
+    """
+    from flink_spark.functions.scalar import to_hour, to_yyyymmdd
+
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        to_yyyymmdd("ts").alias("date_num"), to_hour("ts").alias("hr")
+    ).agg(
+        F.count(F.lit(1)).alias("pv"),
+        F.countDistinct("user_id").alias("uv"),
+        F.sum(F.when(F.col("event_type") == "purchase", dec2("value")))
+        .cast("double")
+        .alias("purchase_amount"),
+    )
+
+
+@query(
     "ads_topk_users",
     oracle="""
     SELECT user_id,

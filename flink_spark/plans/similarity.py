@@ -126,9 +126,14 @@ def _bucket_sql(a: str) -> str:
     )
 
 
-_COSINE_SQL = (
-    f"{_dot_sql('qe', 'ne')} / ({_norm_sql('qe')} * {_norm_sql('ne')})"
-)
+# cosine over pre-computed norms (qn/nn columns): the norm fold runs
+# once per *vector*, not once per *pair* — at Q x N pair volume that
+# removes two thirds of the arithmetic.
+_COSINE_SQL = f"{_dot_sql('qe', 'ne')} / (qn * nn)"
+
+
+def _cosine_spark():
+    return _dot(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn"))
 
 
 # --------------------------------------------------------------------------
@@ -138,11 +143,12 @@ _COSINE_SQL = (
 @query(
     "e_cosine_topk",
     oracle=f"""
-    WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe, {_norm_sql('embedding')} AS qn
                FROM embeddings WHERE vec_id < {N_QUERIES}),
-    n AS (SELECT vec_id AS neighbor_id, embedding AS ne FROM embeddings),
+    n AS (SELECT vec_id AS neighbor_id, embedding AS ne, {_norm_sql('embedding')} AS nn
+          FROM embeddings),
     pairs AS (
-      SELECT query_id, neighbor_id, {_COSINE_SQL} AS cosine
+      SELECT query_id, neighbor_id, {_dot_sql('qe', 'ne')} / (qn * nn) AS cosine
       FROM q, n WHERE neighbor_id <> query_id
     )
     SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, cosine
@@ -163,17 +169,18 @@ def e_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        _norm(F.col("embedding")).alias("qn"),
     )
-    n = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
+    n = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
+        _norm(F.col("embedding")).alias("nn"),
+    )
     pairs = (
         n.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (_dot(F.col("qe"), F.col("ne"))
-             / (_norm(F.col("qe")) * _norm(F.col("ne")))).alias("cosine"),
-        )
+        .select("query_id", "neighbor_id", _cosine_spark().alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
@@ -192,12 +199,13 @@ def e_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "e_ann_lsh_topk",
     oracle=f"""
     WITH b AS (
-      SELECT vec_id, embedding, CAST({_bucket_sql('embedding')} AS INTEGER) AS bucket
+      SELECT vec_id, embedding, CAST({_bucket_sql('embedding')} AS INTEGER) AS bucket,
+             {_norm_sql('embedding')} AS nrm
       FROM embeddings
     ),
-    q AS (SELECT vec_id AS query_id, embedding AS qe, bucket
+    q AS (SELECT vec_id AS query_id, embedding AS qe, bucket, nrm AS qn
           FROM b WHERE vec_id < {N_QUERIES}),
-    n AS (SELECT vec_id AS neighbor_id, embedding AS ne, bucket FROM b),
+    n AS (SELECT vec_id AS neighbor_id, embedding AS ne, bucket, nrm AS nn FROM b),
     pairs AS (
       SELECT query_id, neighbor_id, {_COSINE_SQL} AS cosine
       FROM q JOIN n USING (bucket) WHERE neighbor_id <> query_id
@@ -221,23 +229,23 @@ def e_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load(spark, sf_dir, "embeddings")
     b = emb.select(
-        "vec_id", "embedding", _bucket(F.col("embedding")).cast("int").alias("bucket")
+        "vec_id",
+        "embedding",
+        _bucket(F.col("embedding")).cast("int").alias("bucket"),
+        _norm(F.col("embedding")).alias("nrm"),
     )
     q = b.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "bucket"
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
+        "bucket", F.col("nrm").alias("qn"),
     )
     n = b.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"), "bucket"
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"),
+        "bucket", F.col("nrm").alias("nn"),
     )
     pairs = (
         n.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (_dot(F.col("qe"), F.col("ne"))
-             / (_norm(F.col("qe")) * _norm(F.col("ne")))).alias("cosine"),
-        )
+        .select("query_id", "neighbor_id", _cosine_spark().alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
@@ -371,11 +379,12 @@ COSDUP_THRESHOLD = 0.45
     "t_embedding_neardup",
     oracle=f"""
     WITH b AS (
-      SELECT vec_id, embedding, CAST({_bucket_sql('embedding')} AS INTEGER) AS bucket
+      SELECT vec_id, embedding, CAST({_bucket_sql('embedding')} AS INTEGER) AS bucket,
+             {_norm_sql('embedding')} AS nrm
       FROM embeddings
     ),
-    q AS (SELECT vec_id AS d1, embedding AS qe, bucket FROM b),
-    n AS (SELECT vec_id AS d2, embedding AS ne, bucket FROM b),
+    q AS (SELECT vec_id AS d1, embedding AS qe, bucket, nrm AS qn FROM b),
+    n AS (SELECT vec_id AS d2, embedding AS ne, bucket, nrm AS nn FROM b),
     pairs AS (
       SELECT d1, d2, {_COSINE_SQL} AS cosine
       FROM q JOIN n USING (bucket) WHERE d1 < d2
@@ -396,17 +405,19 @@ def t_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load(spark, sf_dir, "embeddings")
     b = emb.select(
-        "vec_id", "embedding", _bucket(F.col("embedding")).cast("int").alias("bucket")
+        "vec_id",
+        "embedding",
+        _bucket(F.col("embedding")).cast("int").alias("bucket"),
+        _norm(F.col("embedding")).alias("nrm"),
     )
-    q = b.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("qe"), "bucket")
-    n = b.select(F.col("vec_id").alias("d2"), F.col("embedding").alias("ne"), "bucket")
-    cosine = _dot(F.col("qe"), F.col("ne")) / (
-        _norm(F.col("qe")) * _norm(F.col("ne"))
-    )
+    q = b.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("qe"),
+                 "bucket", F.col("nrm").alias("qn"))
+    n = b.select(F.col("vec_id").alias("d2"), F.col("embedding").alias("ne"),
+                 "bucket", F.col("nrm").alias("nn"))
     return (
         q.join(n, "bucket")
         .filter(F.col("d1") < F.col("d2"))
-        .select("d1", "d2", cosine.alias("cosine"))
+        .select("d1", "d2", _cosine_spark().alias("cosine"))
         .filter(F.col("cosine") >= COSDUP_THRESHOLD)
     )
 

@@ -1,0 +1,95 @@
+"""Physical-plan shape assertions — the scale contract, enforced.
+
+Correctness says the numbers match; these tests pin the *plans*:
+filters reach the parquet scan, small dims broadcast, top-k compiles
+to TakeOrderedAndProject, joins never degrade to cartesian products,
+and no query drops to row-at-a-time Python.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from flink_spark.registry import all_queries
+
+from conftest import SF_DIR
+
+_Q = all_queries()
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(_Q["p_projection_filter"].fn(spark, SF_DIR))
+    assert "PushedFilters: [" in plan
+    # the returnflag filter must be pushed, not applied post-scan only
+    assert "l_returnflag" in plan.split("PushedFilters")[1].split("]")[0]
+
+
+def test_column_pruning_reaches_scan(spark):
+    plan = _plan(_Q["t_token_stats"].fn(spark, SF_DIR))
+    read = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "text" in read and "doc_id" not in read, read
+
+
+def test_dim_joins_broadcast(spark):
+    for name in ["q5_local_supplier_volume", "j_broadcast_dim_join"]:
+        plan = _plan(_Q[name].fn(spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_topk_is_take_ordered(spark):
+    plan = _plan(_Q["ads_topk_users"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    # no global sort: a full Sort node would mean the whole table sorts
+    assert plan.count("Sort ") <= 1
+
+
+def test_no_cartesian_or_nested_loop_joins(spark):
+    for name in [
+        "j_interval_join",
+        "t_ngram_jaccard_dups",
+        "t_minhash_lsh_dups",
+        "t_simhash_dups",
+        "t_embedding_neardup",
+        "e_ann_lsh_topk",
+    ]:
+        plan = _plan(_Q[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        # e_cosine_topk is the one deliberate exception (exact scoring
+        # against a broadcast query set IS a nested-loop scan)
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_no_row_at_a_time_python(spark):
+    for name, q in _Q.items():
+        plan = _plan(q.fn(spark, SF_DIR), "extended")
+        assert "BatchEvalPython" not in plan, f"{name} uses a row Python UDF"
+
+
+def test_q1_single_shuffle(spark):
+    plan = _plan(_Q["q1_pricing_summary"].fn(spark, SF_DIR))
+    tree = plan.split("(1) ")[0]  # the plan tree, before node details
+    assert tree.count("Exchange") <= 1
+    # partial (map-side) aggregation before the single shuffle
+    assert "partial_sum" in plan
+
+
+@pytest.mark.parametrize("name", ["w_tumble_10s_keyed", "s_dedup_latest"])
+def test_whole_stage_codegen_present(spark, name):
+    # AQE hides codegen markers until the final plan exists; execute,
+    # then check for starred (*(n) = inside-codegen) operators
+    df = _Q[name].fn(spark, SF_DIR)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final, name
+    assert "*(" in final, f"{name}: no codegen stage in final plan"
