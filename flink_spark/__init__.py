@@ -11,16 +11,21 @@ search, text analysis, multimodal plumbing) designed for 100 TB scale.
 Layout
 ------
 - ``session``    : SparkSession factory / tuning knobs.
-- ``sources``    : batch + streaming readers over the fixture tables.
+- ``sources``    : batch readers over the fixture tables + the JDBC
+                   dimension snapshot reader.
 - ``functions``  : scalar/text helper functions (exact-decimal sums,
                    ClickHouse-compat shims, tokenizers, fingerprints).
-- ``operators``  : reusable operator library (dedup, similarity, CEP,
-                   config-driven routing, multimodal plumbing).
 - ``plans``      : the query catalog — every operator of SURVEY.md §2
-                   expressed as a (Spark DataFrame fn, DuckDB oracle
-                   SQL) pair registered in ``registry``.
-- ``streaming``  : Structured Streaming jobs mirroring the reference's
-                   DWD/DWS pipelines, with batch-equivalent oracles.
+                   plus the LLM-data-pipeline operators, each a
+                   (Spark DataFrame fn, DuckDB oracle SQL) pair
+                   registered in ``registry``.
+- ``streaming``  : Structured Streaming layer — replay/Kafka/CDC
+                   sources, watermarked window jobs, keyed-state
+                   operators (applyInPandasWithState), sinks + router.
+- ``pipelines``  : SURVEY.md §2.12 parity map — each reference job →
+                   the catalog queries / streaming ops covering it.
+- ``registry``   : query catalog registry (name → fn + oracle).
+- ``testing``    : local DuckDB-oracle comparison harness.
 """
 
 __version__ = "0.1.0"
