@@ -184,6 +184,68 @@ JOBS: dict[str, JobParity] = {
 }
 
 
+# SURVEY.md §2 operator-code → implementation evidence. Each entry:
+# (implementation site, catalog queries and/or tests exercising it).
+OPERATOR_COVERAGE: dict[str, tuple[str, tuple[str, ...]]] = {
+    "S1": ("streaming/sources.py:kafka_source", ()),
+    "S2": ("streaming/sources.py:kafka_json_source", ()),
+    "S3": ("streaming/sources.py:cdc_envelope_schema", ("p_cdc_map_projection",)),
+    "S4": ("streaming/sources.py:cdc_envelope_source (Debezium→Kafka topic)", ()),
+    "S5": ("sources/__init__.py:jdbc_dim", ("j_broadcast_dim_join",)),
+    "S6": ("streaming/sources.py:socket_source", ()),
+    "K1": ("streaming/sinks.py:kafka_payload", ("tests/test_streaming.py::test_kafka_payload_roundtrip",)),
+    "K2": ("streaming/sinks.py:kafka_payload", ()),
+    "K3": ("streaming/sinks.py:upsert_sink", ("s_dedup_latest", "tests/test_streaming.py::test_upsert_sink_latest_row")),
+    "K4": ("streaming/sinks.py:foreach_batch_sink", ()),
+    "K5": ("streaming/sinks.py:routed_dim_sink", ("tests/test_streaming.py::test_routed_dim_sink",)),
+    "K6": ("streaming/sinks.py:console_sink", ()),
+    "P1": ("plans/routing.py:split_events", ("p_split_counts", "tests/test_routing.py::test_split_dirty_side_output")),
+    "P2": ("plans/routing.py:p_cdc_map_projection", ("p_cdc_map_projection",)),
+    "P3": ("plans/relational.py (when/cast arithmetic)", ("p_conditional_delta",)),
+    "P4": ("plans/relational.py (old-image predicate)", ("p_conditional_delta",)),
+    "P5": ("plans/routing.py:split_events", ("p_split_counts", "tests/test_routing.py::test_split_partitions_input")),
+    "P6": ("explode", ("t_keyword_counts", "w_keyword_tumble")),
+    "P7": ("map_filter by config", ("r_config_routing",)),
+    "P8": ("aliasing/withColumn throughout", ("p_projection_filter",)),
+    "J1": ("streaming/jobs.py:interval_join_stream; batch joins", ("j_two_key_join", "tests/test_streaming_join.py::test_stream_stream_interval_join")),
+    "J2": ("left outer join", ("j_left_outer_enrich",)),
+    "J3": ("broadcast dim join", ("j_broadcast_dim_join",)),
+    "J4": ("interval join", ("j_interval_join",)),
+    "J5": ("broadcast replaces async point-gets", ("j_broadcast_dim_join",)),
+    "J5a": ("pre-flattened snowflake + broadcast", ("q5_local_supplier_volume",)),
+    "J6": ("broadcast config join", ("r_config_routing",)),
+    "J7": ("full outer join", ("j_full_outer_metrics",)),
+    "A1": ("windows.py keyed tumble", ("w_tumble_10s_keyed",)),
+    "A2": ("windows.py global tumble", ("w_tumble_10s_global",)),
+    "A3": ("tokenize+explode+tumble", ("w_keyword_tumble",)),
+    "A4": ("exact distinct in window group", ("w_agg_distinct_users",)),
+    "A5": ("latest-row dedup", ("s_dedup_latest",)),
+    "A6": ("daily dedup", ("s_daily_unique_users",)),
+    "A7": ("visitor-flag correction", ("s_new_vs_returning",)),
+    "A8": ("ADS rollups", ("ads_channel_stats", "ads_hourly_stats")),
+    "A9": ("ratio metrics", ("ads_channel_stats",)),
+    "A10": ("conditional aggregation", ("ads_conditional_score",)),
+    "A11": ("count(distinct) dailies", ("s_daily_unique_users",)),
+    "T1-T3": ("TakeOrderedAndProject top-k", ("ads_topk_users", "q3_shipping_priority")),
+    "U1": ("union", ("u_union_metrics",)),
+    "U2": ("CEP match ∪ timeout", ("s_cep_jump", "tests/test_streaming.py::test_cep_jump_stream_equals_batch")),
+    "U3": ("labeled metric union", ("u_union_metrics",)),
+    "2.9": ("functions/scalar.py + functions/text.py", ("f_scalar_datetime", "ads_hourly_stats")),
+    "W1": ("withWatermark", ("tests/test_streaming.py::test_tumble_stream_equals_batch",)),
+    "W2": ("event-time fallback chain", ("w_event_time_fallback",)),
+    "W3": ("10s tumbling windows", ("w_tumble_10s_keyed",)),
+    "W5": ("applyInPandasWithState ValueState", ("tests/test_streaming.py::test_daily_unique_stream_equals_batch",)),
+    "W6": ("event-time timers", ("tests/test_streaming.py::test_cep_jump_stream_equals_batch",)),
+    "W7": ("watermark-bounded join state", ("tests/test_streaming_join.py::test_stream_stream_interval_join",)),
+    "W8": ("CEP jump", ("s_cep_jump",)),
+    "W9": ("checkpoint/restart", ("tests/test_streaming_join.py::test_checkpoint_restart_exactly_once",)),
+    "W10": ("per-batch config broadcast", ("tests/test_streaming.py::test_routed_dim_sink",)),
+    "F1": ("tokenizer UDTF → tokenize+explode", ("t_keyword_counts",)),
+    "F3": ("config-routing foreachBatch", ("tests/test_streaming.py::test_routed_dim_sink",)),
+    "F4": ("rich stateful ops", ("tests/test_streaming.py::test_is_new_correction_equals_batch",)),
+}
+
+
 def run_job(
     spark: SparkSession, sf_dir: str, job: str
 ) -> dict[str, DataFrame]:

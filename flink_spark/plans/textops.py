@@ -129,6 +129,104 @@ def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "t_bpe_token_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len({_TOKS}) AS ws_tokens,
+             len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS re_tokens,
+             len(list_filter(regexp_extract_all(lower(text), '[a-z]+|[0-9]+'),
+                             x -> x ~ '^[0-9]+$')) AS num_tokens
+      FROM documents
+    )
+    SELECT CAST(SUM(ws_tokens) AS BIGINT) AS ws_total,
+           CAST(SUM(re_tokens) AS BIGINT) AS re_total,
+           CAST(SUM(num_tokens) AS BIGINT) AS num_total,
+           CAST(SUM(CASE WHEN ws_tokens = re_tokens THEN 1 ELSE 0 END) AS BIGINT)
+               AS agree_docs,
+           COUNT(*) AS doc_ct
+    FROM t
+    """,
+    tags=("textops", "tokens", "bpe"),
+)
+def t_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex (BPE-ish pre-tokenizer) vs whitespace token counting.
+
+    The two standard cheap token-count estimators for a data pipeline:
+    whitespace split of normalized text, and a BPE-style pre-token
+    regex (letter runs | digit runs — ``TOKEN_RE`` in
+    functions/text.py). Corpus totals, numeric-token counts, and the
+    per-doc agreement rate between the two. Both are JVM-side
+    ``regexp_extract_all``/``split`` — no Python in the loop.
+    """
+    from flink_spark.functions.text import TOKEN_RE
+
+    docs = load(spark, sf_dir, "documents")
+    ws = F.size(tokenize("text"))
+    re_toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)
+    nums = F.filter(re_toks, lambda x: x.rlike("^[0-9]+$"))
+    t = docs.select(
+        ws.alias("ws_tokens"),
+        F.size(re_toks).alias("re_tokens"),
+        F.size(nums).alias("num_tokens"),
+    )
+    return t.agg(
+        F.sum("ws_tokens").cast("long").alias("ws_total"),
+        F.sum("re_tokens").cast("long").alias("re_total"),
+        F.sum("num_tokens").cast("long").alias("num_total"),
+        F.sum(F.when(F.col("ws_tokens") == F.col("re_tokens"), 1).otherwise(0))
+        .cast("long").alias("agree_docs"),
+        F.count(F.lit(1)).alias("doc_ct"),
+    )
+
+
+ROLL_MOD = 1_000_000_007
+ROLL_BASE = 31
+
+
+@query(
+    "t_rolling_fingerprint",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform({_TOKS},
+                   t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT))),
+               (h, v) -> (h * {ROLL_BASE} + v) % {ROLL_MOD}) AS fp
+      FROM documents
+    )
+    SELECT fp,
+           CAST(COUNT(*) AS BIGINT) AS dup_ct,
+           MIN(doc_id) AS canonical_id
+    FROM fp GROUP BY fp
+    """,
+    tags=("textops", "fingerprint"),
+)
+def t_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint (Rabin-Karp).
+
+    Unlike the md5 content fingerprint (``t_exact_dedup``), the rolling
+    polynomial hash ``h = (h*31 + tok_hash) mod p`` is computed
+    incrementally over the token sequence — the fingerprint a streaming
+    dedup keeps per document, updatable token-by-token. Pure integer
+    fold (exact in both engines); token hashes are the leading 32 bits
+    of md5 so the polynomial stays under 2^63 between mod steps.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok_hash = lambda t: F.conv(F.substring(F.md5(t.cast("binary")), 1, 8), 16, 10).cast("long")  # noqa: E731
+    fp = F.aggregate(
+        tokenize("text"),
+        F.lit(0).cast("long"),
+        lambda h, t: (h * ROLL_BASE + tok_hash(t)) % ROLL_MOD,
+    )
+    return docs.select("doc_id", fp.alias("fp")).groupBy("fp").agg(
+        F.count(F.lit(1)).cast("long").alias("dup_ct"),
+        F.min("doc_id").alias("canonical_id"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Exact dedup: content fingerprint groups
 # --------------------------------------------------------------------------

@@ -32,3 +32,18 @@ def test_job_runs(job, spark):
     outs = run_job(spark, SF_DIR, job)
     for name, df in outs.items():
         assert df.count() >= 0, f"{job}/{name}"
+
+
+def test_operator_coverage_references_resolve():
+    from flink_spark.pipelines import OPERATOR_COVERAGE
+
+    catalog = all_queries()
+    for op, (_impl, evidence) in OPERATOR_COVERAGE.items():
+        for ev in evidence:
+            if "::" in ev:  # a test reference: file must exist
+                path = ev.split("::")[0]
+                assert (
+                    __import__("os").path.exists(f"/root/repo/{path}")
+                ), f"{op}: missing test file {ev}"
+            else:
+                assert ev in catalog, f"{op}: unknown query {ev}"
