@@ -29,6 +29,7 @@ HEADLINE = [
     "t_exact_dedup",
     "t_minhash_lsh_dups",
     "t_simhash_dups",
+    "t_corpus_pipeline",
     "e_cosine_topk",
     "e_ann_lsh_topk",
     "t_embedding_neardup",

@@ -432,7 +432,9 @@ def t_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= DF_CAP
     ).select("s")
-    ex2 = ex.join(keep, "s").select("doc_id", "s")
+    # ex2 feeds sizes and BOTH sides of the pair join — persist so the
+    # df-cap join runs once, not three times
+    ex2 = ex.join(keep, "s").select("doc_id", "s").persist()
     sizes = ex2.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = ex2.alias("a"), ex2.alias("b")
     pairs = (
@@ -678,4 +680,177 @@ def t_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming = F.expr("bit_count(h1 ^ h2)")
     return cand.filter(hamming <= HAMMING_MAX).select(
         "d1", "d2", hamming.cast("int").alias("hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# Flagship composition: end-to-end corpus curation pipeline
+# --------------------------------------------------------------------------
+
+def _quality_pass_sql() -> str:
+    """Quality gate shared with t_quality_score (score >= 2 of 3)."""
+    n_tok = f"len({_TOKS})"
+    stop = f"len(list_filter({_TOKS}, x -> x IN {_STOP_LIST}))"
+    alpha = f"length(replace({_NORM}, ' ', ''))"
+    return (
+        f"(CASE WHEN {n_tok} BETWEEN 20 AND 200 THEN 1 ELSE 0 END"
+        f" + CASE WHEN CAST({stop} AS DOUBLE) / {n_tok} BETWEEN 0.02 AND 0.5"
+        f"        THEN 1 ELSE 0 END"
+        f" + CASE WHEN CAST({alpha} AS DOUBLE) / {n_tok} BETWEEN 3 AND 8"
+        f"        THEN 1 ELSE 0 END) >= 2"
+    )
+
+
+@query(
+    "t_corpus_pipeline",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, source, text, len({_TOKS}) AS n_tokens,
+             CASE WHEN {_quality_pass_sql()} THEN 1 ELSE 0 END AS pass_q,
+             md5({_NORM}) AS fp
+      FROM documents
+    ),
+    e AS (
+      SELECT *, CASE WHEN pass_q = 1
+                      AND doc_id = MIN(CASE WHEN pass_q = 1 THEN doc_id END)
+                                   OVER (PARTITION BY fp)
+                     THEN 1 ELSE 0 END AS canon
+      FROM q
+    ),
+    norm2 AS (SELECT doc_id, {_TOKS} AS t FROM e WHERE canon = 1),
+    sh2 AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t) - {SHINGLE_N - 2}),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sl
+      FROM norm2 WHERE len(t) >= {SHINGLE_N}
+    ),
+    ex AS (SELECT doc_id, unnest(sl) AS s FROM sh2),
+    sigs AS (
+      {_minhash_sql()}
+    ),
+    bands AS (SELECT doc_id, unnest({_band_keys_sql()}) AS bkey FROM sigs),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    dups AS (
+      SELECT DISTINCT d2
+      FROM cand
+      JOIN sh2 x ON d1 = x.doc_id
+      JOIN sh2 y ON d2 = y.doc_id
+      WHERE CAST(len(list_intersect(x.sl, y.sl)) AS DOUBLE)
+              / (len(x.sl) + len(y.sl) - len(list_intersect(x.sl, y.sl)))
+            >= {JACCARD_THRESHOLD}
+    ),
+    flags AS (
+      SELECT e.*, CASE WHEN canon = 1 AND d2 IS NULL THEN 1 ELSE 0 END AS kept
+      FROM e LEFT JOIN dups ON e.doc_id = dups.d2
+    )
+    SELECT source,
+           COUNT(*) AS total_docs,
+           CAST(SUM(pass_q) AS BIGINT) AS quality_docs,
+           CAST(SUM(canon) AS BIGINT) AS exact_unique,
+           CAST(SUM(kept) AS BIGINT) AS kept_docs,
+           CAST(SUM(CASE WHEN kept = 1 THEN n_tokens END) AS BIGINT) AS kept_tokens
+    FROM flags
+    GROUP BY source
+    """,
+    tags=("textops", "pipeline", "dedup"),
+)
+def t_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus curation: quality -> exact -> near-dup.
+
+    The flagship composition a 100 TB data pipeline runs nightly:
+
+    1. quality gate  — heuristic score >= 2/3 (t_quality_score rules);
+    2. exact dedup   — md5-of-normalized-text groups keep min doc_id
+                       (one uniform-key shuffle);
+    3. near-dedup    — MinHash(16)+LSH(4x4) candidates over survivors,
+                       exact-Jaccard verified, higher doc_id dropped;
+    4. audit rollup  — per-source funnel counts + surviving tokens.
+
+    Every stage is the scalable formulation: the quality gate is
+    row-local, exact dedup a window-min over the fingerprint hash,
+    near-dup the banded-LSH join (never all-pairs), and the funnel
+    output is one conditional aggregation over doc-level flags (no
+    re-scans per stage).
+    """
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    n_tok = F.size(toks)
+    stop_ratio = (
+        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double") / n_tok
+    )
+    avg_len = (
+        F.length(F.regexp_replace(normalize_text("text"), " ", "")).cast("double")
+        / n_tok
+    )
+    score = (
+        F.when(n_tok.between(20, 200), 1).otherwise(0)
+        + F.when(stop_ratio.between(0.02, 0.5), 1).otherwise(0)
+        + F.when(avg_len.between(3, 8), 1).otherwise(0)
+    )
+    q = docs.select(
+        "doc_id", "source", "text",
+        n_tok.alias("n_tokens"),
+        F.when(score >= 2, 1).otherwise(0).alias("pass_q"),
+        fingerprint("text").alias("fp"),
+    )
+    w_fp = Window.partitionBy("fp")
+    e = q.withColumn(
+        "canon",
+        F.when(
+            (F.col("pass_q") == 1)
+            & (
+                F.col("doc_id")
+                == F.min(F.when(F.col("pass_q") == 1, F.col("doc_id"))).over(w_fp)
+            ),
+            1,
+        ).otherwise(0),
+    ).persist()
+    sh2 = (
+        e.filter(F.col("canon") == 1)
+        .select("doc_id", tokenize("text").alias("t"))
+        .filter(F.size("t") >= SHINGLE_N)
+        .select(
+            "doc_id",
+            F.array_distinct(word_shingles(F.col("t"), SHINGLE_N)).alias("sl"),
+        )
+        .persist()
+    )
+    ex = sh2.select("doc_id", F.explode("sl").alias("s"))
+    sigs = _hashed_shingles_spark(ex).groupBy("doc_id").agg(*_minhash_cols_spark())
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*_band_keys_spark())).alias("bkey")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bkey") == F.col("b.bkey"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    x = sh2.select(F.col("doc_id").alias("d1"), F.col("sl").alias("sl1"))
+    y = sh2.select(F.col("doc_id").alias("d2"), F.col("sl").alias("sl2"))
+    shared = F.size(F.array_intersect("sl1", "sl2"))
+    jac = shared.cast("double") / (F.size("sl1") + F.size("sl2") - shared)
+    dups = (
+        cand.join(x, "d1").join(y, "d2")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("d2")
+        .distinct()
+    )
+    flags = e.join(dups, e["doc_id"] == dups["d2"], "left").withColumn(
+        "kept",
+        F.when((F.col("canon") == 1) & F.col("d2").isNull(), 1).otherwise(0),
+    )
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.sum("pass_q").cast("long").alias("quality_docs"),
+        F.sum("canon").cast("long").alias("exact_unique"),
+        F.sum("kept").cast("long").alias("kept_docs"),
+        F.sum(F.when(F.col("kept") == 1, F.col("n_tokens"))).cast("long")
+        .alias("kept_tokens"),
     )
