@@ -696,6 +696,48 @@ def ads_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a_salted_hot_key_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS pv,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS amount,
+           CAST(MAX(user_id) AS BIGINT) AS max_user
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("agg", "skew", "salting"),
+)
+def a_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a hot-key group.
+
+    ``event_type`` has only 5 values — at 100 TB a plain groupBy sends
+    every row of a hot key through one reducer. The salting pattern:
+    phase 1 aggregates on (key, salt) where salt spreads each hot key
+    over 16 reducers; phase 2 merges the 16 partials per key. Results
+    are identical to the direct aggregation (the oracle IS the direct
+    form); only the shuffle distribution changes. Decimal partials
+    keep the merged double bit-identical in any order.
+
+    (Spark's own partial aggregation covers sum/count maps-side
+    already; explicit salting is the shape needed when the aggregate
+    state is large — collect_set, exact distinct — or for skewed
+    *joins*, and this query documents + tests the rewrite.)
+    """
+    ev = load(spark, sf_dir, "events")
+    salted = ev.withColumn("salt", (F.col("event_id") % 16).cast("int"))
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pv_p"),
+        F.sum(dec2("value")).alias("amount_p"),
+        F.max("user_id").alias("max_user_p"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pv_p").alias("pv"),
+        F.sum("amount_p").cast("double").alias("amount"),
+        F.max("max_user_p").cast("long").alias("max_user"),
+    )
+
+
+@query(
     "u_union_metrics",
     oracle="""
     SELECT 'purchase_amount' AS metric,

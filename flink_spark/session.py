@@ -43,10 +43,26 @@ def tune(spark: SparkSession) -> SparkSession:
     return spark
 
 
+# Streaming-at-scale confs: RocksDB state store keeps keyed state
+# (dedup maps, join buffers, window partials) off-heap and spillable —
+# the Spark analog of Flink's RocksDB state backend the reference
+# left commented out (rt/app/dwd/log/BaseLogApp.java:32-44). Applied
+# only when a session is built with ``streaming_scale=True``; the
+# default HDFS-backed store is fine at test scale.
+STREAMING_CONFS = {
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider"
+    ),
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+}
+
+
 def get_spark(
     app_name: str = "flink_spark",
     cpus: int | str | None = None,
     shuffle_partitions: int | str | None = None,
+    streaming_scale: bool = False,
 ) -> SparkSession:
     """Create (or fetch) a local SparkSession sized for this machine.
 
@@ -65,4 +81,7 @@ def get_spark(
     )
     for k, v in _RUNTIME_CONFS.items():
         builder = builder.config(k, v)
+    if streaming_scale:
+        for k, v in STREAMING_CONFS.items():
+            builder = builder.config(k, v)
     return tune(builder.getOrCreate())

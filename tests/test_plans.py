@@ -61,6 +61,7 @@ def test_no_cartesian_or_nested_loop_joins(spark):
         "t_minhash_lsh_dups",
         "t_simhash_dups",
         "t_embedding_neardup",
+        "t_corpus_pipeline",
         "e_ann_lsh_topk",
     ]:
         plan = _plan(_Q[name].fn(spark, SF_DIR))
