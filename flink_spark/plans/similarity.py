@@ -467,3 +467,123 @@ def m_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = "doc_id long, n_bytes long, byte_mean double, first_byte int, source string"
     return assets.mapInPandas(_fake_decode, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# IVF-flat ANN (coarse quantizer + probed cells) — the other scale path
+# --------------------------------------------------------------------------
+
+IVF_CELLS = 8
+IVF_PROBES = 2
+
+
+def _centroid(k: int) -> list[int]:
+    """Coarse 'centroid' k as a ±1 direction, md5-derived (deterministic)."""
+    out = []
+    for i in range(DIM):
+        h = hashlib.md5(f"ivf{k}:{i}".encode()).hexdigest()
+        out.append(1 if int(h[0], 16) >= 8 else -1)
+    return out
+
+
+IVF_CENTROIDS = [_centroid(k) for k in range(IVF_CELLS)]
+
+
+def _cell_scores_sql(a: str) -> str:
+    return "[" + ", ".join(_proj_sql(a, c) for c in IVF_CENTROIDS) + "]"
+
+
+def _cell_scores_spark(a):
+    return F.array(*[_proj(a, c) for c in IVF_CENTROIDS])
+
+
+@query(
+    "e_ann_ivf_topk",
+    oracle=f"""
+    WITH scored AS (
+      SELECT vec_id, embedding, {_norm_sql('embedding')} AS nrm,
+             {_cell_scores_sql('embedding')} AS d
+      FROM embeddings
+    ),
+    cells AS (
+      SELECT *, list_position(d, list_max(d)) AS c1 FROM scored
+    ),
+    probed AS (
+      SELECT *, list_position(
+               list_transform(range(1, {IVF_CELLS + 1}),
+                              j -> CASE WHEN j = c1 THEN -1e300 ELSE d[j] END),
+               list_max(list_transform(range(1, {IVF_CELLS + 1}),
+                              j -> CASE WHEN j = c1 THEN -1e300 ELSE d[j] END)))
+             AS c2
+      FROM cells
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, unnest([c1, c2]) AS cell
+      FROM probed WHERE vec_id < {N_QUERIES}
+    ),
+    n AS (SELECT vec_id AS neighbor_id, embedding AS ne, nrm AS nn, c1 AS cell
+          FROM probed),
+    pairs AS (
+      SELECT query_id, neighbor_id, {_COSINE_SQL} AS cosine
+      FROM q JOIN n USING (cell) WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS rnk FROM pairs)
+    WHERE rnk <= {LSH_TOPK}
+    """,
+    tags=("similarity", "ann", "ivf"),
+)
+def e_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: coarse quantizer cells, query probes nearest 2.
+
+    The inverted-file structure of FAISS-style IVF indexes: every
+    vector is assigned to the cell whose coarse direction scores
+    highest (argmax dot, first-index tiebreak); a query searches only
+    the vectors in its top-``IVF_PROBES`` cells. Directions here are
+    md5-derived ±1 vectors so the oracle reproduces assignment exactly
+    (trained k-means centroids drop in without changing the dataflow:
+    a broadcast cell table + the same probed join). Candidate volume
+    is |Q| x probes x (N / cells) — the per-cell list shrinks as cells
+    grow, the knob that keeps this executor-sized at 100 TB.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        "vec_id", "embedding",
+        _norm(F.col("embedding")).alias("nrm"),
+        _cell_scores_spark(F.col("embedding")).alias("d"),
+    )
+    cells = scored.withColumn("c1", F.array_position("d", F.array_max("d")))
+    masked = F.transform(
+        F.sequence(F.lit(1), F.lit(IVF_CELLS)),
+        lambda j: F.when(j == F.col("c1"), F.lit(-1e300)).otherwise(
+            F.element_at("d", j.cast("int"))
+        ),
+    )
+    probed = cells.withColumn("_m", masked).withColumn(
+        "c2", F.array_position("_m", F.array_max("_m"))
+    )
+    q = (
+        probed.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qn"),
+            F.explode(F.array("c1", "c2")).alias("cell"),
+        )
+    )
+    n = probed.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"),
+        F.col("nrm").alias("nn"), F.col("c1").alias("cell"),
+    )
+    pairs = (
+        n.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _cosine_spark().alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= LSH_TOPK)
+        .select("query_id", "neighbor_id", F.col("rnk").cast("long").alias("rnk"),
+                "cosine")
+    )
