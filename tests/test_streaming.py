@@ -131,6 +131,45 @@ def test_routed_dim_sink(spark, tmp_path):
         assert got.count() == ev.filter(F.col("event_type") == src).count()
 
 
+def test_base_log_app_end_to_end(spark, tmp_path):
+    """The composed BaseLogApp shape: replay → stateful visitor-flag
+    correction → config-routed multi-table sink, one streaming query."""
+    from flink_spark.streaming import is_new_correction_stream
+
+    sdf = replay_events(spark, SF_DIR, str(tmp_path / "replay"), slices=4)
+    corrected = is_new_correction_stream(sdf)
+    # route the corrected detail stream: new-visitor rows and the rest
+    def route(batch, _epoch):
+        batch = batch.cache()
+        try:
+            for flag, table in [(1, "dwd_new_visitors"), (0, "dwd_returning")]:
+                (
+                    batch.filter(F.col("is_new") == flag)
+                    .write.mode("append")
+                    .parquet(str(tmp_path / "out" / table))
+                )
+        finally:
+            batch.unpersist()
+
+    q = (
+        corrected.writeStream.foreachBatch(route)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    new = spark.read.parquet(str(tmp_path / "out" / "dwd_new_visitors"))
+    ret = spark.read.parquet(str(tmp_path / "out" / "dwd_returning"))
+    ev_ct = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert new.count() + ret.count() == ev_ct
+    # routed "new" rows agree with the batch truth
+    batch_new = (
+        _Q["s_new_vs_returning"].fn(spark, SF_DIR)
+        .agg(F.sum("new_users").alias("n")).collect()[0]["n"]
+    )
+    assert new.select("user_id", "date_id").distinct().count() == batch_new
+
+
 def test_kafka_payload_roundtrip(spark):
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet").limit(10)
     payload = kafka_payload(ev, "event_id", ["event_id", "user_id", "event_type"])
