@@ -696,6 +696,47 @@ def ads_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_revenue_forecast",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS line_ct
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("sql", "agg"),
+)
+def sql_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shape via the *SQL* entry point (``spark.sql``).
+
+    The reference declares most jobs as SQL strings over registered
+    tables (e.g. rt/app/dwd/db/DwdTradeOrderPreProcess.java:55-149);
+    this query exercises the same surface here: fixture tables are
+    registered as temp views and the query text goes through the SQL
+    parser → same Catalyst plan as the DataFrame API (filters pushed,
+    decimal partial aggregation, single shuffle).
+    """
+    from flink_spark.sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) AS revenue,
+               COUNT(*) AS line_ct
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """
+    )
+
+
+@query(
     "a_salted_hot_key_agg",
     oracle="""
     SELECT event_type,

@@ -100,6 +100,31 @@ def upsert_sink(
     return sdf.writeStream.foreachBatch(merge).outputMode("update")
 
 
+def partitioned_table_sink(
+    sdf: DataFrame,
+    path: str,
+    partition_cols: list[str],
+):
+    """DWS at-rest layout: append micro-batches date/key-partitioned.
+
+    The reference lands every DWS aggregate in ClickHouse MergeTree
+    keyed by window start (rt/utils/MyClickHouseUtil.java:19-62); the
+    lake-native shape is parquet partitioned by coarse time (and
+    optionally a hot dimension), so the ADS layer's
+    ``toYYYYMMDD(stt)=#{date}`` predicates become partition pruning —
+    a scan touches only the queried day's files at any corpus size.
+    """
+
+    def write(batch: DataFrame, _epoch: int) -> None:
+        (
+            batch.write.mode("append")
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+
+    return sdf.writeStream.foreachBatch(write).outputMode("append")
+
+
 def routed_dim_sink(
     sdf: DataFrame,
     rules: dict[str, tuple[str, list[str]]],

@@ -170,6 +170,31 @@ def test_base_log_app_end_to_end(spark, tmp_path):
     assert new.select("user_id", "date_id").distinct().count() == batch_new
 
 
+def test_partitioned_table_sink_prunes(spark, tmp_path):
+    from flink_spark.streaming.sinks import partitioned_table_sink
+
+    sdf = replay_events(spark, SF_DIR, str(tmp_path / "replay"), slices=3)
+    agg = tumble_stream(sdf, "event_type")
+    dated = agg.withColumn("date_id", F.substring("stt", 1, 10))
+    q = (
+        partitioned_table_sink(dated, str(tmp_path / "dws"), ["date_id"])
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(str(tmp_path / "dws"))
+    # ADS-style day predicate → partition pruning, not a full scan
+    one_day = out.filter(F.col("date_id") == "2024-01-05")
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        one_day.explain("formatted")
+    assert "PartitionFilters: [isnotnull(date_id" in buf.getvalue()
+    assert one_day.count() > 0
+
+
 def test_kafka_payload_roundtrip(spark):
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet").limit(10)
     payload = kafka_payload(ev, "event_id", ["event_id", "user_id", "event_type"])
