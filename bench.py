@@ -19,6 +19,7 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q10_returned_items",
     "j_interval_join",
     "w_tumble_10s_keyed",
     "w_keyword_tumble",

@@ -178,6 +178,8 @@ JOBS: dict[str, JobParity] = {
             "u_union_metrics",
             "q1_pricing_summary",
             "q3_shipping_priority",
+            "q10_returned_items",
+            "sql_revenue_forecast",
         ),
         notes="20 REST queries → Spark SQL over DWS outputs (A8-A11, J7, T1-T3, U3)",
     ),
