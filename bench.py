@@ -53,7 +53,11 @@ def main() -> None:
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         return time.time() - t0
 
-    run(HEADLINE[0])  # warmup: JVM + codegen + parquet footer reads
+    # warmup: JVM + codegen + parquet footer/file-index reads for each
+    # table family (lineitem-, events-, documents-, embeddings-based)
+    for name in ["q1_pricing_summary", "s_daily_unique_users",
+                 "t_exact_dedup", "e_norm_stats"]:
+        run(name)
 
     times: dict[str, float] = {}
     for name in HEADLINE:

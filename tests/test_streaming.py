@@ -170,6 +170,22 @@ def test_base_log_app_end_to_end(spark, tmp_path):
     assert new.select("user_id", "date_id").distinct().count() == batch_new
 
 
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """Spark-native streaming dedup (the upsert-kafka duplicate fix-up
+    as an operator): duplicated input collapses to one row per key
+    while the watermark bounds dedup state."""
+    replay_dir = str(tmp_path / "replay")
+    sdf = replay_events(spark, SF_DIR, replay_dir, slices=3)
+    doubled = sdf.unionByName(sdf)  # every event arrives twice
+    deduped = doubled.withWatermark("ts", "10 seconds").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    out = run_to_memory(deduped, "ddw_mem")
+    ev_ct = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert out.count() == ev_ct
+    assert out.select("event_id").distinct().count() == ev_ct
+
+
 def test_partitioned_table_sink_prunes(spark, tmp_path):
     from flink_spark.streaming.sinks import partitioned_table_sink
 
