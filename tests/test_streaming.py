@@ -170,6 +170,41 @@ def test_base_log_app_end_to_end(spark, tmp_path):
     assert new.select("user_id", "date_id").distinct().count() == batch_new
 
 
+def test_stream_static_lookup_join(spark, tmp_path):
+    """J3 streaming form: a streaming fact joined to a static broadcast
+    dim (the reference's FOR SYSTEM_TIME AS OF lookup join) — full
+    keyword-window job (DwsTrafficSourceKeywordPageViewWindow) run as
+    a stream, asserted equal to the batch catalog query."""
+    from flink_spark.functions.text import tokenize
+    from flink_spark.plans.windows import KEYWORDS
+
+    sdf = replay_events(spark, SF_DIR, str(tmp_path / "replay"), slices=4)
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", F.slice(tokenize("text"), 1, 5).alias("toks"))
+    )
+    views = sdf.filter(F.col("event_type") == "view")
+    logs = views.join(
+        F.broadcast(docs), docs["doc_id"] == views["event_id"] % 500
+    ).select("ts", "toks")
+    words = logs.select("ts", F.explode("toks").alias("word")).filter(
+        F.col("word").isin(*KEYWORDS)
+    )
+    agg = (
+        words.withWatermark("ts", "2 seconds")
+        .groupBy(F.window("ts", "10 seconds"), "word")
+        .agg(F.count(F.lit(1)).alias("kw_ct"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+            "word",
+            "kw_ct",
+        )
+    )
+    out = run_to_memory(agg, "kw_mem", output_mode="complete")
+    batch = _Q["w_keyword_tumble"].fn(spark, SF_DIR)
+    assert _rows(out) == _rows(batch)
+
+
 def test_drop_duplicates_within_watermark(spark, tmp_path):
     """Spark-native streaming dedup (the upsert-kafka duplicate fix-up
     as an operator): duplicated input collapses to one row per key
