@@ -51,7 +51,7 @@ DF_CAP = 100           # drop shingles appearing in >100 docs (stop-shingle filt
 JACCARD_THRESHOLD = 0.8
 MINHASHES = 16         # 16 hashes = 4 bands x 4 rows
 LSH_BANDS = 4
-SIMHASH_BITS = 16      # packed from the first 4 md5 hex nibbles
+SIMHASH_BITS = 32      # packed from the first 8 md5 hex nibbles
 HAMMING_MAX = 3
 
 # DuckDB fragments
@@ -591,7 +591,7 @@ def _simhash_sums_sql(dialect: str) -> str:
     """
     terms = []
     for b in range(SIMHASH_BITS):
-        shift = 15 - b
+        shift = SIMHASH_BITS - 1 - b
         if dialect == "duckdb":
             bit = f"((v >> {shift}) & 1)"
         else:
@@ -614,7 +614,7 @@ def _simhash_pack_sql() -> str:
     oracle=f"""
     WITH toks AS (
       SELECT doc_id,
-             CAST(concat('0x', substr(md5(unnest({_TOKS})), 1, 4)) AS INTEGER) AS v
+             CAST(concat('0x', substr(md5(unnest({_TOKS})), 1, 8)) AS BIGINT) AS v
       FROM documents
     ),
     sums AS (
@@ -626,7 +626,7 @@ def _simhash_pack_sql() -> str:
       SELECT doc_id, CAST({_simhash_pack_sql()} AS BIGINT) AS simhash FROM sums
     ),
     chunks AS (
-      SELECT doc_id, simhash, c AS chunk_idx, (simhash >> (4 * c)) & 15 AS chunk
+      SELECT doc_id, simhash, c AS chunk_idx, (simhash >> (8 * c)) & 255 AS chunk
       FROM sig, unnest([0, 1, 2, 3]) AS u(c)
     ),
     cand AS (
@@ -642,20 +642,21 @@ def _simhash_pack_sql() -> str:
     tags=("textops", "dedup", "simhash"),
 )
 def t_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(16-bit) fingerprints; near-dup pairs at hamming <= 3.
+    """SimHash(32-bit) fingerprints; near-dup pairs at hamming <= 3.
 
     Charikar '02 sign-random-projection hashing: bit b of the signature
     is the sign of the token-frequency-weighted sum of bit b of each
-    token's md5. Candidate pairs come from banding the 16 bits into 4
-    chunks (any exact chunk match ⇒ hamming-ball candidate — the
-    pigeonhole trick), so the pair join is on 4-bit chunk keys, never
-    all-pairs. All integer math ⇒ oracle-identical.
+    token's md5. Candidate pairs come from banding the 32 bits into 4
+    chunks (hamming <= 3 < 4 chunks guarantees a matching chunk — the
+    pigeonhole trick), so the pair join is on 8-bit chunk keys, never
+    all-pairs. 32 bits keeps the signature selective even on a
+    small-vocabulary corpus (16 bits marked most doc pairs as dups). All integer math ⇒ oracle-identical.
     """
     docs = load(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(tokenize("text")).alias("w")).select(
         "doc_id",
-        F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 4), 16, 10)
-        .cast("int").alias("v"),
+        F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 8), 16, 10)
+        .cast("long").alias("v"),
     )
     sums = toks.groupBy("doc_id").agg(
         *[F.expr(t.replace(" AS b", " as b")).alias(f"b{i}")
@@ -667,7 +668,7 @@ def t_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = sig.select(
         "doc_id", "simhash",
         F.explode(F.array(*[F.lit(c) for c in range(4)])).alias("chunk_idx"),
-    ).withColumn("chunk", F.expr("shiftright(simhash, 4 * chunk_idx) & 15"))
+    ).withColumn("chunk", F.expr("shiftright(simhash, 8 * chunk_idx) & 255"))
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(b, (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
