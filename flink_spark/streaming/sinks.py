@@ -18,6 +18,8 @@ shapes:
 
 from __future__ import annotations
 
+import os
+import shutil
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, Window
@@ -59,43 +61,89 @@ def foreach_batch_sink(
     return sdf.writeStream.foreachBatch(writer).outputMode("update")
 
 
+_BUCKET = "_ub"  # key-hash bucket partition column of the upsert table
+
+
+def _swap_buckets(staging: str, path: str, epoch: int) -> None:
+    """Swap freshly-written bucket dirs from ``staging`` into ``path``.
+
+    Per-bucket the swap is two renames (old out of the table dir, new
+    in) so a reader never sees a half-written bucket, and a stray
+    ``.old``/staging dir left by a crash sits *outside* ``path`` where
+    parquet partition discovery can't pick it up.
+    """
+    os.makedirs(path, exist_ok=True)
+    for name in os.listdir(staging):
+        if not name.startswith(f"{_BUCKET}="):
+            continue
+        src = os.path.join(staging, name)
+        dst = os.path.join(path, name)
+        old = f"{path}.__old-{epoch}-{name}"
+        if os.path.isdir(dst):
+            os.rename(dst, old)
+        os.rename(src, dst)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+    shutil.rmtree(staging)
+
+
 def upsert_sink(
     sdf: DataFrame,
     path: str,
     keys: list[str],
     order_cols: list[str],
+    num_buckets: int = 16,
 ):
-    """K3 — changelog/upsert table emulation via latest-row merge.
+    """K3 — changelog/upsert table emulation via bucketed latest-row merge.
 
-    (MyKafkaUtil.java:78-86 upsert-kafka DDL). Each micro-batch merges
-    into a parquet table keeping, per key, the row with the greatest
-    ``order_cols``. Flink emits retraction pairs that upsert-kafka
-    compacts; Spark reaches the same *final table* by merging — the
-    property the reference's own downstream relies on (O10/A5).
+    (MyKafkaUtil.java:78-86 upsert-kafka DDL). The table is parquet
+    partitioned by ``_ub = pmod(xxhash64(keys), num_buckets)``. Each
+    micro-batch merges only the buckets its keys hash into: read those
+    partitions (partition-pruned), union the batch, keep per key the
+    row with the greatest ``order_cols``, write to a staging dir, and
+    atomically swap the bucket dirs in. Flink emits retraction pairs
+    that upsert-kafka compacts; Spark reaches the same *final table*
+    (the property the reference's downstream relies on — SURVEY.md
+    O10/A5) with per-batch work proportional to the touched buckets,
+    not the whole table.
 
-    At scale the same merge is one ``MERGE INTO`` on a Delta/Iceberg
-    table; plain parquet read-merge-rewrite keeps this dependency-free.
+    On a cluster the same merge is one ``MERGE INTO`` on a Delta/
+    Iceberg table (which also replaces the driver-side dir swap with a
+    transactional commit); this parquet form keeps the repo
+    dependency-free. ``num_buckets`` sizes bucket-vs-batch overlap:
+    at 100 TB raise it so one bucket ≈ a few GB.
     """
     spark = sdf.sparkSession
 
-    def merge(batch: DataFrame, _epoch: int) -> None:
+    def merge(batch: DataFrame, epoch: int) -> None:
+        b = batch.withColumn(
+            _BUCKET, F.pmod(F.xxhash64(*keys), F.lit(num_buckets))
+        )
+        b.persist()
         try:
-            current = spark.read.parquet(path)
-            allrows = current.unionByName(batch)
-        except Exception:
-            allrows = batch
-        w = Window.partitionBy(*keys).orderBy(
-            *[F.desc(c) for c in order_cols]
-        )
-        latest = (
-            allrows.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-        # materialize before overwriting the dir we just read
-        latest.cache().count()
-        latest.write.mode("overwrite").parquet(path)
-        latest.unpersist()
+            touched = sorted(r[0] for r in b.select(_BUCKET).distinct().collect())
+            if not touched:
+                return
+            if os.path.isdir(path):
+                current = spark.read.parquet(path).filter(
+                    F.col(_BUCKET).isin(touched)
+                )
+                allrows = current.unionByName(b)
+            else:  # first batch — only a genuinely absent table is tolerated
+                allrows = b
+            w = Window.partitionBy(*keys).orderBy(
+                *[F.desc(c) for c in order_cols]
+            )
+            latest = (
+                allrows.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            staging = f"{path}.__stage-{epoch}"
+            latest.write.mode("overwrite").partitionBy(_BUCKET).parquet(staging)
+            _swap_buckets(staging, path, epoch)
+        finally:
+            b.unpersist()
 
     return sdf.writeStream.foreachBatch(merge).outputMode("update")
 

@@ -110,6 +110,80 @@ def test_upsert_sink_latest_row(spark, tmp_path):
     assert _rows(final) == _rows(batch)
 
 
+def test_upsert_sink_touches_only_batch_buckets(spark, tmp_path):
+    """K3 at scale: a micro-batch rewrites only the key-hash buckets its
+    rows fall into — every other bucket's files stay byte-identical."""
+    import os
+
+    import pandas as pd
+
+    from flink_spark.sources import load
+
+    ev = load(spark, SF_DIR, "events")
+    pdf = ev.orderBy("ts", "event_id").toPandas()
+    replay_dir = tmp_path / "replay"
+    replay_dir.mkdir()
+    pdf.to_parquet(
+        str(replay_dir / "0000.parquet"), index=False, coerce_timestamps="us"
+    )
+    table = str(tmp_path / "upsert")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        sdf = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(replay_dir))
+        )
+        q = (
+            upsert_sink(sdf, table, keys=["user_id"], order_cols=["ts", "event_id"])
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()  # batch 0: whole fixture
+
+    def snapshot():
+        out = {}
+        for b in os.listdir(table):
+            if b.startswith("_ub="):
+                d = os.path.join(table, b)
+                out[b] = sorted(
+                    (f, os.path.getmtime(os.path.join(d, f)),
+                     os.path.getsize(os.path.join(d, f)))
+                    for f in os.listdir(d)
+                )
+        return out
+
+    before = snapshot()
+    assert len(before) > 1  # bucketing actually spread the keys
+
+    # batch 1: a single late row for one user → exactly one hot bucket
+    uid = int(pdf["user_id"].iloc[0])
+    row = pdf[pdf.user_id == uid].iloc[[0]].copy()
+    row["ts"] = pdf["ts"].max() + pd.Timedelta(seconds=30)
+    row["event_type"] = "late_update"
+    row.to_parquet(
+        str(replay_dir / "0001.parquet"), index=False, coerce_timestamps="us"
+    )
+    run()
+    after = snapshot()
+
+    hot = "_ub=%d" % (
+        ev.filter(F.col("user_id") == uid)
+        .select(F.pmod(F.xxhash64("user_id"), F.lit(16)).alias("b"))
+        .first()["b"]
+    )
+    assert after[hot] != before[hot]
+    for b, files in before.items():
+        if b != hot:
+            assert after[b] == files, f"untouched bucket {b} was rewritten"
+    got = spark.read.parquet(table).filter(F.col("user_id") == uid).collect()
+    assert len(got) == 1 and got[0]["event_type"] == "late_update"
+
+
 def test_routed_dim_sink(spark, tmp_path):
     rules = {
         "click": ("dwd_click", ["event_id", "user_id", "value"]),
