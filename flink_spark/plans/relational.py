@@ -14,7 +14,7 @@ Scale notes (100 TB stance):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DecimalType
 
@@ -474,6 +474,70 @@ def j_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("pair_ct"),
             F.countDistinct("event_id").alias("purchases_with_click"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# J2 left-outer interval join, finalized to latest-match-or-null
+# --------------------------------------------------------------------------
+
+@query(
+    "j_left_outer_interval",
+    oracle="""
+    SELECT p_event, p_user, c_event, c_ms FROM (
+      SELECT p.event_id AS p_event, p.user_id AS p_user,
+             c.event_id AS c_event, c.ms AS c_ms,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ms DESC NULLS LAST,
+                                         c.event_id DESC NULLS LAST) AS rn
+      FROM (SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events
+            WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events
+                 WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND c.ms BETWEEN p.ms - 300000 AND p.ms
+    ) WHERE rn = 1
+    """,
+    tags=("join", "interval"),
+)
+def j_left_outer_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer interval join finalized to latest-match-or-null.
+
+    Covers J2 stream-stream LEFT OUTER join
+    (rt/app/dwd/db/DwdTradeOrderPreProcess.java:144-147): each purchase
+    keeps its most recent click within the 5-minute lookback, or a
+    null-padded row if none ever arrives. This batch table is exactly
+    what the reference's changelog round-trip (left join emitting
+    retractions → upsert-kafka compaction → latest-row dedup, SURVEY.md
+    O10) converges to; the streaming composition
+    ``left_outer_interval_join_stream → upsert_sink`` is asserted equal
+    to it in tests/test_streaming_join.py. Time compared at ms floor on
+    both sides (parquet ns truncates differently in Spark vs DuckDB).
+    """
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event"),
+        F.col("user_id").alias("p_user"),
+        F.unix_millis("ts").alias("p_ms"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event"),
+        F.col("user_id").alias("c_user"),
+        F.unix_millis("ts").alias("c_ms"),
+    )
+    j = p.join(
+        c,
+        (p.p_user == c.c_user)
+        & (c.c_ms >= p.p_ms - 300000)
+        & (c.c_ms <= p.p_ms),
+        "left",
+    )
+    w = Window.partitionBy("p_event").orderBy(
+        F.desc_nulls_last("c_ms"), F.desc_nulls_last("c_event")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_event", "p_user", "c_event", "c_ms")
     )
 
 

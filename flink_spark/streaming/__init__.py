@@ -20,6 +20,7 @@ operator converges to the matching batch query in
 
 from flink_spark.streaming.jobs import (  # noqa: F401
     interval_join_stream,
+    left_outer_interval_join_stream,
     run_to_memory,
     tumble_stream,
 )

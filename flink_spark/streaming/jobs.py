@@ -82,6 +82,66 @@ def interval_join_stream(
     )
 
 
+def left_outer_interval_join_stream(
+    sdf: DataFrame,
+    lookback: str = "5 minutes",
+    watermark: str = "2 seconds",
+) -> DataFrame:
+    """J2 — stream-stream LEFT OUTER interval join (null-padded).
+
+    Streaming form of ``j_left_outer_interval``
+    (rt/app/dwd/db/DwdTradeOrderPreProcess.java:144-147): purchases
+    left-join clicks by user within a 5-minute lookback. Spark emits a
+    matched row as soon as the pair meets, and the null-padded row only
+    once the click-side watermark passes the purchase's match window —
+    the engine-native equivalent of Flink's retraction stream, with the
+    final-table merge done downstream by ``upsert_sink`` (K3) keyed on
+    ``p_event`` ordered by ``(c_ts, c_event)`` (A5), so the composed
+    J2→K3→A5 dataflow converges to the batch left join (SURVEY.md O10).
+
+    Far-future ``__flush__`` sentinel rows (``replay_events``) are let
+    *through* both side filters so they reach both watermark nodes —
+    Catalyst pushes the ``event_type`` predicate below the watermark
+    operator into the scan, so a sentinel that fails the filter would
+    never advance the watermark and unmatched rows would never
+    null-pad. Sentinel rows carry ``event_id < 0``; consumers MUST
+    drop them *outside* the streaming plan (in foreachBatch or on the
+    merged table) — a ``filter(p_event >= 0)`` inside the streaming
+    query is itself pushed through the join below the p-side watermark
+    and re-strands the global (min-of-sides) watermark. Event times
+    are floored to ms before watermarking so the join window matches
+    the batch/oracle ms-floor semantics.
+    """
+    ms_floor = F.timestamp_millis(F.unix_millis("ts"))
+    p = (
+        sdf.withColumn("ts", ms_floor)
+        .withWatermark("ts", watermark)
+        .filter(F.col("event_type").isin("purchase", "__flush__"))
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("p_event"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    c = (
+        sdf.withColumn("ts", ms_floor)
+        .withWatermark("ts", watermark)
+        .filter(F.col("event_type").isin("click", "__flush__"))
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("c_event"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    return p.join(
+        c,
+        F.expr(
+            f"p_user = c_user AND c_ts BETWEEN p_ts - interval {lookback} AND p_ts"
+        ),
+        "left_outer",
+    )
+
+
 def run_to_memory(
     sdf: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:

@@ -93,6 +93,7 @@ def upsert_sink(
     keys: list[str],
     order_cols: list[str],
     num_buckets: int = 16,
+    output_mode: str = "update",
 ):
     """K3 — changelog/upsert table emulation via bucketed latest-row merge.
 
@@ -145,7 +146,8 @@ def upsert_sink(
         finally:
             b.unpersist()
 
-    return sdf.writeStream.foreachBatch(merge).outputMode("update")
+    # stream-stream joins only run in append mode; aggregations in update
+    return sdf.writeStream.foreachBatch(merge).outputMode(output_mode)
 
 
 def partitioned_table_sink(

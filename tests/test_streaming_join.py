@@ -8,7 +8,12 @@ from pyspark.sql import functions as F
 
 from flink_spark.registry import all_queries
 from flink_spark.sources import load
-from flink_spark.streaming import interval_join_stream, replay_events, run_to_memory
+from flink_spark.streaming import (
+    interval_join_stream,
+    left_outer_interval_join_stream,
+    replay_events,
+    run_to_memory,
+)
 from flink_spark.streaming.sinks import upsert_sink
 
 from conftest import SF_DIR
@@ -28,6 +33,71 @@ def test_stream_stream_interval_join(spark, tmp_path):
     )
     batch = _Q["j_interval_join"].fn(spark, SF_DIR)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_streaming_left_outer_join_changelog(spark, tmp_path):
+    """J2→K3→A5 composed: watermarked stream-stream LEFT OUTER join
+    (matched rows early, null-padded rows at watermark) merged through
+    the upsert sink must equal the batch left-join final table.
+
+    Two successive flush files close the stream: the first advances the
+    watermark past every real event, the second's batch then evicts the
+    remaining unmatched purchases as null-padded rows (watermark updates
+    take effect one micro-batch later)."""
+    import pandas as pd
+
+    ev = load(spark, SF_DIR, "events")
+    pdf = ev.orderBy("ts", "event_id").toPandas()
+    per = math.ceil(len(pdf) / 4)
+    replay_dir = tmp_path / "replay"
+    _write_slices(
+        pdf, replay_dir,
+        [(i, pdf.iloc[i * per:(i + 1) * per]) for i in range(4)],
+    )
+    for i, delay in ((4, 60), (5, 120)):
+        flush = pd.DataFrame(
+            {
+                "event_id": [-1], "user_id": [0],
+                "ts": [pdf["ts"].max() + pd.Timedelta(seconds=delay)],
+                "event_type": ["__flush__"], "value": [0.0], "props": ["{}"],
+            }
+        )[list(pdf.columns)]
+        flush.to_parquet(
+            str(replay_dir / f"{i:04d}.parquet"), index=False,
+            coerce_timestamps="us",
+        )
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(replay_dir))
+    )
+    joined = left_outer_interval_join_stream(sdf)
+    table = str(tmp_path / "upsert")
+    q = (
+        upsert_sink(
+            joined, table,
+            keys=["p_event"], order_cols=["c_ts", "c_event"],
+            output_mode="append",
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # sentinel rows (event_id < 0) are dropped on the merged table, not
+    # inside the streaming plan (see left_outer_interval_join_stream)
+    final = (
+        spark.read.parquet(table)
+        .filter(F.col("p_event") >= 0)
+        .select(
+            "p_event", "p_user", "c_event", F.unix_millis("c_ts").alias("c_ms")
+        )
+    )
+    batch = _Q["j_left_outer_interval"].fn(spark, SF_DIR)
+    assert sorted(map(tuple, final.collect())) == sorted(map(tuple, batch.collect()))
+    # both join paths must actually fire: matched and null-padded
+    assert final.filter(F.col("c_event").isNull()).count() > 0
+    assert final.filter(F.col("c_event").isNotNull()).count() > 0
 
 
 def _write_slices(pdf, out_dir, idx):
