@@ -167,6 +167,40 @@ JOBS: dict[str, JobParity] = {
         notes="dim join placed before the window (group key needs dim fields)",
     ),
     # --- ADS -----------------------------------------------------------
+    # 1:1 @Select parity, mapper by mapper (pub22 = gmall-publisher-2022
+    # /src/main/java/com/atguigu/gmall/publisher/mapper):
+    #   UserStatsMapper.java:12-53 selectUvByPage,
+    #     :38-53 selectUserChangeCtPerType, :55-66 selectTradeUserCt
+    #     → ads_funnel_union (labeled UNION of UV counts; single-scan
+    #       stack rewrite, oracle keeps UNION ALL form)
+    #   CommodityStatsMapper.java:15-37 selectTrademarkStats
+    #     → j_full_outer_metrics (single-key order⟗refund)
+    #   CommodityStatsMapper.java:39-44 selectTmOrderAmtPieGra,
+    #     :119-120 selectGmvByTm → ads_gmv_topk_brand
+    #   CommodityStatsMapper.java:52-91 selectCategoryStats
+    #     → ads_category_fullouter (composite-key ⟗)
+    #   CommodityStatsMapper.java:93-99 selectSpuStats
+    #     → ads_province_stats (group by (id,name), ct+amount rollup)
+    #   CouponStatsMapper.java:10-17, ActivityStatsMapper.java:10-17
+    #     → ads_subsidy_rate (round(round(x,5)/round(y,5),20))
+    #   TrafficKeywordsMapper.java:10-21 → ads_keyword_score
+    #     (keyword × source multiIf weights)
+    #   TradeStatsMapper.java:12-16 selectTotalAmount
+    #     → sql_revenue_forecast (scalar rollup)
+    #   TradeStatsMapper.java:18-38 selectTradeStats
+    #     → u_union_metrics + ads_funnel_union (labeled metric union
+    #       incl. count-distinct legs)
+    #   TradeStatsMapper.java:33-53 selectTradeProvinceOrderCt /
+    #     selectTradeProvinceOrderAmount → ads_province_stats
+    #     (incl. the name IS NOT NULL AND != '' guard)
+    #   TrafficVisitorStatsMapper.java:11-21 selectVisitorTypeStats
+    #     → s_new_vs_returning + ads_channel_stats
+    #   TrafficVisitorStatsMapper.java:23-31 selectVisitorStatsPerHr
+    #     → ads_hourly_stats (toYYYYMMDD/toHour + if(is_new) leg)
+    #   TrafficChannelStatsMapper.java:11-49 selectUvCt/selectSvCt/
+    #     selectPvPerSession/selectDurPerSession/selectUjRate
+    #     → ads_channel_stats (per-channel sums + ratio metrics)
+    #   pub/mapper/UvMapper.java:11-12 → ads_topk_users
     "ADS (pub22 + pub mappers)": JobParity(
         ref="pub22/mapper/*.java, pub/mapper/*.java",
         queries=(
@@ -174,6 +208,12 @@ JOBS: dict[str, JobParity] = {
             "ads_conditional_score",
             "ads_hourly_stats",
             "ads_topk_users",
+            "ads_funnel_union",
+            "ads_category_fullouter",
+            "ads_gmv_topk_brand",
+            "ads_subsidy_rate",
+            "ads_keyword_score",
+            "ads_province_stats",
             "j_full_outer_metrics",
             "u_union_metrics",
             "q1_pricing_summary",
@@ -181,7 +221,8 @@ JOBS: dict[str, JobParity] = {
             "q10_returned_items",
             "sql_revenue_forecast",
         ),
-        notes="20 REST queries → Spark SQL over DWS outputs (A8-A11, J7, T1-T3, U3)",
+        notes="all 22 @Select queries across the 8 pub22 mappers + pub "
+        "UvMapper mapped 1:1 (see comment above for the per-mapper map)",
     ),
 }
 
@@ -210,7 +251,7 @@ OPERATOR_COVERAGE: dict[str, tuple[str, tuple[str, ...]]] = {
     "P7": ("map_filter by config", ("r_config_routing",)),
     "P8": ("aliasing/withColumn throughout", ("p_projection_filter",)),
     "J1": ("streaming/jobs.py:interval_join_stream; batch joins", ("j_two_key_join", "tests/test_streaming_join.py::test_stream_stream_interval_join")),
-    "J2": ("left outer join", ("j_left_outer_enrich",)),
+    "J2": ("left outer join; streaming/jobs.py:left_outer_interval_join_stream (null-pad at watermark → upsert merge)", ("j_left_outer_enrich", "j_left_outer_interval", "tests/test_streaming_join.py::test_streaming_left_outer_join_changelog")),
     "J3": ("broadcast dim join", ("j_broadcast_dim_join",)),
     "J4": ("interval join", ("j_interval_join",)),
     "J5": ("broadcast replaces async point-gets", ("j_broadcast_dim_join",)),

@@ -4,6 +4,9 @@ Modules map to SURVEY.md §2 operator families:
 
 - ``relational``  : P2-P4 projections/filters, J1-J7 joins, A8-A11 +
                     T1-T3 + U3 ADS-style aggregates (batch core).
+- ``ads``         : 1:1 parity with the reference's 20 REST mapper
+                    queries (funnel unions, composite full-outer,
+                    top-k GMV, subsidy rate, keyword score).
 - ``windows``     : A1-A4 tumbling event-time window aggregates.
 - ``state``       : A5-A7, W8 stateful-streaming ops in their exact
                     batch formulations (the oracle semantics).
@@ -18,6 +21,7 @@ Modules map to SURVEY.md §2 operator families:
 """
 
 from flink_spark.plans import (  # noqa: F401
+    ads,
     relational,
     routing,
     similarity,
