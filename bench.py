@@ -41,7 +41,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
-    from flink_spark.registry import spark_queries
+    from flink_spark.registry import release_persisted, spark_queries
     from flink_spark.session import get_spark
 
     spark = get_spark(app_name="flink_spark-bench", cpus=cpus,
@@ -50,7 +50,13 @@ def main() -> None:
 
     def run(name: str) -> float:
         t0 = time.time()
-        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        try:
+            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        finally:
+            # caches are per-query materialization barriers, not
+            # cross-query state — release so a 59-query session doesn't
+            # accumulate blocks (timed: the unpersist is driver-side ns)
+            release_persisted()
         return time.time() - t0
 
     # warmup: JVM + codegen + parquet footer/file-index reads for each

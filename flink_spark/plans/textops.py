@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_spark.functions.text import fingerprint, normalize_text, tokenize, word_shingles
-from flink_spark.registry import query
+from flink_spark.registry import query, track_persist
 from flink_spark.sources import load
 
 # --- shared constants (mirrored literally in the DuckDB oracles) ---
@@ -87,7 +87,7 @@ def _shingled(spark: SparkSession, sf_dir: str, persist: bool = False):
         "doc_id", F.array_distinct(word_shingles(F.col("t"), SHINGLE_N)).alias("sl")
     )
     if persist:
-        sh = sh.persist()
+        sh = track_persist(sh)
     ex = sh.select("doc_id", F.explode("sl").alias("s"))
     return sh, ex
 
@@ -434,7 +434,7 @@ def t_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s")
     # ex2 feeds sizes and BOTH sides of the pair join — persist so the
     # df-cap join runs once, not three times
-    ex2 = ex.join(keep, "s").select("doc_id", "s").persist()
+    ex2 = track_persist(ex.join(keep, "s").select("doc_id", "s"))
     sizes = ex2.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = ex2.alias("a"), ex2.alias("b")
     pairs = (
@@ -810,7 +810,8 @@ def t_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             1,
         ).otherwise(0),
-    ).persist()
+    )
+    e = track_persist(e)
     sh2 = (
         e.filter(F.col("canon") == 1)
         .select("doc_id", tokenize("text").alias("t"))
@@ -819,8 +820,8 @@ def t_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.array_distinct(word_shingles(F.col("t"), SHINGLE_N)).alias("sl"),
         )
-        .persist()
     )
+    sh2 = track_persist(sh2)
     ex = sh2.select("doc_id", F.explode("sl").alias("s"))
     sigs = _hashed_shingles_spark(ex).groupBy("doc_id").agg(*_minhash_cols_spark())
     bands = sigs.select(

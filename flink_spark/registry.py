@@ -47,6 +47,37 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
+_PERSISTED: list[DataFrame] = []
+
+
+def track_persist(df: DataFrame) -> DataFrame:
+    """Persist an intermediate and register it for ``release_persisted``.
+
+    Catalog queries persist shared intermediates (e.g. the LSH shingle
+    table feeding both sides of a candidate join) but return a lazy
+    DataFrame, so they can't unpersist before the caller consumes it.
+    Harnesses that run many queries in one session (bench, the oracle
+    compare, the driver gate) call ``release_persisted()`` after each
+    query's action completes — otherwise cached blocks accumulate for
+    the life of the session and pin executor storage memory.
+    """
+    df = df.persist()
+    # Materialize the barrier eagerly: the tracked intermediates feed
+    # BOTH sides of a downstream self-join, and lazy persist lets the
+    # two join stages race to compute the same partitions (duplicate
+    # work + "Block already exists" churn). count() runs the pipeline
+    # exactly once; every consumer then reads the cache.
+    df.count()
+    _PERSISTED.append(df)
+    return df
+
+
+def release_persisted() -> None:
+    """Unpersist every intermediate tracked by ``track_persist``."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+
+
 def all_queries() -> dict[str, Query]:
     """Name → Query for the full catalog (imports all plan modules)."""
     import flink_spark.plans  # noqa: F401  (registers on import)

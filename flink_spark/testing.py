@@ -56,10 +56,15 @@ def _rows(cols, rows):
 
 def compare(spark, con, q, sf_dir: str) -> list[str]:
     """Run query q both ways; return list of mismatch descriptions."""
+    from flink_spark.registry import release_persisted
+
     errs: list[str] = []
     sdf = q.fn(spark, sf_dir)
     s_cols = sdf.columns
-    s_rows = [tuple(r) for r in sdf.collect()]
+    try:
+        s_rows = [tuple(r) for r in sdf.collect()]
+    finally:
+        release_persisted()
     d = con.execute(q.oracle)
     d_cols = [c[0] for c in d.description]
     d_rows = d.fetchall()
