@@ -136,8 +136,8 @@ def split_events(df: DataFrame) -> tuple[dict[str, DataFrame], DataFrame]:
     SELECT CASE WHEN json_extract_string(props, '$.k') IS NULL
                 THEN 'dirty' ELSE event_type END AS branch,
            COUNT(*) AS row_ct,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
-               AS k_sum
+           CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_sum
     FROM events
     GROUP BY 1
     """,

@@ -448,18 +448,37 @@ def m_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         # STUB: deterministic stand-in for a media decoder. A real
         # implementation would decode payload bytes (image/audio) and
         # emit model features; this computes byte-level statistics so
-        # the full Arrow path is exercised end-to-end.
+        # the full Arrow path is exercised end-to-end. Decoding is
+        # vectorized over the concatenated batch bytes (np.frombuffer
+        # + reduceat) — the shape a real decoder kernel would take,
+        # not a per-row Python loop.
+        import numpy as np
+
         for pdf in batches:
+            lens = pdf["payload"].map(len).to_numpy(dtype="int64")
+            blob = np.frombuffer(b"".join(pdf["payload"]), dtype=np.uint8)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            nonempty = lens > 0
+            sums = np.zeros(len(lens))
+            if blob.size:
+                # consecutive non-empty starts are strictly increasing,
+                # so each reduceat span is exactly one payload's bytes
+                seg = np.add.reduceat(blob.astype("int64"),
+                                      starts[nonempty])
+                sums[nonempty] = seg
+                first = np.where(
+                    nonempty,
+                    blob[np.minimum(starts, blob.size - 1)].astype("int64"),
+                    -1,
+                )
+            else:
+                first = np.full(len(lens), -1, dtype="int64")
             feats = pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": pdf["payload"].map(len).astype("int64"),
-                    "byte_mean": pdf["payload"].map(
-                        lambda b: float(sum(b)) / len(b) if len(b) else 0.0
-                    ),
-                    "first_byte": pdf["payload"].map(
-                        lambda b: int(b[0]) if len(b) else -1
-                    ).astype("int32"),
+                    "n_bytes": lens,
+                    "byte_mean": np.where(nonempty, sums / np.maximum(lens, 1), 0.0),
+                    "first_byte": first.astype("int32"),
                     "source": pdf["source"],
                 }
             )

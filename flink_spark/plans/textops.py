@@ -583,11 +583,11 @@ def t_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def _simhash_sums_sql(dialect: str) -> str:
-    """16 signed bit-sums over the token-hash int ``v`` (16 bits).
+    """SIMHASH_BITS (32) signed bit-sums over the token-hash int ``v``.
 
-    ``v`` is the leading 4 hex chars of md5(token) parsed ONCE into an
-    integer; bit b of the signature reads ``(v >> (15-b)) & 1`` — 16
-    cheap shifts instead of 16 substring/index-of parses per token.
+    ``v`` is the leading 8 hex chars of md5(token) parsed ONCE into an
+    integer; bit b of the signature reads ``(v >> (31-b)) & 1`` — 32
+    cheap shifts instead of 32 substring/index-of parses per token.
     """
     terms = []
     for b in range(SIMHASH_BITS):

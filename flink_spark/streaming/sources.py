@@ -43,6 +43,13 @@ def replay_events(
     with ``event_id < 0``.
     """
     ev = load(spark, sf_dir, "events")
+    n = ev.count()
+    if n > 2_000_000:  # driver-side sort+toPandas below — fixtures only
+        raise ValueError(
+            f"replay_events is a test harness: {n} rows would be "
+            "collected on the driver; use a real Kafka/file stream "
+            "for anything beyond fixture scale"
+        )
     pdf = ev.orderBy("ts", "event_id").toPandas()
     os.makedirs(out_dir, exist_ok=True)
     for stale in os.listdir(out_dir):  # a leftover sentinel slice would replay
