@@ -85,4 +85,12 @@ def get_spark(
     if streaming_scale:
         for k, v in STREAMING_CONFS.items():
             builder = builder.config(k, v)
-    return tune(builder.getOrCreate())
+    spark = tune(builder.getOrCreate())
+    if streaming_scale:
+        # getOrCreate() silently ignores builder confs when a session
+        # already exists; the state-store confs are runtime-settable
+        # SQL confs (read at streaming-query start), so apply them on
+        # the live session too.
+        for k, v in STREAMING_CONFS.items():
+            spark.conf.set(k, v)
+    return spark

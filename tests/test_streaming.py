@@ -330,3 +330,33 @@ def test_kafka_payload_roundtrip(spark):
         ).alias("j")
     ).select("j.*")
     assert _rows(back) == _rows(ev.select("event_id", "user_id", "event_type"))
+
+
+def test_rocksdb_state_store_daily_unique(spark, tmp_path):
+    """W5 at scale: the RocksDB state-store path must actually run.
+
+    ``get_spark(streaming_scale=True)`` declares the RocksDB provider
+    (the Spark analog of the reference's commented-out RocksDB backend,
+    rt/app/dwd/log/BaseLogApp.java:32-44); this proves the conf lands
+    on a live session and a keyed-state query runs on it end-to-end
+    with the same result as the default (HDFS-backed) provider."""
+    from flink_spark.session import STREAMING_CONFS, get_spark
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(provider_key, None)
+    s = get_spark(streaming_scale=True)
+    assert s is spark  # same live session, confs applied at runtime
+    assert "RocksDBStateStoreProvider" in s.conf.get(provider_key)
+    try:
+        sdf = replay_events(spark, SF_DIR, str(tmp_path / "replay"), slices=5)
+        detail = run_to_memory(daily_unique_stream(sdf), "rocksdb_daily_mem")
+        uv = detail.groupBy("date_id").agg(
+            F.countDistinct("user_id").alias("uv")
+        )
+        batch = _Q["s_daily_unique_users"].fn(spark, SF_DIR)
+        assert _rows(uv) == _rows(batch)
+    finally:
+        for k in STREAMING_CONFS:
+            spark.conf.unset(k)
+        if before is not None:
+            spark.conf.set(provider_key, before)
