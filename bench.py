@@ -21,6 +21,10 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "q10_returned_items",
     "j_interval_join",
+    "j_left_outer_interval",
+    "ads_category_fullouter",
+    "ads_gmv_topk_brand",
+    "ads_keyword_score",
     "w_tumble_10s_keyed",
     "w_keyword_tumble",
     "s_dedup_latest",

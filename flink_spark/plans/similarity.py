@@ -46,6 +46,7 @@ Scale notes (100 TB stance)
 from __future__ import annotations
 
 import hashlib
+import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -56,7 +57,13 @@ from flink_spark.sources import load
 DIM = 64              # embedding width of the fixture corpus
 N_QUERIES = 10        # vec_id < 10 form the query set
 TOPK = 5
-LSH_BITS = 4          # 2^4 = 16 buckets
+# Bucket count is the corpus-size knob for the in-bucket self-join
+# (embedding near-dup): candidates scale with n^2 / 2^bits, so raise
+# bits with the corpus (rule of thumb: bits ≈ log2(n_vectors) - 7 for
+# ~128 vectors/bucket). The env override rebuilds the Spark plan AND
+# the DuckDB oracle from the same hyperplane set, so correctness
+# checks hold at any width.
+LSH_BITS = int(os.environ.get("FLINK_SPARK_LSH_BITS", "4"))
 LSH_TOPK = 3
 
 

@@ -36,6 +36,8 @@ Scale notes (100 TB stance)
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -51,8 +53,21 @@ DF_CAP = 100           # drop shingles appearing in >100 docs (stop-shingle filt
 JACCARD_THRESHOLD = 0.8
 MINHASHES = 16         # 16 hashes = 4 bands x 4 rows
 LSH_BANDS = 4
-SIMHASH_BITS = 32      # packed from the first 8 md5 hex nibbles
+# SimHash width is the corpus-size knob for the hamming-band self-join:
+# candidates per chunk scale with (n_docs / 2^chunk_bits)^2, so widen the
+# signature as the corpus grows (rule of thumb: chunk_bits >= log2(n_docs)
+# - 5, i.e. 32 bits to ~200k docs, 48 bits to ~50M, 56 beyond). The env
+# override rebuilds BOTH the Spark plan and the DuckDB oracle from the
+# same constant, so correctness checks hold at any width. Must be
+# divisible by 4 (chunks) and by 4 (hex nibbles); <= 56 so the packed
+# signature and the parsed token hash stay well inside int64.
+SIMHASH_BITS = int(os.environ.get("FLINK_SPARK_SIMHASH_BITS", "32"))
 HAMMING_MAX = 3
+SIMHASH_CHUNKS = HAMMING_MAX + 1   # pigeonhole: hamming<=3 ⇒ 1 equal chunk
+assert SIMHASH_BITS % (4 * SIMHASH_CHUNKS) == 0 and SIMHASH_BITS <= 56
+_SIMHASH_HEX = SIMHASH_BITS // 4           # md5 prefix nibbles parsed
+_CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS
+_CHUNK_MASK = (1 << _CHUNK_BITS) - 1
 
 # DuckDB fragments
 _NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
@@ -614,7 +629,7 @@ def _simhash_pack_sql() -> str:
     oracle=f"""
     WITH toks AS (
       SELECT doc_id,
-             CAST(concat('0x', substr(md5(unnest({_TOKS})), 1, 8)) AS BIGINT) AS v
+             CAST(concat('0x', substr(md5(unnest({_TOKS})), 1, {_SIMHASH_HEX})) AS BIGINT) AS v
       FROM documents
     ),
     sums AS (
@@ -626,8 +641,9 @@ def _simhash_pack_sql() -> str:
       SELECT doc_id, CAST({_simhash_pack_sql()} AS BIGINT) AS simhash FROM sums
     ),
     chunks AS (
-      SELECT doc_id, simhash, c AS chunk_idx, (simhash >> (8 * c)) & 255 AS chunk
-      FROM sig, unnest([0, 1, 2, 3]) AS u(c)
+      SELECT doc_id, simhash, c AS chunk_idx,
+             (simhash >> ({_CHUNK_BITS} * c)) & {_CHUNK_MASK} AS chunk
+      FROM sig, unnest({list(range(SIMHASH_CHUNKS))}) AS u(c)
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
@@ -655,8 +671,8 @@ def t_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(tokenize("text")).alias("w")).select(
         "doc_id",
-        F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 8), 16, 10)
-        .cast("long").alias("v"),
+        F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, _SIMHASH_HEX),
+               16, 10).cast("long").alias("v"),
     )
     sums = toks.groupBy("doc_id").agg(
         *[F.expr(t.replace(" AS b", " as b")).alias(f"b{i}")
@@ -667,8 +683,13 @@ def t_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     chunks = sig.select(
         "doc_id", "simhash",
-        F.explode(F.array(*[F.lit(c) for c in range(4)])).alias("chunk_idx"),
-    ).withColumn("chunk", F.expr("shiftright(simhash, 8 * chunk_idx) & 255"))
+        F.explode(
+            F.array(*[F.lit(c) for c in range(SIMHASH_CHUNKS)])
+        ).alias("chunk_idx"),
+    ).withColumn(
+        "chunk",
+        F.expr(f"shiftright(simhash, {_CHUNK_BITS} * chunk_idx) & {_CHUNK_MASK}"),
+    )
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(b, (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
