@@ -94,3 +94,28 @@ def test_whole_stage_codegen_present(spark, name):
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in final, name
     assert "*(" in final, f"{name}: no codegen stage in final plan"
+
+
+def test_ads_funnel_union_single_scan(spark):
+    """The reference's 5-way UNION ALL is rewritten to ONE events scan
+    (conditional aggregates + stack); the plan must not re-scan."""
+    plan = _plan(_Q["ads_funnel_union"].fn(spark, SF_DIR), "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    # the 5 conditional count-distincts compile to one Expand, not 5 unions
+    assert "Expand" in plan and "Union" not in plan
+
+
+def test_ads_joins_broadcast_and_no_cartesian(spark):
+    for name in [
+        "ads_gmv_topk_brand",
+        "ads_category_fullouter",
+        "j_left_outer_interval",
+        "ads_province_stats",
+    ]:
+        plan = _plan(_Q[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    # the part dim must broadcast into the fact scan
+    plan = _plan(_Q["ads_gmv_topk_brand"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
