@@ -93,10 +93,11 @@ def r_config_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("value"), F.col("value").cast("decimal(18,2)").cast("string"),
         F.lit("props"), F.col("props"),
     )
+    # split the column list on the 5-row config side, not per event row
+    cfg = cfg.withColumn("keep", F.split("sink_columns", ","))
     routed = (
         ev.withColumn("data", data)
         .join(F.broadcast(cfg), F.col("event_type") == F.col("source_type"))
-        .withColumn("keep", F.split("sink_columns", ","))
         .withColumn(
             "pruned",
             F.map_filter("data", lambda k, _v: F.array_contains(F.col("keep"), k)),
