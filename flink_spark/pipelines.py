@@ -131,6 +131,7 @@ JOBS: dict[str, JobParity] = {
     "DwsUserUserLoginWindow": JobParity(
         ref="rt/app/dws/DwsUserUserLoginWindow.java",
         queries=("s_returning_users_7d", "w_tumble_10s_global"),
+        streaming=("state.returning_users_stream",),
         notes="7-day back-flow rule (intended semantics; ref has precedence bug)",
     ),
     "DwsUserUserRegisterWindow": JobParity(

@@ -40,4 +40,5 @@ from flink_spark.streaming.state import (  # noqa: F401
     cep_jump_stream,
     daily_unique_stream,
     is_new_correction_stream,
+    returning_users_stream,
 )

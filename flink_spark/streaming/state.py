@@ -73,6 +73,64 @@ def daily_unique_stream(sdf: DataFrame, watermark: str = "2 seconds") -> DataFra
     )
 
 
+_RETURNING_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("date_id", T.StringType()),
+        T.StructField("is_back", T.IntegerType()),
+    ]
+)
+_RETURNING_STATE = T.StructType([T.StructField("last_date", T.StringType())])
+
+
+def returning_users_stream(sdf: DataFrame, watermark: str = "2 seconds") -> DataFrame:
+    """7-day "back-flow" returning-user detection per login day.
+
+    (rt/app/dws/DwsUserUserLoginWindow.java:111-117): keyed ValueState
+    holds each user's last active date; on the first event of a new
+    day the user counts as active, and as "back" when the gap since
+    the stored date exceeds 7 days. (The reference's expression has a
+    precedence bug at :114 — division binds before subtraction; we
+    implement the intended days-between > 7, as documented in
+    SURVEY.md §7.2(5).) Downstream ``groupBy(date_id).agg(count,
+    sum(is_back))`` equals batch ``s_returning_users_7d``.
+    """
+
+    def fn(key, pdfs, state):
+        from datetime import date
+
+        import pandas as pd
+
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            return
+        last = state.get[0] if state.exists else None
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for d in pdf["ts"].dt.strftime("%Y-%m-%d"):
+                if last is None or d > last:
+                    back = (
+                        1
+                        if last is not None
+                        and (date.fromisoformat(d) - date.fromisoformat(last)).days > 7
+                        else 0
+                    )
+                    out.append((key[0], d, back))
+                    last = d
+        state.update((last,))
+        if out:
+            yield pd.DataFrame(out, columns=["user_id", "date_id", "is_back"])
+
+    return (
+        sdf.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, _RETURNING_OUT, _RETURNING_STATE, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 _VISITOR_OUT = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

@@ -360,3 +360,19 @@ def test_rocksdb_state_store_daily_unique(spark, tmp_path):
             spark.conf.unset(k)
         if before is not None:
             spark.conf.set(provider_key, before)
+
+
+def test_returning_users_stream_equals_batch(spark, tmp_path):
+    """DwsUserUserLoginWindow parity: keyed last-active-date state
+    emits (active, back>7d) per user-day; rolled up it must equal the
+    batch lag-window formulation s_returning_users_7d."""
+    from flink_spark.streaming import returning_users_stream
+
+    sdf = replay_events(spark, SF_DIR, str(tmp_path / "replay"), slices=5)
+    detail = run_to_memory(returning_users_stream(sdf), "returning_mem")
+    rolled = detail.groupBy("date_id").agg(
+        F.count(F.lit(1)).alias("active_users"),
+        F.sum("is_back").cast("long").alias("back_users"),
+    )
+    batch = _Q["s_returning_users_7d"].fn(spark, SF_DIR)
+    assert _rows(rolled) == _rows(batch)
