@@ -64,9 +64,19 @@ JOBS: dict[str, JobParity] = {
     ),
     "DwdTradeOrderPreProcess": JobParity(
         ref="rt/app/dwd/db/DwdTradeOrderPreProcess.java",
-        queries=("j_left_outer_enrich", "j_two_key_join", "p_cdc_map_projection"),
-        streaming=("jobs.interval_join_stream", "sinks.upsert_sink"),
-        notes="5-way stream join + upsert-kafka changelog (final-table equivalent)",
+        queries=(
+            "j_left_outer_enrich",
+            "j_left_outer_interval",
+            "j_two_key_join",
+            "p_cdc_map_projection",
+        ),
+        streaming=(
+            "jobs.interval_join_stream",
+            "jobs.left_outer_interval_join_stream",
+            "sinks.upsert_sink",
+        ),
+        notes="5-way stream join + upsert-kafka changelog (final-table "
+        "equivalent; left-outer null-pads at watermark, J2→K3→A5)",
     ),
     "DwdTradeOrderDetail": JobParity(
         ref="rt/app/dwd/db/DwdTradeOrderDetail.java",
