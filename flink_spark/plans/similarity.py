@@ -495,6 +495,79 @@ def m_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assets.mapInPandas(_fake_decode, schema=schema)
 
 
+# frame sampling geometry: 64-byte "frames", every 4th sampled, max 8
+FRAME_BYTES = 64
+FRAME_STRIDE = 4
+MAX_FRAMES = 8
+
+
+@query(
+    "m_frame_sample",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+    )
+    SELECT doc_id,
+           k AS frame_idx,
+           k * {FRAME_STRIDE * FRAME_BYTES} AS byte_offset,
+           md5(substring(text, k * {FRAME_STRIDE * FRAME_BYTES} + 1,
+                         {FRAME_BYTES})) AS frame_md5
+    FROM p, generate_series(0, {MAX_FRAMES - 1}) AS g(k)
+    WHERE k * {FRAME_STRIDE * FRAME_BYTES} + {FRAME_BYTES} <= n
+    """,
+    tags=("similarity", "multimodal", "pandas-udf"),
+)
+def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary assets — oracle-checked mapInPandas.
+
+    The frame-extraction stage of a video/audio pipeline: each binary
+    payload yields every ``FRAME_STRIDE``-th fixed-width frame (up to
+    ``MAX_FRAMES``), one output row per sampled frame with its offset
+    and content fingerprint — the 1→N row shape a real keyframe
+    sampler produces. Runs as an Arrow-batched ``mapInPandas`` stage
+    (slicing + hashing in Python, the plumbing a real ffmpeg/PIL
+    kernel plugs into), yet is fully DuckDB-oracle-checked: the
+    fixture payloads are pure ASCII (octet_length == length for every
+    doc, asserted by the pipeline), so byte slices equal character
+    slices and ``hashlib.md5`` of the slice equals SQL ``md5``. At
+    scale: row-local (no shuffle), output partitioning inherits the
+    input, frame volume is bounded per asset.
+    """
+    import hashlib as _hl
+
+    import pandas as pd  # noqa: PLC0415 — worker-side import pattern
+
+    docs = load(spark, sf_dir, "documents")
+    assets = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
+
+    step = FRAME_STRIDE * FRAME_BYTES
+
+    def _sample(batches):
+        for pdf in batches:
+            ids, idxs, offs, fps = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for k in range(MAX_FRAMES):
+                    off = k * step
+                    if off + FRAME_BYTES > len(b):
+                        break
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    offs.append(off)
+                    fps.append(_hl.md5(b[off:off + FRAME_BYTES]).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "byte_offset": pd.Series(offs, dtype="int64"),
+                    "frame_md5": pd.Series(fps, dtype="object"),
+                }
+            )
+
+    schema = "doc_id long, frame_idx long, byte_offset long, frame_md5 string"
+    return assets.mapInPandas(_sample, schema=schema)
+
+
 # --------------------------------------------------------------------------
 # IVF-flat ANN (coarse quantizer + probed cells) — the other scale path
 # --------------------------------------------------------------------------
