@@ -568,6 +568,63 @@ def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assets.mapInPandas(_sample, schema=schema)
 
 
+RESIZE_STRIDE = 4  # keep every 4th byte — the downsample ratio
+
+
+@query(
+    "m_resize_bytes",
+    oracle=f"""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           CAST(len(range(1, length(text) + 1, {RESIZE_STRIDE})) AS BIGINT)
+               AS resized_bytes,
+           md5(array_to_string(
+                 list_transform(range(1, length(text) + 1, {RESIZE_STRIDE}),
+                                i -> substring(text, i, 1)), '')) AS resized_md5
+    FROM documents
+    """,
+    tags=("similarity", "multimodal", "pandas-udf"),
+)
+def m_resize_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample ("resize") binary assets — oracle-checked mapInPandas.
+
+    The resize stage of an image pipeline: each payload is reduced by
+    keeping every ``RESIZE_STRIDE``-th byte (the stand-in for bilinear
+    downsampling; no image libs in this container) and fingerprinted.
+    Same contract as ``m_frame_sample``: Arrow-batched Python slicing,
+    but the ASCII fixture payloads make the output reproducible in SQL,
+    so the driver gets a full value-level oracle on the 1→1 resize
+    shape (vs the 1→N frame-sample shape). Row-local — no shuffle, no
+    skew, output size n/stride per asset.
+    """
+    import hashlib as _hl
+
+    import pandas as pd  # noqa: PLC0415 — worker-side import pattern
+
+    docs = load(spark, sf_dir, "documents")
+    assets = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
+
+    def _resize(batches):
+        for pdf in batches:
+            rows = [
+                (
+                    doc_id,
+                    len(b),
+                    len(b[::RESIZE_STRIDE]),
+                    _hl.md5(b[::RESIZE_STRIDE]).hexdigest(),
+                )
+                for doc_id, b in (
+                    (d, bytes(p)) for d, p in zip(pdf["doc_id"], pdf["payload"])
+                )
+            ]
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_bytes", "resized_bytes", "resized_md5"]
+            )
+
+    schema = "doc_id long, n_bytes long, resized_bytes long, resized_md5 string"
+    return assets.mapInPandas(_resize, schema=schema)
+
+
 # --------------------------------------------------------------------------
 # IVF-flat ANN (coarse quantizer + probed cells) — the other scale path
 # --------------------------------------------------------------------------
