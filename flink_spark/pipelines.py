@@ -268,7 +268,7 @@ OPERATOR_COVERAGE: dict[str, tuple[str, tuple[str, ...]]] = {
     "J5": ("broadcast replaces async point-gets", ("j_broadcast_dim_join",)),
     "J5a": ("pre-flattened snowflake + broadcast", ("q5_local_supplier_volume",)),
     "J6": ("broadcast config join", ("r_config_routing",)),
-    "J7": ("full outer join", ("j_full_outer_metrics",)),
+    "J7": ("full outer join (single + composite key)", ("j_full_outer_metrics", "ads_category_fullouter")),
     "A1": ("windows.py keyed tumble", ("w_tumble_10s_keyed",)),
     "A2": ("windows.py global tumble", ("w_tumble_10s_global",)),
     "A3": ("tokenize+explode+tumble", ("w_keyword_tumble",)),
@@ -276,14 +276,14 @@ OPERATOR_COVERAGE: dict[str, tuple[str, tuple[str, ...]]] = {
     "A5": ("latest-row dedup", ("s_dedup_latest",)),
     "A6": ("daily dedup", ("s_daily_unique_users",)),
     "A7": ("visitor-flag correction", ("s_new_vs_returning",)),
-    "A8": ("ADS rollups", ("ads_channel_stats", "ads_hourly_stats")),
-    "A9": ("ratio metrics", ("ads_channel_stats",)),
-    "A10": ("conditional aggregation", ("ads_conditional_score",)),
+    "A8": ("ADS rollups", ("ads_channel_stats", "ads_hourly_stats", "ads_province_stats")),
+    "A9": ("ratio metrics", ("ads_channel_stats", "ads_subsidy_rate")),
+    "A10": ("conditional aggregation", ("ads_conditional_score", "ads_keyword_score")),
     "A11": ("count(distinct) dailies", ("s_daily_unique_users",)),
-    "T1-T3": ("TakeOrderedAndProject top-k", ("ads_topk_users", "q3_shipping_priority")),
+    "T1-T3": ("TakeOrderedAndProject top-k", ("ads_topk_users", "ads_gmv_topk_brand", "q3_shipping_priority")),
     "U1": ("union", ("u_union_metrics",)),
     "U2": ("CEP match ∪ timeout", ("s_cep_jump", "tests/test_streaming.py::test_cep_jump_stream_equals_batch")),
-    "U3": ("labeled metric union", ("u_union_metrics",)),
+    "U3": ("labeled metric union (single-scan stack rewrite)", ("u_union_metrics", "ads_funnel_union")),
     "2.9": ("functions/scalar.py + functions/text.py", ("f_scalar_datetime", "ads_hourly_stats")),
     "W1": ("withWatermark", ("tests/test_streaming.py::test_tumble_stream_equals_batch",)),
     "W2": ("event-time fallback chain", ("w_event_time_fallback",)),

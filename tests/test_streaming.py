@@ -376,3 +376,38 @@ def test_returning_users_stream_equals_batch(spark, tmp_path):
     )
     batch = _Q["s_returning_users_7d"].fn(spark, SF_DIR)
     assert _rows(rolled) == _rows(batch)
+
+
+def test_upsert_sink_ignores_stale_crash_debris(spark, tmp_path):
+    """A crashed epoch can leave __stage / __old dirs next to the
+    table; they live OUTSIDE the table path, so partition discovery
+    must never pick them up and the next run must still converge."""
+    import os
+
+    import pandas as pd
+
+    table = str(tmp_path / "upsert")
+    # debris from a hypothetical crashed epoch, sitting beside the table
+    for debris in [f"{table}.__stage-99", f"{table}.__old-99-_ub=3"]:
+        os.makedirs(os.path.join(debris, "_ub=0"), exist_ok=True)
+        pd.DataFrame({"user_id": [999999], "poison": [1]}).to_parquet(
+            os.path.join(debris, "_ub=0", "part-poison.parquet"), index=False
+        )
+    sdf = replay_events(spark, SF_DIR, str(tmp_path / "replay"), slices=4)
+    q = (
+        upsert_sink(sdf, table, keys=["user_id"], order_cols=["ts", "event_id"])
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = spark.read.parquet(table)
+    assert "poison" not in final.columns
+    got = final.select(
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+        F.unix_millis("ts").alias("last_ms"),
+    )
+    batch = _Q["s_dedup_latest"].fn(spark, SF_DIR)
+    assert _rows(got) == _rows(batch)
