@@ -245,12 +245,12 @@ OPERATOR_COVERAGE: dict[str, tuple[str, tuple[str, ...]]] = {
     "S2": ("streaming/sources.py:kafka_json_source", ()),
     "S3": ("streaming/sources.py:cdc_envelope_schema", ("p_cdc_map_projection",)),
     "S4": ("streaming/sources.py:cdc_envelope_source (Debezium→Kafka topic)", ()),
-    "S5": ("sources/__init__.py:jdbc_dim", ("j_broadcast_dim_join",)),
+    "S5": ("sources/__init__.py:jdbc_dim (real Derby-embedded test)", ("j_broadcast_dim_join", "tests/test_jdbc.py::test_jdbc_dim_partitioned_read_and_broadcast_join")),
     "S6": ("streaming/sources.py:socket_source", ()),
     "K1": ("streaming/sinks.py:kafka_payload", ("tests/test_streaming.py::test_kafka_payload_roundtrip",)),
     "K2": ("streaming/sinks.py:kafka_payload", ()),
     "K3": ("streaming/sinks.py:upsert_sink", ("s_dedup_latest", "tests/test_streaming.py::test_upsert_sink_latest_row")),
-    "K4": ("streaming/sinks.py:foreach_batch_sink", ()),
+    "K4": ("streaming/sinks.py:foreach_batch_sink (real Derby-embedded test)", ("tests/test_jdbc.py::test_jdbc_foreach_batch_sink_appends",)),
     "K5": ("streaming/sinks.py:routed_dim_sink", ("tests/test_streaming.py::test_routed_dim_sink",)),
     "K6": ("streaming/sinks.py:console_sink", ()),
     "P1": ("plans/routing.py:split_events", ("p_split_counts", "tests/test_routing.py::test_split_dirty_side_output")),

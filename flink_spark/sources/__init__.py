@@ -55,6 +55,7 @@ def jdbc_dim(
     table: str,
     partition_column: str | None = None,
     num_partitions: int = 1,
+    quote: str = '"',
     **options: str,
 ) -> DataFrame:
     """S5 — JDBC dimension snapshot (rt/utils/MySqlUtil.java:5-29).
@@ -65,21 +66,28 @@ def jdbc_dim(
     broadcast IS the cache — refresh cadence = batch trigger). For big
     dims pass ``partition_column``/``num_partitions`` so the read
     parallelizes instead of funneling through one connection.
-    Cluster-only: needs a JDBC driver on the classpath and a live DB.
+    Exercised for real against Derby embedded (bundled with Spark) in
+    ``tests/test_jdbc.py``; any server DB only changes the url/driver.
+
+    ``quote`` wraps identifiers in the bounds query — ANSI double
+    quotes by default (Derby/Postgres; Spark's JDBC writer creates
+    case-sensitive quoted columns, so unquoted identifiers would
+    upcase and miss). MySQL callers pass ``quote='`'``.
     """
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     if partition_column is not None:
+        qc = f"{quote}{partition_column}{quote}"
         bounds = spark.read.format("jdbc").option("url", url).option(
             "query",
-            f"SELECT MIN({partition_column}) lo, MAX({partition_column}) hi FROM {table}",
+            f"SELECT MIN({qc}) lo, MAX({qc}) hi FROM {table}",
         )
         for k, v in options.items():
             bounds = bounds.option(k, v)
         row = bounds.load().collect()[0]
         reader = (
             reader.option("partitionColumn", partition_column)
-            .option("lowerBound", str(row["lo"]))
-            .option("upperBound", str(row["hi"]))
+            .option("lowerBound", str(row[0]))   # positional: alias case
+            .option("upperBound", str(row[1]))   # differs per dialect
             .option("numPartitions", str(num_partitions))
         )
     for k, v in options.items():
