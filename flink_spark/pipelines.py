@@ -246,7 +246,7 @@ OPERATOR_COVERAGE: dict[str, tuple[str, tuple[str, ...]]] = {
     "S3": ("streaming/sources.py:cdc_envelope_schema", ("p_cdc_map_projection",)),
     "S4": ("streaming/sources.py:cdc_envelope_source (Debezium→Kafka topic)", ()),
     "S5": ("sources/__init__.py:jdbc_dim (real Derby-embedded test)", ("j_broadcast_dim_join", "tests/test_jdbc.py::test_jdbc_dim_partitioned_read_and_broadcast_join")),
-    "S6": ("streaming/sources.py:socket_source", ()),
+    "S6": ("streaming/sources.py:socket_source (real TCP test)", ("tests/test_streaming.py::test_socket_source_word_count",)),
     "K1": ("streaming/sinks.py:kafka_payload", ("tests/test_streaming.py::test_kafka_payload_roundtrip",)),
     "K2": ("streaming/sinks.py:kafka_payload", ()),
     "K3": ("streaming/sinks.py:upsert_sink", ("s_dedup_latest", "tests/test_streaming.py::test_upsert_sink_latest_row")),

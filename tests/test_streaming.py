@@ -411,3 +411,52 @@ def test_upsert_sink_ignores_stale_crash_debris(spark, tmp_path):
     )
     batch = _Q["s_dedup_latest"].fn(spark, SF_DIR)
     assert _rows(got) == _rows(batch)
+
+
+def test_socket_source_word_count(spark):
+    """S6 for real: a local TCP server feeds lines into Spark's socket
+    source; the tokenize+count stream is the reference's introductory
+    Flink01 socket word count."""
+    import socket
+    import threading
+    import time
+
+    from flink_spark.streaming.sources import socket_source
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+    srv.listen(1)
+
+    def feed():
+        conn, _ = srv.accept()
+        for line in ["spark graft", "flink spark", "spark"]:
+            conn.sendall((line + "\n").encode())
+        time.sleep(5)  # keep the socket open until the query drains it
+        conn.close()
+
+    threading.Thread(target=feed, daemon=True).start()
+    sdf = socket_source(spark, "127.0.0.1", port)
+    counts = (
+        sdf.select(F.explode(F.split("value", " ")).alias("w")).groupBy("w").count()
+    )
+    q = (
+        counts.writeStream.format("memory").queryName("sock_mem")
+        .outputMode("complete").start()
+    )
+    try:
+        rows = {}
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            rows = {
+                r["w"]: r["count"]
+                for r in spark.sql("SELECT * FROM sock_mem").collect()
+            }
+            if rows.get("spark") == 3:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        srv.close()
+    assert rows == {"spark": 3, "graft": 1, "flink": 1}
