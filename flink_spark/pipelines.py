@@ -263,7 +263,7 @@ OPERATOR_COVERAGE: dict[str, tuple[str, tuple[str, ...]]] = {
     "P8": ("aliasing/withColumn throughout", ("p_projection_filter",)),
     "J1": ("streaming/jobs.py:interval_join_stream; batch joins", ("j_two_key_join", "tests/test_streaming_join.py::test_stream_stream_interval_join")),
     "J2": ("left outer join; streaming/jobs.py:left_outer_interval_join_stream (null-pad at watermark → upsert merge)", ("j_left_outer_enrich", "j_left_outer_interval", "tests/test_streaming_join.py::test_streaming_left_outer_join_changelog")),
-    "J3": ("broadcast dim join", ("j_broadcast_dim_join",)),
+    "J3": ("broadcast dim join; per-batch dim re-snapshot = temporal AS OF", ("j_broadcast_dim_join", "tests/test_streaming.py::test_lookup_join_sees_dim_updates")),
     "J4": ("interval join", ("j_interval_join",)),
     "J5": ("broadcast replaces async point-gets", ("j_broadcast_dim_join",)),
     "J5a": ("pre-flattened snowflake + broadcast", ("q5_local_supplier_volume",)),

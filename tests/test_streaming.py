@@ -460,3 +460,53 @@ def test_socket_source_word_count(spark):
         q.stop()
         srv.close()
     assert rows == {"spark": 3, "graft": 1, "flink": 1}
+
+
+def test_lookup_join_sees_dim_updates(spark, tmp_path):
+    """J3's temporal property: the reference's FOR SYSTEM_TIME AS OF
+    lookup join reads the dim AS OF each row's processing time (10-row
+    /1h cache). The Spark shape re-snapshots the dim every micro-batch
+    inside foreachBatch, so a dim update lands in the next batch."""
+    import pandas as pd
+
+    dim_dir = str(tmp_path / "dim")
+    out_dir = str(tmp_path / "out")
+
+    def write_dim(version):
+        pd.DataFrame(
+            {"et": ["click", "view", "purchase", "signup", "error"],
+             "label": [f"{e}_{version}" for e in
+                       ["click", "view", "purchase", "signup", "error"]]}
+        ).to_parquet(f"{dim_dir}/dim.parquet", index=False)
+
+    import os
+
+    os.makedirs(dim_dir, exist_ok=True)
+    write_dim("v1")
+    sdf = replay_events(spark, SF_DIR, str(tmp_path / "replay"), slices=2)
+
+    def enrich(batch, epoch):
+        dim = batch.sparkSession.read.parquet(dim_dir)  # fresh snapshot
+        (
+            batch.join(F.broadcast(dim), batch.event_type == dim.et)
+            .select("event_id", "label")
+            .write.mode("append").parquet(out_dir)
+        )
+        write_dim("v2")  # dim update lands between micro-batches
+
+    q = (
+        sdf.writeStream.foreachBatch(enrich)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(out_dir)
+    versions = {
+        r["v"] for r in out.select(
+            F.substring_index("label", "_", -1).alias("v")
+        ).distinct().collect()
+    }
+    assert versions == {"v1", "v2"}  # both dim snapshots were observed
+    ev_ct = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert out.count() == ev_ct  # every event enriched exactly once
