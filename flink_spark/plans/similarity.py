@@ -629,7 +629,11 @@ def m_resize_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IVF-flat ANN (coarse quantizer + probed cells) — the other scale path
 # --------------------------------------------------------------------------
 
-IVF_CELLS = 8
+# Cell count is IVF's corpus-size knob: per-query candidate volume is
+# probes × (n_vectors / cells), so raise cells with the corpus (FAISS
+# rule of thumb: cells ≈ sqrt(n)). Env override rebuilds Spark plan AND
+# DuckDB oracle from the same md5-derived centroid set.
+IVF_CELLS = int(os.environ.get("FLINK_SPARK_IVF_CELLS", "8"))
 IVF_PROBES = 2
 
 
