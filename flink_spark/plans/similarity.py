@@ -429,7 +429,20 @@ def t_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("m_decode_features", tags=("similarity", "multimodal", "pandas-udf"))
+@query(
+    "m_decode_features",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           CAST(list_sum(list_transform(range(1, length(text) + 1),
+                         i -> ord(substring(text, i, 1)))) AS DOUBLE)
+               / octet_length(encode(text)) AS byte_mean,
+           CAST(ord(substring(text, 1, 1)) AS INTEGER) AS first_byte,
+           source
+    FROM documents
+    """,
+    tags=("similarity", "multimodal", "pandas-udf"),
+)
 def m_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched multimodal decode/feature-extract (mapInPandas).
 
@@ -441,8 +454,12 @@ def m_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark-side plumbing — schema contract, batch iteration, partition
     parallelism — is exactly what a real decoder plugs into.
 
-    No SQL oracle (the feature extractor is not SQL-expressible);
-    driver records the rows-only check. Determinism is pytest-asserted.
+    Fully oracle-checked despite the Python stage: the ASCII fixture
+    payloads make the byte statistics SQL-expressible (per-char ord
+    fold in DuckDB equals the numpy reduceat over bytes, and integer
+    sums divide to identical float64s), so the Arrow path gets a
+    value-level check. A real (non-reproducible) decoder would drop
+    back to the rows-only check + pytest value pins.
     """
     import pandas as pd  # noqa: PLC0415 — worker-side import pattern
 
