@@ -434,10 +434,12 @@ def t_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            octet_length(encode(text)) AS n_bytes,
-           CAST(list_sum(list_transform(range(1, length(text) + 1),
-                         i -> ord(substring(text, i, 1)))) AS DOUBLE)
-               / octet_length(encode(text)) AS byte_mean,
-           CAST(ord(substring(text, 1, 1)) AS INTEGER) AS first_byte,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE CAST(list_sum(list_transform(range(1, length(text) + 1),
+                              i -> ord(substring(text, i, 1)))) AS DOUBLE)
+                     / octet_length(encode(text)) END AS byte_mean,
+           CAST(CASE WHEN length(text) = 0 THEN -1
+                     ELSE ord(substring(text, 1, 1)) END AS INTEGER) AS first_byte,
            source
     FROM documents
     """,
@@ -545,7 +547,8 @@ def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (slicing + hashing in Python, the plumbing a real ffmpeg/PIL
     kernel plugs into), yet is fully DuckDB-oracle-checked: the
     fixture payloads are pure ASCII (octet_length == length for every
-    doc, asserted by the pipeline), so byte slices equal character
+    doc — pinned by ``tests/test_multimodal.py::test_fixture_payloads_ascii``),
+    so byte slices equal character
     slices and ``hashlib.md5`` of the slice equals SQL ``md5``. At
     scale: row-local (no shuffle), output partitioning inherits the
     input, frame volume is bounded per asset.

@@ -58,13 +58,16 @@ LSH_BANDS = 4
 # signature as the corpus grows (rule of thumb: chunk_bits >= log2(n_docs)
 # - 5, i.e. 32 bits to ~200k docs, 48 bits to ~50M, 56 beyond). The env
 # override rebuilds BOTH the Spark plan and the DuckDB oracle from the
-# same constant, so correctness checks hold at any width. Must be
-# divisible by 4 (chunks) and by 4 (hex nibbles); <= 56 so the packed
-# signature and the parsed token hash stay well inside int64.
+# same constant, so correctness checks hold at any width. Must be a
+# multiple of 4: the signature is parsed from whole md5 nibbles AND
+# split into SIMHASH_CHUNKS=4 equal chunks (chunk extraction is pure
+# bit arithmetic, so chunks themselves need no nibble alignment —
+# valid widths are 16, 20, 24, …, 56). <= 56 keeps the packed
+# signature and the parsed token hash well inside int64.
 SIMHASH_BITS = int(os.environ.get("FLINK_SPARK_SIMHASH_BITS", "32"))
 HAMMING_MAX = 3
 SIMHASH_CHUNKS = HAMMING_MAX + 1   # pigeonhole: hamming<=3 ⇒ 1 equal chunk
-assert SIMHASH_BITS % (4 * SIMHASH_CHUNKS) == 0 and SIMHASH_BITS <= 56
+assert SIMHASH_BITS % 4 == 0 and 16 <= SIMHASH_BITS <= 56
 _SIMHASH_HEX = SIMHASH_BITS // 4           # md5 prefix nibbles parsed
 _CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS
 _CHUNK_MASK = (1 << _CHUNK_BITS) - 1

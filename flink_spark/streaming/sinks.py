@@ -18,11 +18,12 @@ shapes:
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -61,30 +62,75 @@ def foreach_batch_sink(
     return sdf.writeStream.foreachBatch(writer).outputMode("update")
 
 
-_BUCKET = "_ub"  # key-hash bucket partition column of the upsert table
+_BUCKET = "_ub"  # key-hash bucket column of the upsert table
+_MANIFEST = "_MANIFEST.json"
 
 
-def _swap_buckets(staging: str, path: str, epoch: int) -> None:
-    """Swap freshly-written bucket dirs from ``staging`` into ``path``.
+def _read_manifest(path: str) -> dict[str, str]:
+    """bucket-id (str) → current versioned dir name; {} if no commit yet."""
+    try:
+        with open(os.path.join(path, _MANIFEST)) as f:
+            return json.load(f)["buckets"]
+    except FileNotFoundError:
+        return {}
 
-    Per-bucket the swap is two renames (old out of the table dir, new
-    in) so a reader never sees a half-written bucket, and a stray
-    ``.old``/staging dir left by a crash sits *outside* ``path`` where
-    parquet partition discovery can't pick it up.
+
+def _commit_manifest(path: str, buckets: dict[str, str], epoch: int) -> None:
+    """THE commit point: one atomic pointer-file replace.
+
+    ``os.replace`` of a same-directory temp file is atomic on POSIX, so
+    a reader resolves either the old manifest (old complete bucket set)
+    or the new one — never a mix, never a missing bucket. This is the
+    local-FS miniature of an Iceberg/Delta commit (data files written
+    versioned + immutable, then a single pointer swap); on an object
+    store the same role is played by the transaction-log object.
     """
-    os.makedirs(path, exist_ok=True)
-    for name in os.listdir(staging):
-        if not name.startswith(f"{_BUCKET}="):
-            continue
-        src = os.path.join(staging, name)
-        dst = os.path.join(path, name)
-        old = f"{path}.__old-{epoch}-{name}"
-        if os.path.isdir(dst):
-            os.rename(dst, old)
-        os.rename(src, dst)
-        if os.path.isdir(old):
-            shutil.rmtree(old)
-    shutil.rmtree(staging)
+    tmp = os.path.join(path, f".{_MANIFEST}.{epoch}.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"epoch": epoch, "buckets": buckets}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(path, _MANIFEST))
+
+
+def _gc_unreferenced(path: str, live: dict[str, str], epoch: int) -> None:
+    """Drop bucket versions superseded by the just-committed manifest,
+    stale staging dirs, and debris from crashed epochs.
+
+    Anything not named by the manifest is invisible to readers (they
+    resolve dirs through the manifest, never by listing), so deletion
+    here is housekeeping, not correctness. A long-running concurrent
+    reader that resolved the *previous* manifest keeps its open files
+    on POSIX; production object stores would vacuum with a retention
+    window instead of immediately.
+    """
+    keep = set(live.values())
+    for name in os.listdir(path):
+        full = os.path.join(path, name)
+        if name.startswith("b") and "_e" in name and name not in keep:
+            shutil.rmtree(full, ignore_errors=True)
+        elif name.startswith("_stage_") and name != f"_stage_{epoch}":
+            shutil.rmtree(full, ignore_errors=True)
+
+
+def read_upsert_table(
+    spark: SparkSession, path: str, buckets: list[int] | None = None
+) -> DataFrame:
+    """Read the committed state of an ``upsert_sink`` table.
+
+    Resolves the manifest and scans exactly the referenced bucket-version
+    dirs (optionally restricted to ``buckets`` — the merge's by-construction
+    partition pruning). Multiple dirs feed ONE parquet relation (a single
+    file-index/scan node), so the plan does not grow with bucket count.
+    """
+    man = _read_manifest(path)
+    if not man:
+        raise FileNotFoundError(f"no committed upsert table at {path}")
+    if buckets is not None:
+        man = {b: d for b, d in man.items() if int(b) in set(buckets)}
+    if not man:
+        return None  # none of the requested buckets exist yet
+    return spark.read.parquet(*(os.path.join(path, d) for d in man.values()))
 
 
 def upsert_sink(
@@ -97,23 +143,36 @@ def upsert_sink(
 ):
     """K3 — changelog/upsert table emulation via bucketed latest-row merge.
 
-    (MyKafkaUtil.java:78-86 upsert-kafka DDL). The table is parquet
-    partitioned by ``_ub = pmod(xxhash64(keys), num_buckets)``. Each
-    micro-batch merges only the buckets its keys hash into: read those
-    partitions (partition-pruned), union the batch, keep per key the
-    row with the greatest ``order_cols``, write to a staging dir, and
-    atomically swap the bucket dirs in. Flink emits retraction pairs
-    that upsert-kafka compacts; Spark reaches the same *final table*
-    (the property the reference's downstream relies on — SURVEY.md
-    O10/A5) with per-batch work proportional to the touched buckets,
-    not the whole table.
+    (MyKafkaUtil.java:78-86 upsert-kafka DDL). Each micro-batch merges
+    only the buckets its keys hash into (``pmod(xxhash64(keys),
+    num_buckets)``): read exactly those buckets' current version dirs,
+    union the batch, keep per key the row with the greatest
+    ``order_cols``, write new *versioned* bucket dirs, and commit by
+    atomically replacing a single manifest pointer file. Readers
+    (``read_upsert_table``) resolve dirs through the manifest, so they
+    see either the pre-commit or post-commit table — never a partial
+    swap, and a crash at any point leaves only unreferenced debris that
+    the next epoch garbage-collects. Flink emits retraction pairs that
+    upsert-kafka compacts; Spark reaches the same *final table* (the
+    property the reference's downstream relies on — SURVEY.md O10/A5)
+    with per-batch work proportional to the touched buckets, not the
+    whole table.
 
-    On a cluster the same merge is one ``MERGE INTO`` on a Delta/
-    Iceberg table (which also replaces the driver-side dir swap with a
-    transactional commit); this parquet form keeps the repo
-    dependency-free. ``num_buckets`` sizes bucket-vs-batch overlap:
-    at 100 TB raise it so one bucket ≈ a few GB.
+    The manifest-swap commit is the same protocol a Delta/Iceberg
+    ``MERGE INTO`` performs against its transaction log; this parquet
+    form keeps the repo dependency-free. The implementation manipulates
+    the local filesystem (the test environment), hence the scheme check
+    below; on a cluster, point it at a fuse/NFS mount or swap the
+    rename/replace calls for the object-store equivalents.
+    ``num_buckets`` sizes bucket-vs-batch overlap: at 100 TB raise it
+    so one bucket ≈ a few GB.
     """
+    if "://" in path or path.startswith("file:"):
+        raise ValueError(
+            f"upsert_sink path must be a plain local-filesystem path, got {path!r}: "
+            "the manifest commit uses os.rename/os.replace. For object stores, "
+            "use a Delta/Iceberg MERGE INTO table instead."
+        )
     spark = sdf.sparkSession
 
     def merge(batch: DataFrame, epoch: int) -> None:
@@ -125,12 +184,15 @@ def upsert_sink(
             touched = sorted(r[0] for r in b.select(_BUCKET).distinct().collect())
             if not touched:
                 return
-            if os.path.isdir(path):
-                current = spark.read.parquet(path).filter(
-                    F.col(_BUCKET).isin(touched)
+            os.makedirs(path, exist_ok=True)
+            manifest = _read_manifest(path)
+            current = read_upsert_table(spark, path, touched) if manifest else None
+            if current is not None:
+                current = current.withColumn(
+                    _BUCKET, F.pmod(F.xxhash64(*keys), F.lit(num_buckets))
                 )
                 allrows = current.unionByName(b)
-            else:  # first batch — only a genuinely absent table is tolerated
+            else:
                 allrows = b
             w = Window.partitionBy(*keys).orderBy(
                 *[F.desc(c) for c in order_cols]
@@ -140,9 +202,24 @@ def upsert_sink(
                 .filter(F.col("_rn") == 1)
                 .drop("_rn")
             )
-            staging = f"{path}.__stage-{epoch}"
+            # staging lives INSIDE the table dir but is underscore-named:
+            # invisible both to the manifest and to Spark's file index
+            staging = os.path.join(path, f"_stage_{epoch}")
             latest.write.mode("overwrite").partitionBy(_BUCKET).parquet(staging)
-            _swap_buckets(staging, path, epoch)
+            committed = dict(manifest)
+            for t in touched:
+                src = os.path.join(staging, f"{_BUCKET}={t}")
+                if not os.path.isdir(src):
+                    continue  # defensive: bucket produced no rows
+                version = f"b{t}_e{epoch}"
+                dst = os.path.join(path, version)
+                if os.path.isdir(dst):  # retry of a crashed identical epoch
+                    shutil.rmtree(dst)
+                os.rename(src, dst)
+                committed[str(t)] = version
+            _commit_manifest(path, committed, epoch)
+            shutil.rmtree(staging, ignore_errors=True)
+            _gc_unreferenced(path, committed, epoch)
         finally:
             b.unpersist()
 

@@ -1,14 +1,29 @@
 """m_decode_features (mapInPandas) determinism + contract tests.
 
-The decode stage has no SQL oracle (driver records rows-only); these
-tests pin its values against a pure-pandas recomputation instead.
+The decode stage IS value-level DuckDB-oracled (the ASCII fixture
+payloads make byte statistics SQL-expressible); these tests additionally
+pin its values against an independent pure-pandas recomputation, and pin
+the ASCII property itself that the m_frame_sample / m_resize_bytes
+oracles rely on (byte slices ≡ character slices).
 """
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from flink_spark.registry import all_queries
 
 from conftest import SF_DIR
+
+
+def test_fixture_payloads_ascii(spark):
+    # the multimodal oracles equate octet_length(encode(text)) with
+    # length(text); assert the property instead of assuming it
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bad = docs.filter(
+        F.octet_length(F.col("text")) != F.length(F.col("text"))
+    ).count()
+    assert bad == 0
 
 
 def test_decode_features_match_local_recompute(spark):

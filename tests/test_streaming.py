@@ -12,6 +12,7 @@ from flink_spark.streaming import (
     cep_jump_stream,
     daily_unique_stream,
     kafka_payload,
+    read_upsert_table,
     replay_events,
     routed_dim_sink,
     run_to_memory,
@@ -100,7 +101,7 @@ def test_upsert_sink_latest_row(spark, tmp_path):
         .start()
     )
     q.awaitTermination()
-    final = spark.read.parquet(table).select(
+    final = read_upsert_table(spark, table).select(
         "user_id",
         F.col("event_type").alias("last_type"),
         F.col("value").alias("last_value"),
@@ -146,15 +147,22 @@ def test_upsert_sink_touches_only_batch_buckets(spark, tmp_path):
     run()  # batch 0: whole fixture
 
     def snapshot():
+        # manifest-resolved view: bucket id → (version dir, its files).
+        # an untouched bucket must keep the SAME version dir with
+        # byte-identical files after later batches.
+        from flink_spark.streaming.sinks import _read_manifest
+
         out = {}
-        for b in os.listdir(table):
-            if b.startswith("_ub="):
-                d = os.path.join(table, b)
-                out[b] = sorted(
+        for bid, version in _read_manifest(table).items():
+            d = os.path.join(table, version)
+            out[bid] = (
+                version,
+                sorted(
                     (f, os.path.getmtime(os.path.join(d, f)),
                      os.path.getsize(os.path.join(d, f)))
                     for f in os.listdir(d)
-                )
+                ),
+            )
         return out
 
     before = snapshot()
@@ -171,7 +179,7 @@ def test_upsert_sink_touches_only_batch_buckets(spark, tmp_path):
     run()
     after = snapshot()
 
-    hot = "_ub=%d" % (
+    hot = "%d" % (
         ev.filter(F.col("user_id") == uid)
         .select(F.pmod(F.xxhash64("user_id"), F.lit(16)).alias("b"))
         .first()["b"]
@@ -180,7 +188,11 @@ def test_upsert_sink_touches_only_batch_buckets(spark, tmp_path):
     for b, files in before.items():
         if b != hot:
             assert after[b] == files, f"untouched bucket {b} was rewritten"
-    got = spark.read.parquet(table).filter(F.col("user_id") == uid).collect()
+    got = (
+        read_upsert_table(spark, table)
+        .filter(F.col("user_id") == uid)
+        .collect()
+    )
     assert len(got) == 1 and got[0]["event_type"] == "late_update"
 
 
@@ -379,19 +391,22 @@ def test_returning_users_stream_equals_batch(spark, tmp_path):
 
 
 def test_upsert_sink_ignores_stale_crash_debris(spark, tmp_path):
-    """A crashed epoch can leave __stage / __old dirs next to the
-    table; they live OUTSIDE the table path, so partition discovery
-    must never pick them up and the next run must still converge."""
+    """A crashed epoch can leave a staging dir and renamed-but-never-
+    committed bucket-version dirs inside the table. The manifest never
+    references them, so readers can't see them, and the next committed
+    epoch garbage-collects them."""
     import os
 
     import pandas as pd
 
     table = str(tmp_path / "upsert")
-    # debris from a hypothetical crashed epoch, sitting beside the table
-    for debris in [f"{table}.__stage-99", f"{table}.__old-99-_ub=3"]:
-        os.makedirs(os.path.join(debris, "_ub=0"), exist_ok=True)
+    # debris from a hypothetical epoch 99 that died before its commit:
+    # a half-written staging dir and an orphaned bucket-version dir
+    for debris in ["_stage_99", "b3_e99"]:
+        d = os.path.join(table, debris)
+        os.makedirs(d, exist_ok=True)
         pd.DataFrame({"user_id": [999999], "poison": [1]}).to_parquet(
-            os.path.join(debris, "_ub=0", "part-poison.parquet"), index=False
+            os.path.join(d, "part-poison.parquet"), index=False
         )
     sdf = replay_events(spark, SF_DIR, str(tmp_path / "replay"), slices=4)
     q = (
@@ -401,7 +416,7 @@ def test_upsert_sink_ignores_stale_crash_debris(spark, tmp_path):
         .start()
     )
     q.awaitTermination()
-    final = spark.read.parquet(table)
+    final = read_upsert_table(spark, table)
     assert "poison" not in final.columns
     got = final.select(
         "user_id",
@@ -411,6 +426,25 @@ def test_upsert_sink_ignores_stale_crash_debris(spark, tmp_path):
     )
     batch = _Q["s_dedup_latest"].fn(spark, SF_DIR)
     assert _rows(got) == _rows(batch)
+    # the committed run must have swept the unreferenced debris
+    assert not os.path.isdir(os.path.join(table, "_stage_99"))
+    assert not os.path.isdir(os.path.join(table, "b3_e99"))
+
+
+def test_upsert_sink_rejects_scheme_paths(spark, tmp_path):
+    """The manifest commit is local-FS rename/replace; a URI path must
+    fail loudly up front, not with a FileNotFoundError at swap time."""
+    import pytest
+
+    sdf = replay_events(spark, SF_DIR, str(tmp_path / "replay"), slices=2)
+    with pytest.raises(ValueError, match="local-filesystem"):
+        upsert_sink(
+            sdf, "s3://bucket/table", keys=["user_id"], order_cols=["ts"]
+        )
+    with pytest.raises(ValueError, match="local-filesystem"):
+        upsert_sink(
+            sdf, f"file:{tmp_path}/t", keys=["user_id"], order_cols=["ts"]
+        )
 
 
 def test_socket_source_word_count(spark):

@@ -14,7 +14,7 @@ from flink_spark.streaming import (
     replay_events,
     run_to_memory,
 )
-from flink_spark.streaming.sinks import upsert_sink
+from flink_spark.streaming.sinks import read_upsert_table, upsert_sink
 
 from conftest import SF_DIR
 
@@ -87,7 +87,7 @@ def test_streaming_left_outer_join_changelog(spark, tmp_path):
     # sentinel rows (event_id < 0) are dropped on the merged table, not
     # inside the streaming plan (see left_outer_interval_join_stream)
     final = (
-        spark.read.parquet(table)
+        read_upsert_table(spark, table)
         .filter(F.col("p_event") >= 0)
         .select(
             "p_event", "p_user", "c_event", F.unix_millis("c_ts").alias("c_ms")
@@ -135,10 +135,10 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
 
     _write_slices(pdf, replay_dir, parts[:2])
     run_once()  # first run: half the data
-    mid = spark.read.parquet(table).count()
+    mid = read_upsert_table(spark, table).count()
     _write_slices(pdf, replay_dir, parts)  # add the rest (files 0-1 unchanged)
     run_once()  # restart from checkpoint: must process only slices 2-3
-    final = spark.read.parquet(table).select(
+    final = read_upsert_table(spark, table).select(
         "user_id",
         F.col("event_type").alias("last_type"),
         F.col("value").alias("last_value"),
