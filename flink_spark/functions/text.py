@@ -1,12 +1,29 @@
 """Text functions: tokenization, normalization, shingling, fingerprints.
 
-The reference's only text function is an IK Chinese-segmentation UDTF
-(``rt/app/func/SplitFunction.java:12-27``, ``rt/utils/KeyWordUtil.java``)
-used with ``LATERAL TABLE`` + explode. We generalize to a deterministic
-JVM-side tokenizer built from ``split``/``regexp_extract_all`` (no
-Python UDF in the hot path — stays inside whole-stage codegen), plus
-the text-pipeline primitives a training-data pipeline needs: shingles
-for MinHash/Jaccard dedup and md5 fingerprints of normalized text.
+The reference's only text function is an IK *Chinese*-segmentation UDTF
+(``rt/app/func/SplitFunction.java:12-27``, ``rt/utils/KeyWordUtil.java:13-33``
+— IKSegmenter at :20) used with ``LATERAL TABLE`` + explode. We keep the
+no-Python-UDF property by building a deterministic JVM-side tokenizer
+from ``split``/``regexp_extract_all``/``transform`` (stays inside
+whole-stage codegen) that handles BOTH script families the reference's
+workload contains:
+
+- Latin/digit text: lowercase, strip punctuation, whitespace tokens
+  (mixed alnum like ``abc123`` stays one token — parity with the old
+  ASCII tokenizer, so every existing oracle is unchanged on ASCII).
+- CJK text: overlapping character **bigrams** per Han run (the classic
+  CJKAnalyzer strategy — deterministic, dictionary-free, and the
+  standard stand-in for IK's dictionary segmentation). A length-1 Han
+  run tokenizes to the single character; Latin runs embedded inside a
+  CJK token are kept whole.
+
+Every DuckDB oracle that tokenizes mirrors the exact same pipeline via
+``norm_sql``/``toks_sql`` below, so tokenization stays value-checked on
+CJK input too (see ``t_cjk_keyword_counts``).
+
+Also here: the text-pipeline primitives a training-data pipeline needs —
+shingles for MinHash/Jaccard dedup and md5 fingerprints of normalized
+text.
 """
 
 from __future__ import annotations
@@ -18,16 +35,82 @@ from pyspark.sql import functions as F
 TOKEN_RE = "[a-z]+|[0-9]+"
 PUNCT_RE = "[.,!?;:]"
 
+# Han-script detection: Java regex (Spark) and RE2 (DuckDB) spellings.
+# The normalize/tokenize pipelines must use each engine's own syntax but
+# identical semantics (the Unicode Han script property).
+_HAN_JAVA = r"\p{IsHan}"
+_HAN_RE2 = r"\p{Han}"
+
 
 def normalize_text(c: Column | str) -> Column:
-    """lower → strip non-alnum → collapse whitespace → trim."""
+    """lower → strip non-(alnum|Han) → collapse whitespace → trim.
+
+    On pure-ASCII input this is exactly the old ``[^a-z0-9]+`` rewrite;
+    Han characters now survive normalization instead of vanishing (the
+    round-3 F1 fidelity gap: the reference's actual workload is Chinese
+    search keywords).
+    """
     col = F.col(c) if isinstance(c, str) else c
-    return F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "))
+    return F.trim(
+        F.regexp_replace(F.lower(col), f"[^a-z0-9{_HAN_JAVA}]+", " ")
+    )
+
+
+def _han_bigrams(run: Column) -> Column:
+    """Overlapping bigrams of a pure-Han run ('你好吗' → [你好, 好吗])."""
+    return F.when(F.length(run) == 1, F.array(run)).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(run) - 1),
+            lambda i: run.substr(i, F.lit(2)),
+        )
+    )
+
+
+def _expand_token(tok: Column) -> Column:
+    """Whitespace token → final token list (identity for non-CJK)."""
+    runs = F.regexp_extract_all(tok, F.lit(f"[a-z0-9]+|{_HAN_JAVA}+"), 0)
+    return F.when(~tok.rlike(_HAN_JAVA), F.array(tok)).otherwise(
+        F.flatten(
+            F.transform(
+                runs,
+                lambda r: F.when(~r.rlike(f"^{_HAN_JAVA}"), F.array(r)).otherwise(
+                    _han_bigrams(r)
+                ),
+            )
+        )
+    )
 
 
 def tokenize(c: Column | str) -> Column:
-    """Whitespace tokenization of normalized text → array<string>."""
-    return F.split(normalize_text(c), " ")
+    """Tokenize normalized text → array<string> (F1 parity surface).
+
+    Whitespace split, then CJK-aware expansion per token. ASCII-only
+    rows take the cheap branch (one ``rlike`` probe, then identity), so
+    the existing Latin corpora tokenize exactly as before; Han text
+    yields overlapping bigrams that flow into keyword counts, shingles,
+    MinHash and SimHash without vanishing.
+    """
+    return F.flatten(F.transform(F.split(normalize_text(c), " "), _expand_token))
+
+
+def norm_sql(col: str = "text") -> str:
+    """DuckDB mirror of ``normalize_text`` (RE2 Han-class spelling)."""
+    return (
+        f"trim(regexp_replace(lower({col}), '[^a-z0-9{_HAN_RE2}]+', ' ', 'g'))"
+    )
+
+
+def toks_sql(col: str = "text") -> str:
+    """DuckDB mirror of ``tokenize`` — identical token stream, any script."""
+    return f"""flatten(list_transform(string_split({norm_sql(col)}, ' '),
+      tok -> CASE WHEN NOT regexp_matches(tok, '{_HAN_RE2}') THEN [tok]
+             ELSE flatten(list_transform(
+                    regexp_extract_all(tok, '[a-z0-9]+|{_HAN_RE2}+'),
+                    r -> CASE WHEN NOT regexp_matches(r, '^{_HAN_RE2}') THEN [r]
+                         WHEN length(r) = 1 THEN [r]
+                         ELSE list_transform(range(1, length(r)),
+                                             i -> substring(r, i, 2)) END))
+             END))"""
 
 
 def word_shingles(tokens: Column, n: int = 3) -> Column:

@@ -41,7 +41,14 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_spark.functions.text import fingerprint, normalize_text, tokenize, word_shingles
+from flink_spark.functions.text import (
+    fingerprint,
+    norm_sql,
+    normalize_text,
+    tokenize,
+    toks_sql,
+    word_shingles,
+)
 from flink_spark.registry import query, track_persist
 from flink_spark.sources import load
 
@@ -73,8 +80,10 @@ _CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS
 _CHUNK_MASK = (1 << _CHUNK_BITS) - 1
 
 # DuckDB fragments
-_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
-_TOKS = f"string_split({_NORM}, ' ')"
+# DuckDB mirrors of normalize_text/tokenize — CJK-aware (identical to
+# the old ASCII-only split on ASCII corpora; see functions/text.py)
+_NORM = norm_sql("text")
+_TOKS = toks_sql("text")
 _STOP_LIST = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
 
 # shared CTE prefix: normalized tokens and distinct 3-shingle lists
@@ -406,6 +415,66 @@ def t_keyword_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("word_ct"))
         .orderBy(F.desc("word_ct"), "word")
         .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# F1 CJK parity: the reference's ACTUAL workload is Chinese keywords
+# (IKSegmenter — rt/utils/KeyWordUtil.java:20). The fixture corpus is
+# ASCII, so this query carries its own bilingual corpus inline (same
+# literal VALUES on both engines) to value-check the CJK tokenizer
+# end-to-end: Han runs → overlapping bigrams, Latin runs → words.
+# --------------------------------------------------------------------------
+
+CJK_DOCS = (
+    (0, "大数据 处理 引擎"),
+    (1, "Spark 大数据处理引擎"),
+    (2, "实时 数据 流 处理"),
+    (3, "machine learning 机器学习"),
+    (4, "深度学习 和 机器学习"),
+    (5, "query the data 查询数据"),
+    (6, "数据查询 query data"),
+    (7, "你好 世界 hello world 2024"),
+)
+
+_CJK_VALUES = ", ".join(f"({i}, '{t}')" for i, t in CJK_DOCS)
+
+
+@query(
+    "t_cjk_keyword_counts",
+    oracle=f"""
+    WITH documents_cjk(doc_id, text) AS (VALUES {_CJK_VALUES})
+    SELECT word, COUNT(*) AS word_ct
+    FROM (SELECT unnest({toks_sql('text')}) AS word FROM documents_cjk)
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY word_ct DESC, word
+    LIMIT 15
+    """,
+    tags=("textops", "udtf", "cjk", "topk"),
+)
+def t_cjk_keyword_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 parity on the reference's true input domain: Chinese keywords.
+
+    DwsTrafficSourceKeywordPageViewWindow's keyword job runs IK Chinese
+    segmentation (rt/app/func/SplitFunction.java:12-27,
+    rt/utils/KeyWordUtil.java:13-33); this is the same
+    tokenize → explode → count → top-k shape over a bilingual corpus,
+    with the deterministic CJK-bigram segmentation standing in for the
+    dictionary segmenter. The corpus is inline (``CJK_DOCS`` — the
+    identical VALUES literal feeds the DuckDB oracle), so CJK tokens are
+    value-checked by the driver even though the parquet fixtures are
+    ASCII. Mixed-script tokens exercise every branch: Han runs → bigram
+    fan-out, embedded Latin/digit runs → whole words.
+    """
+    docs = spark.createDataFrame(list(CJK_DOCS), "doc_id long, text string")
+    return (
+        docs.select(F.explode(tokenize("text")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("word_ct"))
+        .orderBy(F.desc("word_ct"), "word")
+        .limit(15)
     )
 
 

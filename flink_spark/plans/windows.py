@@ -21,8 +21,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_spark.functions.scalar import dsum
+from flink_spark.functions.text import toks_sql
 from flink_spark.registry import query
 from flink_spark.sources import load
+
+# CJK-aware DuckDB tokenizer mirror (shared with plans/textops.py)
+_TOKS_SQL = toks_sql("text")
 
 # DuckDB expressions for 10s-tumble bounds formatted to seconds
 _STT = "strftime(make_timestamp((epoch_ms(ts)//10000)*10000000), '%Y-%m-%d %H:%M:%S')"
@@ -153,9 +157,7 @@ _KW_LIST = "(" + ", ".join(f"'{w}'" for w in KEYWORDS) + ")"
       WHERE e.event_type = 'view'
     ),
     words AS (
-      SELECT ts, unnest(
-               string_split(trim(regexp_replace(lower(text),
-                            '[^a-z0-9]+', ' ', 'g')), ' ')[1:5]) AS word
+      SELECT ts, unnest(({_TOKS_SQL})[1:5]) AS word
       FROM logs
     )
     SELECT {_STT} AS stt, word, COUNT(*) AS kw_ct

@@ -11,9 +11,33 @@ import re
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+# alphabet includes Han chars from the basic CJK block (U+4E00–U+9FFF),
+# where the pure-python reference's explicit range equals Java's
+# \p{IsHan} script property
 TEXTS = st.text(
-    alphabet=st.sampled_from("abc 123 .,!?\nXYZ"), min_size=0, max_size=80
+    alphabet=st.sampled_from("abc 123 .,!?\nXYZ数据处理学习"), min_size=0, max_size=80
 )
+
+_HAN = r"一-鿿"
+
+
+def _py_tokenize(text: str) -> list[str]:
+    """Pure-python reference of the CJK-aware tokenizer."""
+    norm = re.sub(rf"[^a-z0-9{_HAN}]+", " ", text.lower()).strip()
+    out: list[str] = []
+    for tok in norm.split(" "):
+        if not re.search(rf"[{_HAN}]", tok):
+            out.append(tok)
+            continue
+        for run in re.findall(rf"[a-z0-9]+|[{_HAN}]+", tok):
+            if re.match(rf"^[{_HAN}]", run):
+                out.extend(
+                    [run] if len(run) == 1
+                    else [run[i:i + 2] for i in range(len(run) - 1)]
+                )
+            else:
+                out.append(run)
+    return out
 
 
 def _session():
@@ -36,8 +60,7 @@ def test_tokenize_matches_python_reference(text):
     from flink_spark.functions.text import tokenize
 
     got = _spark_one(lambda: tokenize("text"), text)
-    norm = re.sub(r"[^a-z0-9]+", " ", text.lower()).strip()
-    assert got == norm.split(" ")
+    assert got == _py_tokenize(text)
 
 
 @settings(max_examples=25, deadline=None)
