@@ -124,8 +124,10 @@ JOBS: dict[str, JobParity] = {
     # --- DWS -----------------------------------------------------------
     "DwsTrafficSourceKeywordPageViewWindow": JobParity(
         ref="rt/app/dws/DwsTrafficSourceKeywordPageViewWindow.java",
-        queries=("w_keyword_tumble", "t_keyword_counts"),
-        notes="F1 tokenizer UDTF + LATERAL TABLE + TUMBLE count",
+        queries=("w_keyword_tumble", "t_keyword_counts", "t_cjk_keyword_counts"),
+        streaming=("jobs.keyword_tumble_stream",),
+        notes="F1 tokenizer UDTF (CJK bigrams ≈ IK segmentation) + "
+              "LATERAL TABLE + TUMBLE count",
     ),
     "DwsTrafficVcChArIsNewPageViewWindow": JobParity(
         ref="rt/app/dws/DwsTrafficVcChArIsNewPageViewWindow.java",
@@ -165,8 +167,9 @@ JOBS: dict[str, JobParity] = {
     "DwsTradeSkuOrderWindow": JobParity(
         ref="rt/app/dws/DwsTradeSkuOrderWindow.java",
         queries=("s_dedup_latest", "w_agg_distinct_users", "q5_local_supplier_volume"),
-        streaming=("sinks.upsert_sink",),
-        notes="changelog dedup + exact distinct + snowflake broadcast enrichment",
+        streaming=("sinks.upsert_sink", "jobs.distinct_users_tumble_stream"),
+        notes="changelog dedup + exact distinct (dedup→window chained "
+              "stateful ops) + snowflake broadcast enrichment",
     ),
     "DwsTradeProvinceOrderWindow": JobParity(
         ref="rt/app/dws/DwsTradeProvinceOrderWindow.java",
@@ -271,8 +274,8 @@ OPERATOR_COVERAGE: dict[str, tuple[str, tuple[str, ...]]] = {
     "J7": ("full outer join (single + composite key)", ("j_full_outer_metrics", "ads_category_fullouter")),
     "A1": ("windows.py keyed tumble", ("w_tumble_10s_keyed",)),
     "A2": ("windows.py global tumble", ("w_tumble_10s_global",)),
-    "A3": ("tokenize+explode+tumble", ("w_keyword_tumble",)),
-    "A4": ("exact distinct in window group", ("w_agg_distinct_users",)),
+    "A3": ("tokenize+explode+tumble", ("w_keyword_tumble", "tests/test_streaming.py::test_keyword_tumble_stream_equals_batch")),
+    "A4": ("exact distinct in window group", ("w_agg_distinct_users", "tests/test_streaming.py::test_distinct_users_stream_equals_batch")),
     "A5": ("latest-row dedup", ("s_dedup_latest",)),
     "A6": ("daily dedup", ("s_daily_unique_users",)),
     "A7": ("visitor-flag correction", ("s_new_vs_returning",)),

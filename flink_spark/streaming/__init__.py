@@ -19,7 +19,9 @@ operator converges to the matching batch query in
 """
 
 from flink_spark.streaming.jobs import (  # noqa: F401
+    distinct_users_tumble_stream,
     interval_join_stream,
+    keyword_tumble_stream,
     left_outer_interval_join_stream,
     run_to_memory,
     tumble_stream,

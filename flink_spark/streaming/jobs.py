@@ -46,6 +46,87 @@ def tumble_stream(
     )
 
 
+def keyword_tumble_stream(
+    sdf: DataFrame,
+    docs: DataFrame,
+    keywords: tuple[str, ...],
+    ts_col: str = "ts",
+    duration: str = "10 seconds",
+    watermark: str = "2 seconds",
+) -> DataFrame:
+    """A3+F1 streaming: tokenize → explode → tumbling keyword counts.
+
+    Streaming form of ``w_keyword_tumble`` — the full
+    DwsTrafficSourceKeywordPageViewWindow job
+    (rt/app/dws/DwsTrafficSourceKeywordPageViewWindow.java:60-79):
+    filter search views, join the (static, broadcast) doc/text dim,
+    take the leading 5 tokens, ``LATERAL TABLE``/explode, then TUMBLE
+    count per word. The stream-static join and the explode are
+    stateless, so the only state is the windowed count, bounded by the
+    watermark. Tokenization is the CJK-aware F1 tokenizer — a Chinese
+    keyword stream counts bigrams exactly like the batch/oracle form.
+    """
+    from flink_spark.functions.text import tokenize
+
+    toks = docs.select("doc_id", F.slice(tokenize("text"), 1, 5).alias("toks"))
+    ev = (
+        sdf.withWatermark(ts_col, watermark)
+        .filter(F.col("event_type") == "view")
+    )
+    logs = ev.join(
+        F.broadcast(toks), toks["doc_id"] == ev["event_id"] % 500
+    ).select(ts_col, "toks")
+    words = logs.select(ts_col, F.explode("toks").alias("word")).filter(
+        F.col("word").isin(*keywords)
+    )
+    out = words.groupBy(F.window(ts_col, duration), "word").agg(
+        F.count(F.lit(1)).alias("kw_ct")
+    )
+    return out.select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+        "word",
+        "kw_ct",
+    )
+
+
+def distinct_users_tumble_stream(
+    sdf: DataFrame,
+    ts_col: str = "ts",
+    duration_sec: int = 10,
+    watermark: str = "2 seconds",
+) -> DataFrame:
+    """A4 streaming: exact windowed count(distinct user) via chained
+    dedup → window aggregation (two stateful operators).
+
+    Streaming form of the ``user_ct`` half of ``w_agg_distinct_users``
+    (rt/app/dws/DwsTradeSkuOrderWindow.java:114-172 accumulates a
+    ``Set<String>`` in keyed state; rt/bean/TradeSkuOrderBean.java:44-47).
+    Spark Structured Streaming cannot run COUNT(DISTINCT) inside a
+    streaming aggregate, so the set-semantics move to a
+    ``dropDuplicates`` stage — exactly what the reference's state Set
+    does — followed by an ordinary windowed count. The event time is
+    floored to the window start *first* so the floored column is both
+    the dedup key component and the watermark column (state for both
+    operators evicts once the watermark passes the window).
+    """
+    floored = F.timestamp_seconds(
+        (F.unix_timestamp(ts_col) / duration_sec).cast("long") * duration_sec
+    )
+    deduped = (
+        sdf.withColumn("wts", floored)
+        .withWatermark("wts", watermark)
+        .dropDuplicates(["user_id", "event_type", "wts"])
+    )
+    out = deduped.groupBy(
+        F.window("wts", f"{duration_sec} seconds"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("user_ct"))
+    return out.select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+        "event_type",
+        "user_ct",
+    )
+
+
 def interval_join_stream(
     purchases: DataFrame,
     clicks: DataFrame,

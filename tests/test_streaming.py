@@ -11,7 +11,9 @@ from flink_spark.registry import all_queries
 from flink_spark.streaming import (
     cep_jump_stream,
     daily_unique_stream,
+    distinct_users_tumble_stream,
     kafka_payload,
+    keyword_tumble_stream,
     read_upsert_table,
     replay_events,
     routed_dim_sink,
@@ -35,6 +37,42 @@ def test_tumble_stream_equals_batch(spark, tmp_path):
         tumble_stream(sdf, "event_type"), "tumble_mem", output_mode="complete"
     )
     batch = _Q["w_tumble_10s_keyed"].fn(spark, SF_DIR)
+    assert _rows(out) == _rows(batch)
+
+
+def test_keyword_tumble_stream_equals_batch(spark, tmp_path):
+    """A3+F1 streaming: the tokenize→explode→window job converges to
+    w_keyword_tumble's batch table."""
+    from flink_spark.plans.windows import KEYWORDS
+    from flink_spark.sources import load
+
+    sdf = replay_events(spark, SF_DIR, str(tmp_path / "replay"), slices=5)
+    docs = load(spark, SF_DIR, "documents")
+    out = run_to_memory(
+        keyword_tumble_stream(sdf, docs, KEYWORDS),
+        "kw_tumble_mem",
+        output_mode="complete",
+    )
+    batch = _Q["w_keyword_tumble"].fn(spark, SF_DIR)
+    assert _rows(out) == _rows(batch)
+
+
+def test_distinct_users_stream_equals_batch(spark, tmp_path):
+    """A4 streaming: chained dedup → windowed count equals the batch
+    exact COUNT(DISTINCT user_id) per (window, event_type)."""
+    # a far-future flush sentinel advances the watermark past the last
+    # real window so append mode finalizes it; drop its own output row
+    sdf = replay_events(
+        spark, SF_DIR, str(tmp_path / "replay"), slices=5, sentinel_users=(0,)
+    )
+    out = run_to_memory(
+        distinct_users_tumble_stream(sdf),
+        "distinct_mem",
+        output_mode="append",
+    ).filter(F.col("event_type") != "__flush__")
+    batch = _Q["w_agg_distinct_users"].fn(spark, SF_DIR).select(
+        "stt", "event_type", "user_ct"
+    )
     assert _rows(out) == _rows(batch)
 
 
