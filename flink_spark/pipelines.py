@@ -65,10 +65,12 @@ JOBS: dict[str, JobParity] = {
     "DwdTradeOrderPreProcess": JobParity(
         ref="rt/app/dwd/db/DwdTradeOrderPreProcess.java",
         queries=(
+            "j_wide_order_5way",
             "j_left_outer_enrich",
             "j_left_outer_interval",
             "j_two_key_join",
             "p_cdc_map_projection",
+            "sql_dwd_topic_db",
         ),
         streaming=(
             "jobs.interval_join_stream",
@@ -76,7 +78,9 @@ JOBS: dict[str, JobParity] = {
             "sinks.upsert_sink",
         ),
         notes="5-way stream join + upsert-kafka changelog (final-table "
-        "equivalent; left-outer null-pads at watermark, J2→K3→A5)",
+        "equivalent; left-outer null-pads at watermark, J2→K3→A5); "
+        "j_wide_order_5way composes the full od⋈oi⟕act⟕cou⋈dic wide row; "
+        "sql_dwd_topic_db is the job as pure SQL strings (getTopicDb DDL)",
     ),
     "DwdTradeOrderDetail": JobParity(
         ref="rt/app/dwd/db/DwdTradeOrderDetail.java",
@@ -245,8 +249,8 @@ JOBS: dict[str, JobParity] = {
 # (implementation site, catalog queries and/or tests exercising it).
 OPERATOR_COVERAGE: dict[str, tuple[str, tuple[str, ...]]] = {
     "S1": ("streaming/sources.py:kafka_source", ()),
-    "S2": ("streaming/sources.py:kafka_json_source", ()),
-    "S3": ("streaming/sources.py:cdc_envelope_schema", ("p_cdc_map_projection",)),
+    "S2": ("streaming/sources.py:kafka_json_source", ("sql_dwd_topic_db",)),
+    "S3": ("streaming/sources.py:cdc_envelope_schema", ("p_cdc_map_projection", "sql_dwd_topic_db")),
     "S4": ("streaming/sources.py:cdc_envelope_source (Debezium→Kafka topic)", ()),
     "S5": ("sources/__init__.py:jdbc_dim (real Derby-embedded test)", ("j_broadcast_dim_join", "tests/test_jdbc.py::test_jdbc_dim_partitioned_read_and_broadcast_join")),
     "S6": ("streaming/sources.py:socket_source (real TCP test)", ("tests/test_streaming.py::test_socket_source_word_count",)),
@@ -265,7 +269,7 @@ OPERATOR_COVERAGE: dict[str, tuple[str, tuple[str, ...]]] = {
     "P7": ("map_filter by config", ("r_config_routing",)),
     "P8": ("aliasing/withColumn throughout", ("p_projection_filter",)),
     "J1": ("streaming/jobs.py:interval_join_stream; batch joins", ("j_two_key_join", "tests/test_streaming_join.py::test_stream_stream_interval_join")),
-    "J2": ("left outer join; streaming/jobs.py:left_outer_interval_join_stream (null-pad at watermark → upsert merge)", ("j_left_outer_enrich", "j_left_outer_interval", "tests/test_streaming_join.py::test_streaming_left_outer_join_changelog")),
+    "J2": ("left outer join; streaming/jobs.py:left_outer_interval_join_stream (null-pad at watermark → upsert merge)", ("j_left_outer_enrich", "j_left_outer_interval", "j_wide_order_5way", "tests/test_streaming_join.py::test_streaming_left_outer_join_changelog")),
     "J3": ("broadcast dim join; per-batch dim re-snapshot = temporal AS OF", ("j_broadcast_dim_join", "tests/test_streaming.py::test_lookup_join_sees_dim_updates")),
     "J4": ("interval join", ("j_interval_join",)),
     "J5": ("broadcast replaces async point-gets", ("j_broadcast_dim_join",)),

@@ -542,6 +542,109 @@ def j_left_outer_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# J1+J2+J3 composed: the reference's widest DWD dataflow — a 5-table
+# wide-order row (DwdTradeOrderPreProcess.java:113-149)
+# --------------------------------------------------------------------------
+
+# base_dic lookup rows (MySqlUtil.getBaseDic): code → name, broadcast
+_DIC = (("A", "returned"), ("N", "none"), ("R", "refunded"))
+_DIC_VALUES = ", ".join(f"('{c}', '{n}')" for c, n in _DIC)
+
+
+@query(
+    "j_wide_order_5way",
+    oracle=f"""
+    WITH od AS (
+      SELECT l_orderkey * 10 + l_linenumber AS detail_id,
+             l_orderkey AS order_id, l_partkey AS sku_id,
+             l_quantity AS sku_num, l_extendedprice AS split_original_amount,
+             l_returnflag AS source_type, l_discount, l_tax
+      FROM lineitem
+    ),
+    act AS (
+      SELECT l_orderkey * 10 + l_linenumber AS detail_id,
+             l_partkey % 5 AS activity_id
+      FROM lineitem WHERE l_discount >= 0.05
+    ),
+    cou AS (
+      SELECT l_orderkey * 10 + l_linenumber AS detail_id,
+             l_suppkey % 11 AS coupon_id
+      FROM lineitem WHERE l_tax >= 0.04
+    ),
+    dic(dic_code, dic_name) AS (VALUES {_DIC_VALUES})
+    SELECT od.detail_id, od.order_id,
+           oi.o_custkey AS user_id, oi.o_orderstatus AS order_status,
+           od.sku_id, od.sku_num, od.split_original_amount,
+           act.activity_id, cou.coupon_id,
+           strftime(oi.o_orderdate, '%Y-%m-%d') AS date_id,
+           od.source_type, dic.dic_name AS source_type_name
+    FROM od
+    JOIN orders oi ON od.order_id = oi.o_orderkey
+    LEFT JOIN act ON od.detail_id = act.detail_id
+    LEFT JOIN cou ON od.detail_id = cou.detail_id
+    JOIN dic ON od.source_type = dic.dic_code
+    WHERE oi.o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                             AND TIMESTAMP '1995-01-31 00:00:00'
+    """,
+    tags=("join", "wide", "dwd"),
+)
+def j_wide_order_5way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's widest streaming dataflow as ONE composed query.
+
+    DwdTradeOrderPreProcess.java:113-149 joins five tables into the
+    wide order row: order_detail ⋈ order_info ⟕ detail_activity ⟕
+    detail_coupon ⋈ base_dic (lookup). Here order_detail is lineitem
+    (detail_id = orderkey*10 + linenumber), activity/coupon are the
+    discounted/taxed detail subsets, and the dic lookup is an inline
+    broadcast dictionary on the return flag — the same J1+J2+J3 mix,
+    null-padding included.
+
+    Plan shape at scale: the dic is broadcast (no shuffle); the fact
+    shuffles once per distinct join key — orderkey for the order_info
+    join, then detail_id, where the activity and coupon left joins
+    REUSE one exchange (same key, adjacent joins); the date predicate
+    prunes the order side before its shuffle.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    detail_id = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("detail_id")
+    od = li.select(
+        detail_id,
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_partkey").alias("sku_id"),
+        F.col("l_quantity").alias("sku_num"),
+        F.col("l_extendedprice").alias("split_original_amount"),
+        F.col("l_returnflag").alias("source_type"),
+        "l_discount", "l_tax",
+    )
+    act = li.filter(F.col("l_discount") >= 0.05).select(
+        detail_id, (F.col("l_partkey") % 5).alias("activity_id")
+    )
+    cou = li.filter(F.col("l_tax") >= 0.04).select(
+        detail_id, (F.col("l_suppkey") % 11).alias("coupon_id")
+    )
+    oi = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1995-01-01", "1995-01-31")
+    )
+    dic = spark.createDataFrame(list(_DIC), "dic_code string, dic_name string")
+    wide = (
+        od.join(oi, od["order_id"] == oi["o_orderkey"])
+        .join(act, "detail_id", "left")
+        .join(cou, "detail_id", "left")
+        .join(F.broadcast(dic), od["source_type"] == dic["dic_code"])
+    )
+    return wide.select(
+        "detail_id", "order_id",
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderstatus").alias("order_status"),
+        "sku_id", "sku_num", "split_original_amount",
+        "activity_id", "coupon_id",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("date_id"),
+        "source_type",
+        F.col("dic_name").alias("source_type_name"),
+    )
+
+
+# --------------------------------------------------------------------------
 # P2-P4 projection / filter / computed + conditional columns
 # --------------------------------------------------------------------------
 

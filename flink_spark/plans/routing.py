@@ -166,6 +166,67 @@ def p_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_dwd_topic_db",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m-%d') AS date_id,
+           COUNT(*) AS order_ct,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_order
+    FROM orders
+    WHERE o_orderstatus = 'O'
+      AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1
+    """,
+    tags=("routing", "cdc", "sql-first"),
+)
+def sql_dwd_topic_db(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A DWD job written ONLY as SQL strings over the CDC envelope.
+
+    The reference's SQL-first path: ``MyKafkaUtil.getTopicDb``
+    (rt/utils/MyKafkaUtil.java:88-98) declares ``topic_db`` with
+    ``data MAP<STRING,STRING>`` via DDL, and every DWD-db job is then
+    pure ``tableEnv.sqlQuery`` text over it (e.g.
+    DwdTradeOrderPreProcess.java:55-72: ``data['col']`` + on-read
+    casts, filtered on ``table``/``type``). This mirrors that user
+    surface exactly — a ``CREATE TEMPORARY VIEW topic_db`` DDL string
+    building the Maxwell-style envelope, then the job as one SQL
+    string (envelope filter → map projection → typed casts → daily
+    rollup); no DataFrame calls in the job body. The oracle aggregates
+    the source rows directly, so envelope stringify→parse loss would
+    surface as a value mismatch.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_src")
+    # the getTopicDb DDL analog: a CDC envelope view with a string map
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY VIEW topic_db AS
+        SELECT 'order_info' AS `table`,
+               CASE WHEN o_orderstatus = 'O' THEN 'insert' ELSE 'update' END
+                   AS `type`,
+               from_json(to_json(named_struct(
+                   'id',          o_orderkey,
+                   'user_id',     o_custkey,
+                   'total_amount', CAST(o_totalprice AS DECIMAL(18,2)),
+                   'order_status', o_orderstatus,
+                   'date_id',     date_format(o_orderdate, 'yyyy-MM-dd')
+               )), 'map<string,string>') AS data
+        FROM orders_src
+    """)
+    # the DWD job proper — pure SQL over the envelope
+    return spark.sql("""
+        SELECT data['date_id'] AS date_id,
+               COUNT(*) AS order_ct,
+               CAST(SUM(CAST(data['total_amount'] AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_amount,
+               CAST(MAX(CAST(data['id'] AS BIGINT)) AS BIGINT) AS max_order
+        FROM topic_db
+        WHERE `table` = 'order_info'
+          AND `type` = 'insert'
+          AND data['date_id'] >= '1998-01-01'
+        GROUP BY data['date_id']
+    """)
+
+
+@query(
     "p_cdc_map_projection",
     oracle="""
     SELECT o_orderstatus AS status,

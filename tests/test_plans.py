@@ -71,6 +71,18 @@ def test_no_cartesian_or_nested_loop_joins(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_wide_order_5way_plan(spark):
+    """The composed 5-table DWD join: dic broadcast, date predicate
+    pushed to the orders scan, no cartesian degradation."""
+    plan = _plan(_Q["j_wide_order_5way"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1  # at least the dic lookup
+    # partition-prunable date predicate reaches the orders parquet scan
+    orders_scan = plan.split("orders.parquet")[1].split("ReadSchema")[0]
+    assert "o_orderdate" in orders_scan.split("PushedFilters")[1], orders_scan
+
+
 def test_no_row_at_a_time_python(spark):
     for name, q in _Q.items():
         plan = _plan(q.fn(spark, SF_DIR), "extended")
