@@ -45,7 +45,9 @@ Scale notes (100 TB stance)
 
 from __future__ import annotations
 
+import functools
 import hashlib
+import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -60,23 +62,41 @@ TOPK = 5
 # Bucket count is the corpus-size knob for the in-bucket self-join
 # (embedding near-dup): candidates scale with n^2 / 2^bits, so raise
 # bits with the corpus (rule of thumb: bits ≈ log2(n_vectors) - 7 for
-# ~128 vectors/bucket). The env override rebuilds the Spark plan AND
-# the DuckDB oracle from the same hyperplane set, so correctness
-# checks hold at any width.
-LSH_BITS = int(os.environ.get("FLINK_SPARK_LSH_BITS", "4"))
+# ~128 vectors/bucket). By default the rule is COMPUTED, not documented:
+# with the env knob unset, the Spark plan derives bits from a cheap
+# corpus count at build time and the DuckDB oracle derives the SAME
+# bits inside SQL (a COUNT(*) CTE + md5-generated hyperplanes), so the
+# default stays near-linear at any corpus size with no tuning. Setting
+# FLINK_SPARK_LSH_BITS pins a fixed width on both sides instead.
+_LSH_BITS_ENV = os.environ.get("FLINK_SPARK_LSH_BITS")
+LSH_BITS = int(_LSH_BITS_ENV) if _LSH_BITS_ENV else 4  # fixed-mode width
+LSH_MIN_BITS, LSH_MAX_BITS = 4, 16
 LSH_TOPK = 3
 
 
-def _signs(j: int) -> list[int]:
+def lsh_bits_for(n: int) -> int:
+    """bits ≈ log2(n) − 7 (~128 vectors/bucket), clamped to [4, 16].
+
+    Beyond 2^23 vectors the clamp saturates — raise ``LSH_MAX_BITS``
+    (or set the env knob) for billion-vector corpora; the SQL twin in
+    ``_LSH_BITS_CTE`` must move in lockstep.
+    """
+    return min(LSH_MAX_BITS, max(LSH_MIN_BITS, math.ceil(math.log2(max(n, 2))) - 7))
+
+
+def _active_lsh_bits(emb: DataFrame) -> int:
+    """Env-pinned width, or the corpus-derived rule over a cheap count."""
+    return int(_LSH_BITS_ENV) if _LSH_BITS_ENV else lsh_bits_for(emb.count())
+
+
+@functools.lru_cache(maxsize=None)
+def _signs(j: int) -> tuple[int, ...]:
     """Hyperplane j as a ±1 vector, derived from md5 (shared literal)."""
     out = []
     for i in range(DIM):
         h = hashlib.md5(f"{j}:{i}".encode()).hexdigest()
         out.append(1 if int(h[0], 16) >= 8 else -1)
-    return out
-
-
-SIGN_PLANES = [_signs(j) for j in range(LSH_BITS)]
+    return tuple(out)
 
 
 # --- Spark-side fold helpers (sequential, order-deterministic) ---
@@ -98,10 +118,12 @@ def _proj(a, signs: list[int]):
     return _dot(a, plane)
 
 
-def _bucket(a):
+def _bucket(a, bits: int):
     expr = F.lit(0)
-    for j, signs in enumerate(SIGN_PLANES):
-        expr = expr + F.when(_proj(a, signs) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    for j in range(bits):
+        expr = expr + F.when(_proj(a, _signs(j)) >= 0, F.lit(1 << j)).otherwise(
+            F.lit(0)
+        )
     return expr
 
 
@@ -118,7 +140,7 @@ def _norm_sql(a: str) -> str:
     return f"sqrt({_dot_sql(a, a)})"
 
 
-def _proj_sql(a: str, signs: list[int]) -> str:
+def _proj_sql(a: str, signs: tuple[int, ...]) -> str:
     lit = "[" + ", ".join(f"{s}.0" for s in signs) + "]"
     return (
         f"list_reduce(list_transform(range(1, {DIM + 1}), "
@@ -126,10 +148,37 @@ def _proj_sql(a: str, signs: list[int]) -> str:
     )
 
 
+# The oracle's bucket width: a one-row CTE named nb(bits). Env-pinned
+# it is a constant; otherwise the SAME clamped log2(count)−7 rule the
+# Spark side computes in lsh_bits_for — both engines count the same
+# parquet, so the widths agree at every scale.
+if _LSH_BITS_ENV:
+    _LSH_BITS_CTE = f"nb(bits) AS (SELECT {int(_LSH_BITS_ENV)})"
+else:
+    _LSH_BITS_CTE = (
+        f"nb(bits) AS (SELECT LEAST({LSH_MAX_BITS}, GREATEST({LSH_MIN_BITS}, "
+        "CAST(ceil(log2(COUNT(*))) AS INTEGER) - 7)) FROM embeddings)"
+    )
+
+# sign of hyperplane j, dimension i, derived from md5(j || ':' || i) —
+# the SQL twin of _signs(), so the oracle can build ANY plane count
+# (the hyperplane set is open-ended, not a pre-enumerated literal)
+_SIGN_SQL = (
+    "(CASE WHEN substring(md5(CAST(j AS VARCHAR) || ':' || "
+    "CAST(i - 1 AS VARCHAR)), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END)"
+)
+
+
 def _bucket_sql(a: str) -> str:
-    return " + ".join(
-        f"(CASE WHEN {_proj_sql(a, signs)} >= 0 THEN {1 << j} ELSE 0 END)"
-        for j, signs in enumerate(SIGN_PLANES)
+    """SRP bucket of ``a`` using the first ``nb.bits`` md5 hyperplanes."""
+    proj = (
+        f"list_reduce(list_transform(range(1, {DIM + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * {_SIGN_SQL}), (x, y) -> x + y)"
+    )
+    return (
+        "CAST(list_sum(list_transform(range(0, bits), j -> "
+        f"CASE WHEN {proj} >= 0 THEN CAST(power(2, j) AS BIGINT) "
+        "ELSE 0 END)) AS INTEGER)"
     )
 
 
@@ -205,10 +254,11 @@ def e_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "e_ann_lsh_topk",
     oracle=f"""
-    WITH b AS (
-      SELECT vec_id, embedding, CAST({_bucket_sql('embedding')} AS INTEGER) AS bucket,
+    WITH {_LSH_BITS_CTE},
+    b AS (
+      SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket,
              {_norm_sql('embedding')} AS nrm
-      FROM embeddings
+      FROM embeddings, nb
     ),
     q AS (SELECT vec_id AS query_id, embedding AS qe, bucket, nrm AS qn
           FROM b WHERE vec_id < {N_QUERIES}),
@@ -233,12 +283,14 @@ def e_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-bit key instead of a cross product, which is the shape that
     survives a 1000-executor corpus. Recall tradeoff vs ``e_cosine_topk``
     is the standard LSH one; the oracle reproduces bucketing exactly.
+    With the env knob unset the bit count derives from the corpus size
+    (``lsh_bits_for``) on both sides — no manual retuning at scale.
     """
     emb = load(spark, sf_dir, "embeddings")
     b = emb.select(
         "vec_id",
         "embedding",
-        _bucket(F.col("embedding")).cast("int").alias("bucket"),
+        _bucket(F.col("embedding"), _active_lsh_bits(emb)).cast("int").alias("bucket"),
         _norm(F.col("embedding")).alias("nrm"),
     )
     q = b.filter(F.col("vec_id") < N_QUERIES).select(
@@ -385,10 +437,11 @@ COSDUP_THRESHOLD = 0.45
 @query(
     "t_embedding_neardup",
     oracle=f"""
-    WITH b AS (
-      SELECT vec_id, embedding, CAST({_bucket_sql('embedding')} AS INTEGER) AS bucket,
+    WITH {_LSH_BITS_CTE},
+    b AS (
+      SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket,
              {_norm_sql('embedding')} AS nrm
-      FROM embeddings
+      FROM embeddings, nb
     ),
     q AS (SELECT vec_id AS d1, embedding AS qe, bucket, nrm AS qn FROM b),
     n AS (SELECT vec_id AS d2, embedding AS ne, bucket, nrm AS nn FROM b),
@@ -406,15 +459,17 @@ def t_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The embedding-space member of the dedup family (alongside exact /
     Jaccard / MinHash / SimHash in ``plans.textops``): candidate pairs
     from SRP-LSH buckets, verified by exact cosine. The
-    self-join is on the 4-bit bucket key — O(n²/2^bits) candidate
-    volume instead of all-pairs, uniform keys, ordinary hash join.
-    At 100 TB you raise the bit count so buckets stay executor-sized.
+    self-join is on the bucket key — O(n²/2^bits) candidate volume
+    instead of all-pairs, uniform keys, ordinary hash join. The bit
+    count derives from the corpus size by default (``lsh_bits_for``:
+    bits ≈ log2(n) − 7, so buckets stay ~128 vectors at any scale);
+    the env knob pins it when a specific recall/cost point is wanted.
     """
     emb = load(spark, sf_dir, "embeddings")
     b = emb.select(
         "vec_id",
         "embedding",
-        _bucket(F.col("embedding")).cast("int").alias("bucket"),
+        _bucket(F.col("embedding"), _active_lsh_bits(emb)).cast("int").alias("bucket"),
         _norm(F.col("embedding")).alias("nrm"),
     )
     q = b.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("qe"),
@@ -650,52 +705,87 @@ def m_resize_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 # Cell count is IVF's corpus-size knob: per-query candidate volume is
-# probes × (n_vectors / cells), so raise cells with the corpus (FAISS
-# rule of thumb: cells ≈ sqrt(n)). Env override rebuilds Spark plan AND
-# DuckDB oracle from the same md5-derived centroid set.
-IVF_CELLS = int(os.environ.get("FLINK_SPARK_IVF_CELLS", "8"))
+# probes × (n_vectors / cells). By default the FAISS rule of thumb
+# (cells ≈ sqrt(n)) is COMPUTED from a cheap corpus count — Spark at
+# plan-build time, the oracle in a COUNT(*) CTE with md5-generated
+# centroid directions — so per-cell lists stay executor-sized with no
+# tuning. FLINK_SPARK_IVF_CELLS pins a fixed cell count on both sides.
+_IVF_CELLS_ENV = os.environ.get("FLINK_SPARK_IVF_CELLS")
+IVF_CELLS = int(_IVF_CELLS_ENV) if _IVF_CELLS_ENV else 8  # fixed-mode count
+IVF_MIN_CELLS, IVF_MAX_CELLS = 8, 4096
 IVF_PROBES = 2
 
 
-def _centroid(k: int) -> list[int]:
+def ivf_cells_for(n: int) -> int:
+    """cells ≈ sqrt(n) (FAISS heuristic), clamped to [8, 4096]."""
+    return min(IVF_MAX_CELLS, max(IVF_MIN_CELLS, math.ceil(math.sqrt(max(n, 1)))))
+
+
+def _active_ivf_cells(emb: DataFrame) -> int:
+    return int(_IVF_CELLS_ENV) if _IVF_CELLS_ENV else ivf_cells_for(emb.count())
+
+
+if _IVF_CELLS_ENV:
+    _IVF_CELLS_CTE = f"nc(cells) AS (SELECT {int(_IVF_CELLS_ENV)})"
+else:
+    _IVF_CELLS_CTE = (
+        f"nc(cells) AS (SELECT LEAST({IVF_MAX_CELLS}, GREATEST({IVF_MIN_CELLS}, "
+        "CAST(ceil(sqrt(COUNT(*))) AS INTEGER))) FROM embeddings)"
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _centroid(k: int) -> tuple[int, ...]:
     """Coarse 'centroid' k as a ±1 direction, md5-derived (deterministic)."""
     out = []
     for i in range(DIM):
         h = hashlib.md5(f"ivf{k}:{i}".encode()).hexdigest()
         out.append(1 if int(h[0], 16) >= 8 else -1)
-    return out
+    return tuple(out)
 
 
-IVF_CENTROIDS = [_centroid(k) for k in range(IVF_CELLS)]
+# SQL twin of _centroid: sign of direction k-1, dimension i-1 (k and i
+# are 1-based range() variables in the enclosing list_transform)
+_CENT_SIGN_SQL = (
+    "(CASE WHEN substring(md5('ivf' || CAST(k - 1 AS VARCHAR) || ':' || "
+    "CAST(i - 1 AS VARCHAR)), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END)"
+)
 
 
 def _cell_scores_sql(a: str) -> str:
-    return "[" + ", ".join(_proj_sql(a, c) for c in IVF_CENTROIDS) + "]"
+    """Per-cell projection scores of ``a`` onto the first nc.cells
+    md5 directions → DOUBLE[cells]."""
+    return (
+        "list_transform(range(1, cells + 1), k -> "
+        f"list_reduce(list_transform(range(1, {DIM + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * {_CENT_SIGN_SQL}), (x, y) -> x + y))"
+    )
 
 
-def _cell_scores_spark(a):
-    return F.array(*[_proj(a, c) for c in IVF_CENTROIDS])
+def _cell_scores_spark(a, cells: int):
+    return F.array(*[_proj(a, _centroid(k)) for k in range(cells)])
 
 
 @query(
     "e_ann_ivf_topk",
     oracle=f"""
-    WITH scored AS (
+    WITH {_IVF_CELLS_CTE},
+    scored AS (
       SELECT vec_id, embedding, {_norm_sql('embedding')} AS nrm,
-             {_cell_scores_sql('embedding')} AS d
-      FROM embeddings
+             {_cell_scores_sql('embedding')} AS d, cells
+      FROM embeddings, nc
     ),
-    cells AS (
+    cellassign AS (
       SELECT *, list_position(d, list_max(d)) AS c1 FROM scored
     ),
     probed AS (
       SELECT *, list_position(
-               list_transform(range(1, {IVF_CELLS + 1}),
+               list_transform(range(1, cells + 1),
                               j -> CASE WHEN j = c1 THEN -1e300 ELSE d[j] END),
-               list_max(list_transform(range(1, {IVF_CELLS + 1}),
+               list_max(list_transform(range(1, cells + 1),
                               j -> CASE WHEN j = c1 THEN -1e300 ELSE d[j] END)))
              AS c2
-      FROM cells
+      FROM cellassign
     ),
     q AS (
       SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, unnest([c1, c2]) AS cell
@@ -724,18 +814,21 @@ def e_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-derived ±1 vectors so the oracle reproduces assignment exactly
     (trained k-means centroids drop in without changing the dataflow:
     a broadcast cell table + the same probed join). Candidate volume
-    is |Q| x probes x (N / cells) — the per-cell list shrinks as cells
-    grow, the knob that keeps this executor-sized at 100 TB.
+    is |Q| x probes x (N / cells) — the cell count tracks sqrt(n) by
+    default (``ivf_cells_for``, computed from a cheap count on both
+    the Spark and oracle sides), which keeps per-cell lists
+    executor-sized at 100 TB with no manual tuning.
     """
     emb = load(spark, sf_dir, "embeddings")
+    n_cells = _active_ivf_cells(emb)
     scored = emb.select(
         "vec_id", "embedding",
         _norm(F.col("embedding")).alias("nrm"),
-        _cell_scores_spark(F.col("embedding")).alias("d"),
+        _cell_scores_spark(F.col("embedding"), n_cells).alias("d"),
     )
     cells = scored.withColumn("c1", F.array_position("d", F.array_max("d")))
     masked = F.transform(
-        F.sequence(F.lit(1), F.lit(IVF_CELLS)),
+        F.sequence(F.lit(1), F.lit(n_cells)),
         lambda j: F.when(j == F.col("c1"), F.lit(-1e300)).otherwise(
             F.element_at("d", j.cast("int"))
         ),

@@ -36,6 +36,7 @@ Scale notes (100 TB stance)
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -61,23 +62,45 @@ JACCARD_THRESHOLD = 0.8
 MINHASHES = 16         # 16 hashes = 4 bands x 4 rows
 LSH_BANDS = 4
 # SimHash width is the corpus-size knob for the hamming-band self-join:
-# candidates per chunk scale with (n_docs / 2^chunk_bits)^2, so widen the
-# signature as the corpus grows (rule of thumb: chunk_bits >= log2(n_docs)
-# - 5, i.e. 32 bits to ~200k docs, 48 bits to ~50M, 56 beyond). The env
-# override rebuilds BOTH the Spark plan and the DuckDB oracle from the
-# same constant, so correctness checks hold at any width. Must be a
-# multiple of 4: the signature is parsed from whole md5 nibbles AND
-# split into SIMHASH_CHUNKS=4 equal chunks (chunk extraction is pure
-# bit arithmetic, so chunks themselves need no nibble alignment —
-# valid widths are 16, 20, 24, …, 56). <= 56 keeps the packed
-# signature and the parsed token hash well inside int64.
-SIMHASH_BITS = int(os.environ.get("FLINK_SPARK_SIMHASH_BITS", "32"))
+# candidates per chunk scale with (n_docs / 2^chunk_bits)^2, so the
+# signature must widen as the corpus grows (rule of thumb: chunk_bits
+# >= log2(n_docs) - 5). By default the rule is COMPUTED, not documented:
+# with the env knob unset, the Spark plan derives the width from a
+# cheap doc count at build time, and the DuckDB oracle derives the SAME
+# width inside SQL (it always builds the max 56-bit signature and masks
+# down — signature bit b is width-independent, so a masked 56-bit
+# signature equals the natively-built narrower one). Setting
+# FLINK_SPARK_SIMHASH_BITS pins a fixed width on both sides; valid
+# widths are any multiple of 4 in [16, 56] (whole md5 nibbles; chunk
+# extraction is pure bit arithmetic, so chunks need no nibble
+# alignment; <= 56 keeps signature and token hash inside int64).
+_SIMHASH_ENV = os.environ.get("FLINK_SPARK_SIMHASH_BITS")
+SIMHASH_BITS = int(_SIMHASH_ENV) if _SIMHASH_ENV else 32  # fixed-mode width
 HAMMING_MAX = 3
 SIMHASH_CHUNKS = HAMMING_MAX + 1   # pigeonhole: hamming<=3 ⇒ 1 equal chunk
-assert SIMHASH_BITS % 4 == 0 and 16 <= SIMHASH_BITS <= 56
-_SIMHASH_HEX = SIMHASH_BITS // 4           # md5 prefix nibbles parsed
-_CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS
-_CHUNK_MASK = (1 << _CHUNK_BITS) - 1
+SIMHASH_MAX_BITS = 56
+assert SIMHASH_BITS % 4 == 0 and 16 <= SIMHASH_BITS <= SIMHASH_MAX_BITS
+
+
+def simhash_bits_for(n: int) -> int:
+    """Signature width for an n-doc corpus: 4 × clamp(⌈log2 n⌉−5, 8, 14).
+
+    chunk_bits = log2(n) − 5 keeps expected same-chunk collisions per
+    doc near 2^5; the floor of 8 (32 bits) keeps the signature
+    selective on small corpora, the cap of 14 (56 bits) is the int64
+    budget. The SQL twin lives in ``_SIMHASH_BITS_CTE``.
+    """
+    chunk = min(14, max(8, math.ceil(math.log2(max(n, 2))) - 5))
+    return 4 * chunk
+
+
+if _SIMHASH_ENV:
+    _SIMHASH_BITS_CTE = f"nbits(bits) AS (SELECT {int(_SIMHASH_ENV)})"
+else:
+    _SIMHASH_BITS_CTE = (
+        "nbits(bits) AS (SELECT 4 * LEAST(14, GREATEST(8, "
+        "CAST(ceil(log2(COUNT(*))) AS INTEGER) - 5)) FROM documents)"
+    )
 
 # DuckDB fragments
 # DuckDB mirrors of normalize_text/tokenize — CJK-aware (identical to
@@ -669,16 +692,16 @@ def t_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Near-dup #3: SimHash fingerprints + banded hamming candidates
 # --------------------------------------------------------------------------
 
-def _simhash_sums_sql(dialect: str) -> str:
-    """SIMHASH_BITS (32) signed bit-sums over the token-hash int ``v``.
+def _simhash_sums_sql(dialect: str, bits: int) -> str:
+    """``bits`` signed bit-sums over the token-hash int ``v``.
 
-    ``v`` is the leading 8 hex chars of md5(token) parsed ONCE into an
-    integer; bit b of the signature reads ``(v >> (31-b)) & 1`` — 32
-    cheap shifts instead of 32 substring/index-of parses per token.
+    ``v`` is the leading ``bits/4`` hex chars of md5(token) parsed ONCE
+    into an integer; bit b of the signature reads ``(v >> (bits-1-b)) & 1``
+    — cheap shifts instead of substring/index-of parses per token.
     """
     terms = []
-    for b in range(SIMHASH_BITS):
-        shift = SIMHASH_BITS - 1 - b
+    for b in range(bits):
+        shift = bits - 1 - b
         if dialect == "duckdb":
             bit = f"((v >> {shift}) & 1)"
         else:
@@ -689,32 +712,43 @@ def _simhash_sums_sql(dialect: str) -> str:
     return ",\n             ".join(terms)
 
 
-def _simhash_pack_sql() -> str:
+def _simhash_pack_sql(bits: int) -> str:
     return " + ".join(
         f"(CASE WHEN b{b} >= 0 THEN {1 << b} ELSE 0 END)"
-        for b in range(SIMHASH_BITS)
+        for b in range(bits)
     )
 
 
 @query(
     "t_simhash_dups",
+    # The oracle always builds the full 56-bit signature and masks down
+    # to nbits.bits (constant when env-pinned, else the corpus rule).
+    # Signature bit b depends only on md5-prefix bit b — never on the
+    # total width — so the masked signature is identical to one built
+    # natively at that width (what the Spark side does).
     oracle=f"""
-    WITH toks AS (
+    WITH {_SIMHASH_BITS_CTE},
+    toks AS (
       SELECT doc_id,
-             CAST(concat('0x', substr(md5(unnest({_TOKS})), 1, {_SIMHASH_HEX})) AS BIGINT) AS v
+             CAST(concat('0x', substr(md5(unnest({_TOKS})), 1, {SIMHASH_MAX_BITS // 4})) AS BIGINT) AS v
       FROM documents
     ),
     sums AS (
       SELECT doc_id,
-             {_simhash_sums_sql('duckdb')}
+             {_simhash_sums_sql('duckdb', SIMHASH_MAX_BITS)}
       FROM toks GROUP BY doc_id
     ),
     sig AS (
-      SELECT doc_id, CAST({_simhash_pack_sql()} AS BIGINT) AS simhash FROM sums
+      SELECT doc_id,
+             CAST({_simhash_pack_sql(SIMHASH_MAX_BITS)} AS BIGINT)
+               % CAST(power(2, bits) AS BIGINT) AS simhash,
+             bits // {SIMHASH_CHUNKS} AS cbits
+      FROM sums, nbits
     ),
     chunks AS (
       SELECT doc_id, simhash, c AS chunk_idx,
-             (simhash >> ({_CHUNK_BITS} * c)) & {_CHUNK_MASK} AS chunk
+             (simhash // CAST(power(2, cbits * c) AS BIGINT))
+               % CAST(power(2, cbits) AS BIGINT) AS chunk
       FROM sig, unnest({list(range(SIMHASH_CHUNKS))}) AS u(c)
     ),
     cand AS (
@@ -730,28 +764,35 @@ def _simhash_pack_sql() -> str:
     tags=("textops", "dedup", "simhash"),
 )
 def t_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(32-bit) fingerprints; near-dup pairs at hamming <= 3.
+    """SimHash fingerprints; near-dup pairs at hamming <= 3.
 
     Charikar '02 sign-random-projection hashing: bit b of the signature
     is the sign of the token-frequency-weighted sum of bit b of each
-    token's md5. Candidate pairs come from banding the 32 bits into 4
+    token's md5. Candidate pairs come from banding the bits into 4
     chunks (hamming <= 3 < 4 chunks guarantees a matching chunk — the
-    pigeonhole trick), so the pair join is on 8-bit chunk keys, never
-    all-pairs. 32 bits keeps the signature selective even on a
-    small-vocabulary corpus (16 bits marked most doc pairs as dups). All integer math ⇒ oracle-identical.
+    pigeonhole trick), so the pair join is on chunk keys, never
+    all-pairs. The width derives from the corpus size by default
+    (``simhash_bits_for``; 32 bits up to ~8k docs — 16 bits marked most
+    doc pairs as dups on a small-vocabulary corpus) and widens with the
+    corpus so same-chunk collisions stay bounded; the env knob pins it.
+    All integer math ⇒ oracle-identical at every width.
     """
     docs = load(spark, sf_dir, "documents")
+    bits = int(_SIMHASH_ENV) if _SIMHASH_ENV else simhash_bits_for(docs.count())
+    cbits = bits // SIMHASH_CHUNKS
+    cmask = (1 << cbits) - 1
     toks = docs.select("doc_id", F.explode(tokenize("text")).alias("w")).select(
         "doc_id",
-        F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, _SIMHASH_HEX),
+        F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, bits // 4),
                16, 10).cast("long").alias("v"),
     )
     sums = toks.groupBy("doc_id").agg(
         *[F.expr(t.replace(" AS b", " as b")).alias(f"b{i}")
-          for i, t in enumerate(_simhash_sums_sql("spark").split(",\n             "))]
+          for i, t in enumerate(
+              _simhash_sums_sql("spark", bits).split(",\n             "))]
     )
     sig = sums.select(
-        "doc_id", F.expr(_simhash_pack_sql()).cast("long").alias("simhash")
+        "doc_id", F.expr(_simhash_pack_sql(bits)).cast("long").alias("simhash")
     )
     chunks = sig.select(
         "doc_id", "simhash",
@@ -760,7 +801,7 @@ def t_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chunk_idx"),
     ).withColumn(
         "chunk",
-        F.expr(f"shiftright(simhash, {_CHUNK_BITS} * chunk_idx) & {_CHUNK_MASK}"),
+        F.expr(f"shiftright(simhash, {cbits} * chunk_idx) & {cmask}"),
     )
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (

@@ -30,6 +30,61 @@ print("KNOB-SYMMETRY-OK")
 """
 
 
+def test_corpus_rules():
+    """The computed defaults follow the documented rules of thumb."""
+    from flink_spark.plans.similarity import ivf_cells_for, lsh_bits_for
+    from flink_spark.plans.textops import simhash_bits_for
+
+    assert lsh_bits_for(1_000) == 4          # clamp floor (fixtures)
+    assert lsh_bits_for(100_000) == 10       # SCALING.md's 10x retune point
+    assert lsh_bits_for(10**10) == 16        # cap
+    assert ivf_cells_for(1_000) == 32        # sqrt(n)
+    assert ivf_cells_for(10) == 8            # floor
+    assert simhash_bits_for(500) == 32       # floor (fixtures)
+    assert simhash_bits_for(3_000_000) == 4 * min(14, 22 - 5)  # 48 bits
+    assert simhash_bits_for(10**9) == 56     # cap
+
+
+def test_adaptive_default_stays_oracle_symmetric(spark, tmp_path):
+    """With NO env knobs set, a corpus large enough to leave the clamp
+    floor must still match the oracle — i.e. both engines derive the
+    SAME width from the corpus count."""
+    import os
+
+    from flink_spark.plans.similarity import lsh_bits_for
+    from flink_spark.registry import all_queries
+    from flink_spark.sources import TABLES
+    from flink_spark.testing import compare, duck_connect
+
+    assert not any(
+        os.environ.get(k)
+        for k in ("FLINK_SPARK_LSH_BITS", "FLINK_SPARK_SIMHASH_BITS",
+                  "FLINK_SPARK_IVF_CELLS")
+    )
+    sf = "/root/testdata/sf0.001"
+    for t in TABLES:
+        if t != "embeddings":
+            os.symlink(f"{sf}/{t}.parquet", tmp_path / f"{t}.parquet")
+    import duckdb
+
+    builder = duckdb.connect()
+    n0 = builder.execute(
+        f"SELECT COUNT(*) FROM '{sf}/embeddings.parquet'"
+    ).fetchone()[0]
+    replicas = (4096 // n0) + 1  # past 2^11 vectors → bits > the floor of 4
+    builder.execute(f"""
+        COPY (
+          SELECT vec_id + k * 1000000 AS vec_id, embedding, label
+          FROM '{sf}/embeddings.parquet', range(0, {replicas}) AS r(k)
+        ) TO '{tmp_path}/embeddings.parquet' (FORMAT PARQUET)
+    """)
+    assert lsh_bits_for(n0 * replicas) > 4  # the rule actually engages
+    con = duck_connect(str(tmp_path))
+    q = all_queries()["e_ann_lsh_topk"]
+    errs = compare(spark, con, q, str(tmp_path))
+    assert not errs, errs[:3]
+
+
 def test_widened_knobs_stay_oracle_symmetric(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(
