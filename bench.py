@@ -33,6 +33,7 @@ HEADLINE = [
     "t_token_stats",
     "t_exact_dedup",
     "t_minhash_lsh_dups",
+    "t_dup_clusters",
     "t_simhash_dups",
     "t_corpus_pipeline",
     "e_cosine_topk",

@@ -39,7 +39,7 @@ from __future__ import annotations
 import math
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_spark.functions.text import (
@@ -620,10 +620,10 @@ def _band_keys_sql() -> str:
     return f"[{keys}]"
 
 
-@query(
-    "t_minhash_lsh_dups",
-    oracle=f"""
-    WITH {_SHINGLE_CTE},
+# The full MinHash-LSH pair chain as a reusable CTE block ending in
+# pairs(d1, d2, jaccard) — shared by t_minhash_lsh_dups (which selects
+# it directly) and t_dup_clusters (which walks its transitive closure).
+_MINHASH_PAIRS_CTES = f"""{_SHINGLE_CTE},
     sigs AS (
       {_minhash_sql()}
     ),
@@ -633,35 +633,25 @@ def _band_keys_sql() -> str:
     cand AS (
       SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
       FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
-    )
-    SELECT d1, d2,
-           CAST(len(list_intersect(x.sl, y.sl)) AS DOUBLE)
-             / (len(x.sl) + len(y.sl) - len(list_intersect(x.sl, y.sl)))
-             AS jaccard
-    FROM cand
-    JOIN sh x ON d1 = x.doc_id
-    JOIN sh y ON d2 = y.doc_id
-    WHERE CAST(len(list_intersect(x.sl, y.sl)) AS DOUBLE)
-             / (len(x.sl) + len(y.sl) - len(list_intersect(x.sl, y.sl)))
-             >= {JACCARD_THRESHOLD}
-    """,
-    tags=("textops", "dedup", "lsh"),
-)
-def t_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(16) + LSH(4 bands x 4) near-dup pairs, verified exactly.
+    ),
+    pairs AS (
+      SELECT d1, d2,
+             CAST(len(list_intersect(x.sl, y.sl)) AS DOUBLE)
+               / (len(x.sl) + len(y.sl) - len(list_intersect(x.sl, y.sl)))
+               AS jaccard
+      FROM cand
+      JOIN sh x ON d1 = x.doc_id
+      JOIN sh y ON d2 = y.doc_id
+      WHERE CAST(len(list_intersect(x.sl, y.sl)) AS DOUBLE)
+               / (len(x.sl) + len(y.sl) - len(list_intersect(x.sl, y.sl)))
+               >= {JACCARD_THRESHOLD}
+    )"""
 
-    The banded-LSH design from the MinHash literature (Broder '97;
-    Leskovec/Rajaraman/Ullman ch.3): each doc is reduced to a 16-value
-    signature (one aggregation over its shingles), docs are joined on 4
-    band keys — candidate generation is O(docs x bands), never
-    all-pairs — and only candidates pay the exact-Jaccard verification
-    (array_intersect of two ~100-element arrays, JVM-side).
 
-    Determinism: one md5 per shingle split into two 32-bit ints
-    (h1, h2); MinHash_j = min(h1 + j*h2) — pure integer min, identical
-    in Spark and DuckDB, so the oracle reproduces candidate generation
-    exactly.
-    """
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified MinHash-LSH near-dup pairs (d1 < d2, jaccard) — the
+    Spark twin of ``_MINHASH_PAIRS_CTES``; see ``t_minhash_lsh_dups``
+    for the algorithm notes."""
     sh, ex = _shingled(spark, sf_dir, persist=True)
     sigs = _hashed_shingles_spark(ex).groupBy("doc_id").agg(*_minhash_cols_spark())
     bands = sigs.select(
@@ -685,6 +675,152 @@ def t_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(y, "d2")
         .filter(jac >= JACCARD_THRESHOLD)
         .select("d1", "d2", jac.alias("jaccard"))
+    )
+
+
+@query(
+    "t_minhash_lsh_dups",
+    oracle=f"""
+    WITH {_MINHASH_PAIRS_CTES}
+    SELECT d1, d2, jaccard FROM pairs
+    """,
+    tags=("textops", "dedup", "lsh"),
+)
+def t_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands x 4) near-dup pairs, verified exactly.
+
+    The banded-LSH design from the MinHash literature (Broder '97;
+    Leskovec/Rajaraman/Ullman ch.3): each doc is reduced to a 16-value
+    signature (one aggregation over its shingles), docs are joined on 4
+    band keys — candidate generation is O(docs x bands), never
+    all-pairs — and only candidates pay the exact-Jaccard verification
+    (array_intersect of two ~100-element arrays, JVM-side).
+
+    Determinism: one md5 per shingle split into two 32-bit ints
+    (h1, h2); MinHash_j = min(h1 + j*h2) — pure integer min, identical
+    in Spark and DuckDB, so the oracle reproduces candidate generation
+    exactly.
+    """
+    return _minhash_pairs(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# Duplicate clustering: connected components over the near-dup graph
+# --------------------------------------------------------------------------
+
+@query(
+    "t_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+    edges AS (
+      SELECT d1 AS u, d2 AS v FROM pairs
+      UNION ALL
+      SELECT d2, d1 FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS doc_id FROM edges),
+    reach(root, doc_id) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT r.root, e.v FROM reach r JOIN edges e ON r.doc_id = e.u
+    ),
+    labels AS (
+      SELECT doc_id, MIN(root) AS cluster_id FROM reach GROUP BY doc_id
+    ),
+    ranked AS (
+      SELECT l.cluster_id, l.doc_id, length(d.text) AS len,
+             ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                                ORDER BY length(d.text) DESC, l.doc_id ASC)
+               AS rn
+      FROM labels l JOIN documents d USING (doc_id)
+    )
+    SELECT r.cluster_id, s.n_docs,
+           r.doc_id AS keep_doc, CAST(r.len AS BIGINT) AS keep_len
+    FROM ranked r
+    JOIN (SELECT cluster_id, COUNT(*) AS n_docs
+          FROM labels GROUP BY cluster_id) s USING (cluster_id)
+    WHERE r.rn = 1
+    """,
+    tags=("textops", "dedup", "clustering"),
+)
+def t_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters (connected components) + keep-best selection.
+
+    Pairwise near-dup output is not what a training-data pipeline
+    acts on — transitive closure is (A~B, B~C ⇒ {A,B,C} is one
+    cluster, keep one document). Components over the verified
+    MinHash-LSH pair graph via iterative min-label propagation:
+    label(v) ← min(label(v), min label of v's neighbors) to a
+    fixpoint, label = smallest doc_id in the component.
+
+    Scale notes: each round is one join + one groupBy-min on the
+    *pair graph* (orders of magnitude smaller than the corpus — only
+    docs with a verified near-dup), and rounds are bounded by
+    component diameter. LSH-derived components are band-clique
+    unions, so diameter is tiny in practice; the cap of 20 guards
+    adversarial chains (A~B~C~... paths of hamming-adjacent docs);
+    the O(log n)-round large-star/small-star contraction (Kiveris et
+    al., "Connected Components in MapReduce and Beyond") drops in
+    here if a corpus ever hits the cap. Per-round
+    ``localCheckpoint`` cuts the iterative lineage (swap for a
+    reliable HDFS checkpoint on a real cluster). The keeper is the
+    longest document per cluster (ties → smallest doc_id) — the
+    usual keep-best heuristic, one window over cluster members.
+
+    Oracle: DuckDB's recursive CTE walks reachability over the same
+    edges; MIN(root) over walkers ≡ the propagated fixpoint label.
+    """
+    # persist the PAIR table, not the symmetrized edge view: the union
+    # has two branches, and an unpersisted subtree would pay the LSH
+    # candidate join twice
+    pairs = track_persist(_minhash_pairs(spark, sf_dir).select("d1", "d2"))
+    edges = pairs.select(F.col("d1").alias("u"), F.col("d2").alias("v")).union(
+        pairs.select(F.col("d2").alias("u"), F.col("d1").alias("v"))
+    )
+    labels = (
+        edges.select(F.col("u").alias("doc_id")).distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint(eager=False)
+    )
+    # Convergence via the label-sum invariant: new(v) = min(old(v),
+    # labels of v's neighbors), so every label is monotonically
+    # non-increasing and the sum (exact decimal — int64-overflow-proof
+    # at any corpus size) is strictly decreasing until the fixpoint.
+    # One action per round (the agg also materializes the lazy
+    # checkpoint) instead of a change-count join.
+    prev = None
+    for _ in range(20):
+        prop = edges.join(labels, edges.u == labels.doc_id).select(
+            F.col("v").alias("doc_id"), "cluster_id"
+        )
+        labels = (
+            labels.unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint(eager=False)
+        )
+        cur = labels.agg(
+            F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
+        ).collect()[0].s
+        if cur == prev:
+            break
+        prev = cur
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("len")
+    )
+    memb = labels.join(docs, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("len").desc(), F.col("doc_id").asc()
+    )
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        memb.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(sizes, "cluster_id")
+        .select(
+            "cluster_id", "n_docs",
+            F.col("doc_id").alias("keep_doc"),
+            F.col("len").cast("long").alias("keep_len"),
+        )
     )
 
 

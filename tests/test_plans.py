@@ -59,6 +59,7 @@ def test_no_cartesian_or_nested_loop_joins(spark):
         "j_interval_join",
         "t_ngram_jaccard_dups",
         "t_minhash_lsh_dups",
+        "t_dup_clusters",
         "t_simhash_dups",
         "t_embedding_neardup",
         "t_corpus_pipeline",
@@ -131,3 +132,35 @@ def test_ads_joins_broadcast_and_no_cartesian(spark):
     plan = _plan(_Q["ads_gmv_topk_brand"].fn(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_dup_clusters_match_union_find(spark):
+    """t_dup_clusters ≡ an independent pure-Python union-find over the
+    pair output (third implementation besides the label-propagation
+    plan and the recursive-CTE oracle), plus structural invariants."""
+    pairs = [
+        (r.d1, r.d2)
+        for r in _Q["t_minhash_lsh_dups"].fn(spark, SF_DIR).collect()
+    ]
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    members: dict = {}
+    for d in parent:
+        members.setdefault(find(d), set()).add(d)
+    expect = {min(m): len(m) for m in members.values()}
+
+    out = _Q["t_dup_clusters"].fn(spark, SF_DIR).collect()
+    got = {r.cluster_id: r.n_docs for r in out}
+    assert got == expect
+    for r in out:
+        assert r.n_docs >= 2            # singletons never enter the graph
+        assert r.keep_doc in members[find(r.cluster_id)]
+        assert r.cluster_id == min(members[find(r.cluster_id)])
