@@ -304,6 +304,7 @@ OPERATOR_COVERAGE: dict[str, tuple[str, tuple[str, ...]]] = {
     "F1": ("tokenizer UDTF → tokenize+explode", ("t_keyword_counts",)),
     "F3": ("config-routing foreachBatch", ("tests/test_streaming.py::test_routed_dim_sink",)),
     "F4": ("rich stateful ops", ("tests/test_streaming.py::test_is_new_correction_equals_batch",)),
+    "REST": ("serving.py: publisher controller routes → catalog queries, Sugar envelope", ("tests/test_serving.py::test_province_map_endpoint_matches_query",)),
 }
 
 
