@@ -53,7 +53,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from flink_spark.registry import query
+from flink_spark.plans.graph import CC_SQL_CTES, connected_components
+from flink_spark.registry import query, track_persist
 from flink_spark.sources import load
 
 DIM = 64              # embedding width of the fixture corpus
@@ -481,6 +482,49 @@ def t_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("d1") < F.col("d2"))
         .select("d1", "d2", _cosine_spark().alias("cosine"))
         .filter(F.col("cosine") >= COSDUP_THRESHOLD)
+    )
+
+
+@query(
+    "e_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_LSH_BITS_CTE},
+    b AS (
+      SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket,
+             {_norm_sql('embedding')} AS nrm
+      FROM embeddings, nb
+    ),
+    q AS (SELECT vec_id AS d1, embedding AS qe, bucket, nrm AS qn FROM b),
+    n AS (SELECT vec_id AS d2, embedding AS ne, bucket, nrm AS nn FROM b),
+    pairs AS (
+      SELECT d1, d2 FROM (
+        SELECT d1, d2, {_COSINE_SQL} AS cosine
+        FROM q JOIN n USING (bucket) WHERE d1 < d2
+      ) WHERE cosine >= {COSDUP_THRESHOLD}
+    ),
+    {CC_SQL_CTES}
+    SELECT cluster_id, COUNT(*) AS n_vecs, MAX(doc_id) AS max_vec
+    FROM labels GROUP BY cluster_id
+    """,
+    tags=("similarity", "dedup", "clustering"),
+)
+def e_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dup clusters: components over the embedding pair graph.
+
+    The embedding-modality twin of ``t_dup_clusters`` (semantic dedup
+    acts on transitive closure, not pairs): verified cosine near-dup
+    pairs from ``t_embedding_neardup`` feed the shared
+    ``plans.graph.connected_components`` (min-label propagation;
+    scale notes there), labels roll up to per-cluster size + id
+    range. cluster_id = smallest vec_id in the component.
+    """
+    pairs = track_persist(
+        t_embedding_neardup(spark, sf_dir).select("d1", "d2")
+    )
+    labels = connected_components(pairs)
+    return labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.max("doc_id").alias("max_vec"),
     )
 
 

@@ -50,6 +50,7 @@ from flink_spark.functions.text import (
     toks_sql,
     word_shingles,
 )
+from flink_spark.plans.graph import CC_SQL_CTES, connected_components
 from flink_spark.registry import query, track_persist
 from flink_spark.sources import load
 
@@ -712,20 +713,7 @@ def t_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t_dup_clusters",
     oracle=f"""
     WITH RECURSIVE {_MINHASH_PAIRS_CTES},
-    edges AS (
-      SELECT d1 AS u, d2 AS v FROM pairs
-      UNION ALL
-      SELECT d2, d1 FROM pairs
-    ),
-    nodes AS (SELECT DISTINCT u AS doc_id FROM edges),
-    reach(root, doc_id) AS (
-      SELECT doc_id, doc_id FROM nodes
-      UNION
-      SELECT r.root, e.v FROM reach r JOIN edges e ON r.doc_id = e.u
-    ),
-    labels AS (
-      SELECT doc_id, MIN(root) AS cluster_id FROM reach GROUP BY doc_id
-    ),
+    {CC_SQL_CTES},
     ranked AS (
       SELECT l.cluster_id, l.doc_id, length(d.text) AS len,
              ROW_NUMBER() OVER (PARTITION BY l.cluster_id
@@ -748,62 +736,21 @@ def t_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pairwise near-dup output is not what a training-data pipeline
     acts on — transitive closure is (A~B, B~C ⇒ {A,B,C} is one
     cluster, keep one document). Components over the verified
-    MinHash-LSH pair graph via iterative min-label propagation:
-    label(v) ← min(label(v), min label of v's neighbors) to a
-    fixpoint, label = smallest doc_id in the component.
+    MinHash-LSH pair graph via ``plans.graph.connected_components``
+    (min-label propagation; algorithm + scale notes there). The
+    keeper is the longest document per cluster (ties → smallest
+    doc_id) — the usual keep-best heuristic, one window over cluster
+    members.
 
-    Scale notes: each round is one join + one groupBy-min on the
-    *pair graph* (orders of magnitude smaller than the corpus — only
-    docs with a verified near-dup), and rounds are bounded by
-    component diameter. LSH-derived components are band-clique
-    unions, so diameter is tiny in practice; the cap of 20 guards
-    adversarial chains (A~B~C~... paths of hamming-adjacent docs);
-    the O(log n)-round large-star/small-star contraction (Kiveris et
-    al., "Connected Components in MapReduce and Beyond") drops in
-    here if a corpus ever hits the cap. Per-round
-    ``localCheckpoint`` cuts the iterative lineage (swap for a
-    reliable HDFS checkpoint on a real cluster). The keeper is the
-    longest document per cluster (ties → smallest doc_id) — the
-    usual keep-best heuristic, one window over cluster members.
-
-    Oracle: DuckDB's recursive CTE walks reachability over the same
-    edges; MIN(root) over walkers ≡ the propagated fixpoint label.
+    Oracle: DuckDB's recursive CTE (``CC_SQL_CTES``) walks
+    reachability over the same edges; MIN(root) over walkers ≡ the
+    propagated fixpoint label.
     """
     # persist the PAIR table, not the symmetrized edge view: the union
     # has two branches, and an unpersisted subtree would pay the LSH
     # candidate join twice
     pairs = track_persist(_minhash_pairs(spark, sf_dir).select("d1", "d2"))
-    edges = pairs.select(F.col("d1").alias("u"), F.col("d2").alias("v")).union(
-        pairs.select(F.col("d2").alias("u"), F.col("d1").alias("v"))
-    )
-    labels = (
-        edges.select(F.col("u").alias("doc_id")).distinct()
-        .withColumn("cluster_id", F.col("doc_id"))
-        .localCheckpoint(eager=False)
-    )
-    # Convergence via the label-sum invariant: new(v) = min(old(v),
-    # labels of v's neighbors), so every label is monotonically
-    # non-increasing and the sum (exact decimal — int64-overflow-proof
-    # at any corpus size) is strictly decreasing until the fixpoint.
-    # One action per round (the agg also materializes the lazy
-    # checkpoint) instead of a change-count join.
-    prev = None
-    for _ in range(20):
-        prop = edges.join(labels, edges.u == labels.doc_id).select(
-            F.col("v").alias("doc_id"), "cluster_id"
-        )
-        labels = (
-            labels.unionByName(prop)
-            .groupBy("doc_id")
-            .agg(F.min("cluster_id").alias("cluster_id"))
-            .localCheckpoint(eager=False)
-        )
-        cur = labels.agg(
-            F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
-        ).collect()[0].s
-        if cur == prev:
-            break
-        prev = cur
+    labels = connected_components(pairs)
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", F.length("text").alias("len")
     )
