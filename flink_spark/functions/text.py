@@ -84,13 +84,23 @@ def _expand_token(tok: Column) -> Column:
 def tokenize(c: Column | str) -> Column:
     """Tokenize normalized text → array<string> (F1 parity surface).
 
-    Whitespace split, then CJK-aware expansion per token. ASCII-only
-    rows take the cheap branch (one ``rlike`` probe, then identity), so
-    the existing Latin corpora tokenize exactly as before; Han text
-    yields overlapping bigrams that flow into keyword counts, shingles,
-    MinHash and SimHash without vanishing.
+    Whitespace split, then CJK-aware expansion. The Han probe is ONE
+    ``rlike`` on the whole normalized row: rows with no Han character
+    (the overwhelming majority of a mixed corpus, and all of a Latin
+    one) take the wholesale ``split`` — the exact pre-CJK fast path —
+    and only Han-bearing rows pay the per-token expansion. Han text
+    yields overlapping bigrams that flow into keyword counts,
+    shingles, MinHash and SimHash without vanishing.
     """
-    return F.flatten(F.transform(F.split(normalize_text(c), " "), _expand_token))
+    col = F.col(c) if isinstance(c, str) else c
+    plain = F.split(normalize_text(col), " ")
+    # probe the RAW column: normalization never introduces Han, so a
+    # Han-free raw row is a Han-free normalized row (a Han-bearing raw
+    # row conservatively takes the slow branch, which is also correct)
+    # — and the probe doesn't re-evaluate the normalize regex.
+    return F.when(~col.rlike(_HAN_JAVA), plain).otherwise(
+        F.flatten(F.transform(plain, _expand_token))
+    )
 
 
 def norm_sql(col: str = "text") -> str:
@@ -101,8 +111,12 @@ def norm_sql(col: str = "text") -> str:
 
 
 def toks_sql(col: str = "text") -> str:
-    """DuckDB mirror of ``tokenize`` — identical token stream, any script."""
-    return f"""flatten(list_transform(string_split({norm_sql(col)}, ' '),
+    """DuckDB mirror of ``tokenize`` — identical token stream, any script
+    (same raw-column Han fast path; a Han-free row's tokens all take the
+    identity branch, so the wholesale split is equivalent)."""
+    return f"""CASE WHEN NOT regexp_matches({col}, '{_HAN_RE2}')
+      THEN string_split({norm_sql(col)}, ' ')
+      ELSE flatten(list_transform(string_split({norm_sql(col)}, ' '),
       tok -> CASE WHEN NOT regexp_matches(tok, '{_HAN_RE2}') THEN [tok]
              ELSE flatten(list_transform(
                     regexp_extract_all(tok, '[a-z0-9]+|{_HAN_RE2}+'),
@@ -110,7 +124,7 @@ def toks_sql(col: str = "text") -> str:
                          WHEN length(r) = 1 THEN [r]
                          ELSE list_transform(range(1, length(r)),
                                              i -> substring(r, i, 2)) END))
-             END))"""
+             END)) END"""
 
 
 def word_shingles(tokens: Column, n: int = 3) -> Column:

@@ -55,7 +55,7 @@ from pyspark.sql import functions as F
 
 from flink_spark.plans.graph import CC_SQL_CTES, connected_components
 from flink_spark.registry import query, track_persist
-from flink_spark.sources import load
+from flink_spark.sources import load, table_rows
 
 DIM = 64              # embedding width of the fixture corpus
 N_QUERIES = 10        # vec_id < 10 form the query set
@@ -85,9 +85,11 @@ def lsh_bits_for(n: int) -> int:
     return min(LSH_MAX_BITS, max(LSH_MIN_BITS, math.ceil(math.log2(max(n, 2))) - 7))
 
 
-def _active_lsh_bits(emb: DataFrame) -> int:
-    """Env-pinned width, or the corpus-derived rule over a cheap count."""
-    return int(_LSH_BITS_ENV) if _LSH_BITS_ENV else lsh_bits_for(emb.count())
+def _active_lsh_bits(spark: SparkSession, sf_dir: str) -> int:
+    """Env-pinned width, or the corpus rule over a cached cheap count."""
+    if _LSH_BITS_ENV:
+        return int(_LSH_BITS_ENV)
+    return lsh_bits_for(table_rows(spark, sf_dir, "embeddings"))
 
 
 @functools.lru_cache(maxsize=None)
@@ -291,7 +293,7 @@ def e_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = emb.select(
         "vec_id",
         "embedding",
-        _bucket(F.col("embedding"), _active_lsh_bits(emb)).cast("int").alias("bucket"),
+        _bucket(F.col("embedding"), _active_lsh_bits(spark, sf_dir)).cast("int").alias("bucket"),
         _norm(F.col("embedding")).alias("nrm"),
     )
     q = b.filter(F.col("vec_id") < N_QUERIES).select(
@@ -470,7 +472,7 @@ def t_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = emb.select(
         "vec_id",
         "embedding",
-        _bucket(F.col("embedding"), _active_lsh_bits(emb)).cast("int").alias("bucket"),
+        _bucket(F.col("embedding"), _active_lsh_bits(spark, sf_dir)).cast("int").alias("bucket"),
         _norm(F.col("embedding")).alias("nrm"),
     )
     q = b.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("qe"),
@@ -765,8 +767,10 @@ def ivf_cells_for(n: int) -> int:
     return min(IVF_MAX_CELLS, max(IVF_MIN_CELLS, math.ceil(math.sqrt(max(n, 1)))))
 
 
-def _active_ivf_cells(emb: DataFrame) -> int:
-    return int(_IVF_CELLS_ENV) if _IVF_CELLS_ENV else ivf_cells_for(emb.count())
+def _active_ivf_cells(spark: SparkSession, sf_dir: str) -> int:
+    if _IVF_CELLS_ENV:
+        return int(_IVF_CELLS_ENV)
+    return ivf_cells_for(table_rows(spark, sf_dir, "embeddings"))
 
 
 if _IVF_CELLS_ENV:
@@ -864,7 +868,7 @@ def e_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     executor-sized at 100 TB with no manual tuning.
     """
     emb = load(spark, sf_dir, "embeddings")
-    n_cells = _active_ivf_cells(emb)
+    n_cells = _active_ivf_cells(spark, sf_dir)
     scored = emb.select(
         "vec_id", "embedding",
         _norm(F.col("embedding")).alias("nrm"),

@@ -52,7 +52,7 @@ from flink_spark.functions.text import (
 )
 from flink_spark.plans.graph import CC_SQL_CTES, connected_components
 from flink_spark.registry import query, track_persist
-from flink_spark.sources import load
+from flink_spark.sources import load, table_rows
 
 # --- shared constants (mirrored literally in the DuckDB oracles) ---
 
@@ -84,14 +84,19 @@ assert SIMHASH_BITS % 4 == 0 and 16 <= SIMHASH_BITS <= SIMHASH_MAX_BITS
 
 
 def simhash_bits_for(n: int) -> int:
-    """Signature width for an n-doc corpus: 4 × clamp(⌈log2 n⌉−5, 8, 14).
+    """Signature width for an n-doc corpus: 4 × clamp(⌈log2 n⌉−8, 8, 14).
 
-    chunk_bits = log2(n) − 5 keeps expected same-chunk collisions per
-    doc near 2^5; the floor of 8 (32 bits) keeps the signature
-    selective on small corpora, the cap of 14 (56 bits) is the int64
-    budget. The SQL twin lives in ``_SIMHASH_BITS_CTE``.
+    chunk_bits = log2(n) − 8 keeps expected same-chunk collisions per
+    doc near 2^8 — measured to be where the candidate join is still
+    cheap (32 bits ran 1.9 s on the 65k-doc suite) while the 10× corpus
+    gets the measured-good 48 bits (SCALING.md). A wider floor buys
+    nothing below ~65k docs but pays real whole-stage-codegen compile
+    time (the signature agg is one expression per bit). The floor of 8
+    (32 bits) keeps the signature selective on small corpora, the cap
+    of 14 (56 bits) is the int64 budget. The SQL twin lives in
+    ``_SIMHASH_BITS_CTE``.
     """
-    chunk = min(14, max(8, math.ceil(math.log2(max(n, 2))) - 5))
+    chunk = min(14, max(8, math.ceil(math.log2(max(n, 2))) - 8))
     return 4 * chunk
 
 
@@ -100,7 +105,7 @@ if _SIMHASH_ENV:
 else:
     _SIMHASH_BITS_CTE = (
         "nbits(bits) AS (SELECT 4 * LEAST(14, GREATEST(8, "
-        "CAST(ceil(log2(COUNT(*))) AS INTEGER) - 5)) FROM documents)"
+        "CAST(ceil(log2(COUNT(*))) AS INTEGER) - 8)) FROM documents)"
     )
 
 # DuckDB fragments
@@ -855,13 +860,14 @@ def t_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks (hamming <= 3 < 4 chunks guarantees a matching chunk — the
     pigeonhole trick), so the pair join is on chunk keys, never
     all-pairs. The width derives from the corpus size by default
-    (``simhash_bits_for``; 32 bits up to ~8k docs — 16 bits marked most
+    (``simhash_bits_for``; 32 bits up to ~65k docs — 16 bits marked most
     doc pairs as dups on a small-vocabulary corpus) and widens with the
     corpus so same-chunk collisions stay bounded; the env knob pins it.
     All integer math ⇒ oracle-identical at every width.
     """
     docs = load(spark, sf_dir, "documents")
-    bits = int(_SIMHASH_ENV) if _SIMHASH_ENV else simhash_bits_for(docs.count())
+    bits = (int(_SIMHASH_ENV) if _SIMHASH_ENV
+            else simhash_bits_for(table_rows(spark, sf_dir, "documents")))
     cbits = bits // SIMHASH_CHUNKS
     cmask = (1 << cbits) - 1
     toks = docs.select("doc_id", F.explode(tokenize("text")).alias("w")).select(

@@ -49,6 +49,24 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+_COUNT_CACHE: dict[tuple[str, str], int] = {}
+
+
+def table_rows(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Row count of a fixture table, cached per (sf_dir, table).
+
+    The adaptive LSH/SimHash/IVF defaults derive bucket counts from
+    the corpus size; parquet makes the count metadata-cheap, but each
+    ``count()`` is still a Spark job, so plan builders share one per
+    dataset per session. At-rest fixture tables are immutable for a
+    session, which is what makes the cache sound.
+    """
+    key = (sf_dir, name)
+    if key not in _COUNT_CACHE:
+        _COUNT_CACHE[key] = load(spark, sf_dir, name).count()
+    return _COUNT_CACHE[key]
+
+
 def jdbc_dim(
     spark: SparkSession,
     url: str,

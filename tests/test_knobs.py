@@ -41,7 +41,8 @@ def test_corpus_rules():
     assert ivf_cells_for(1_000) == 32        # sqrt(n)
     assert ivf_cells_for(10) == 8            # floor
     assert simhash_bits_for(500) == 32       # floor (fixtures)
-    assert simhash_bits_for(3_000_000) == 4 * min(14, 22 - 5)  # 48 bits
+    assert simhash_bits_for(65_000) == 32    # the measured 1.9s point
+    assert simhash_bits_for(650_000) == 48   # 10x corpus: measured-good
     assert simhash_bits_for(10**9) == 56     # cap
 
 
