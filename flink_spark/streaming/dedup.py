@@ -1,0 +1,231 @@
+"""Incremental corpus dedup: a document stream against a survivor store.
+
+The batch dedup family (``plans.textops``) answers "which docs in this
+corpus are dups"; a production training-data pipeline also needs the
+STREAMING form — every arriving batch of documents deduplicated against
+everything already accepted, exactly-once, with survivors accumulating.
+This is the foreachBatch shape of the reference's keyed-state dedup
+jobs (latest-row ``s_dedup_latest`` / per-day ``s_daily_unique_users``,
+rt/app/dws/*) generalized to content dedup:
+
+- **exact**: md5-of-normalized-text fingerprints; a new doc is dropped
+  iff its fingerprint is already in the store (first arrival wins).
+- **near (MinHash-LSH)**: the incremental form of ``t_minhash_lsh_dups``
+  + ``t_dup_clusters``. Per micro-batch: candidate pairs within the
+  batch AND batch↔store (band-key joins, never all-pairs), exact
+  Jaccard verification, then connected components over the verified
+  edges (``plans.graph``). A batch component touching ANY stored doc is
+  dropped entirely (its members are transitive near-dups of an accepted
+  doc — the same transitive semantics as ``t_dup_clusters``); an
+  untouched component keeps its smallest doc_id. Survivor shingle sets
+  and band keys append to the store, so future batches compare against
+  accepted docs only (dropped docs never gatekeep — the standard
+  survivor-store contract; a doc similar only to dropped docs is kept).
+
+Exactly-once: all writes land in ``epoch=N`` subdirectories written
+with overwrite mode, so a crash-retried micro-batch rewrites its own
+epoch instead of double-appending (same idempotence recipe as
+``foreach_batch_sink``). Readers scan the directory tree; at cluster
+scale the store would live in a bucketed table keyed by band_key /
+fingerprint so the per-batch join prunes to touched buckets, exactly
+like ``upsert_sink``'s bucket layout.
+
+Scale notes (100 TB stance): per batch the work is O(batch tokens) map
+work + band-key equi-joins whose build side is the batch (small), not
+the store; the store is only ever scanned through a key join (Spark
+prunes columns to the band/fingerprint keys), never cross-joined. The
+per-batch component loop runs on the batch's pair graph, bounded by
+batch size, not corpus size.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_spark.functions.text import fingerprint, tokenize, word_shingles
+from flink_spark.plans.graph import connected_components
+from flink_spark.plans.textops import (
+    JACCARD_THRESHOLD,
+    SHINGLE_N,
+    _band_keys_spark,
+    _hashed_shingles_spark,
+    _minhash_cols_spark,
+)
+
+_EMPTY_SCHEMA = {
+    "bands": "doc_id bigint, bkey string",
+    "shingles": "doc_id bigint, sl array<string>",
+    "kept": "doc_id bigint, fp string",
+}
+
+
+def _store(
+    spark: SparkSession, store_dir: str, name: str,
+    before_epoch: int | None = None,
+) -> DataFrame:
+    """Committed store state; ``before_epoch`` excludes the current
+    epoch's own (possibly partial, crash-retried) output — a retried
+    micro-batch must dedup against the state its first attempt saw, or
+    it would match the batch against itself and drop everything."""
+    path = os.path.join(store_dir, name)
+    epochs = [
+        e for e in (os.listdir(path) if os.path.isdir(path) else [])
+        if e.startswith("epoch=")
+        and (before_epoch is None or int(e.split("=")[1]) < before_epoch)
+    ]
+    if not epochs:
+        return spark.createDataFrame([], _EMPTY_SCHEMA[name])
+    return spark.read.option("basePath", path).parquet(
+        *[os.path.join(path, e) for e in epochs]
+    ).select(*[c.split()[0] for c in _EMPTY_SCHEMA[name].split(", ")])
+
+
+def _write(df: DataFrame, store_dir: str, name: str, epoch_id: int) -> None:
+    df.write.mode("overwrite").parquet(
+        os.path.join(store_dir, name, f"epoch={epoch_id}")
+    )
+
+
+def exact_dedup_batch(
+    batch: DataFrame, epoch_id: int, store_dir: str
+) -> None:
+    """foreachBatch body: first-arrival exact dedup by fingerprint."""
+    spark = batch.sparkSession
+    fps = batch.select("doc_id", "text").withColumn("fp", fingerprint("text"))
+    # within-batch winners: smallest doc_id per fingerprint
+    winners = (
+        fps.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    )
+    seen = _store(spark, store_dir, "kept", before_epoch=epoch_id).select("fp")
+    kept = winners.join(seen, "fp", "left_anti").select("doc_id", "fp")
+    _write(kept, store_dir, "kept", epoch_id)
+
+
+def neardup_dedup_batch(
+    batch: DataFrame, epoch_id: int, store_dir: str
+) -> None:
+    """foreachBatch body: incremental MinHash-LSH near-dedup (see module
+    docstring for the component-drop semantics)."""
+    spark = batch.sparkSession
+    docs = batch.select("doc_id", "text")
+    toks = docs.select("doc_id", tokenize("text").alias("t"))
+    sh_new = toks.filter(F.size("t") >= SHINGLE_N).select(
+        "doc_id",
+        F.array_distinct(word_shingles(F.col("t"), SHINGLE_N)).alias("sl"),
+    ).persist()
+    sh_new.count()
+    ex = sh_new.select("doc_id", F.explode("sl").alias("s"))
+    sigs = _hashed_shingles_spark(ex).groupBy("doc_id").agg(*_minhash_cols_spark())
+    bands_new = sigs.select(
+        "doc_id", F.explode(F.array(*_band_keys_spark())).alias("bkey")
+    ).persist()
+    bands_new.count()
+
+    sh_old = _store(spark, store_dir, "shingles", before_epoch=epoch_id)
+    bands_old = _store(spark, store_dir, "bands", before_epoch=epoch_id)
+
+    def verified(cand: DataFrame, left_sh: DataFrame, right_sh: DataFrame):
+        x = left_sh.select(F.col("doc_id").alias("d1"), F.col("sl").alias("sl1"))
+        y = right_sh.select(F.col("doc_id").alias("d2"), F.col("sl").alias("sl2"))
+        shared = F.size(F.array_intersect("sl1", "sl2"))
+        jac = shared.cast("double") / (F.size("sl1") + F.size("sl2") - shared)
+        return (
+            cand.join(x, "d1").join(y, "d2")
+            .filter(jac >= JACCARD_THRESHOLD)
+            .select("d1", "d2")
+        )
+
+    a, b = bands_new.alias("a"), bands_new.alias("b")
+    cand_in = (
+        a.join(b, (F.col("a.bkey") == F.col("b.bkey"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    pairs_in = verified(cand_in, sh_new, sh_new)
+
+    o = bands_old.alias("o")
+    cand_cross = (
+        o.join(bands_new.alias("n"), F.col("o.bkey") == F.col("n.bkey"))
+        .select(F.col("o.doc_id").alias("d1"), F.col("n.doc_id").alias("d2"))
+        .distinct()
+    )
+    pairs_cross = verified(cand_cross, sh_old, sh_new)
+
+    pairs = pairs_in.unionByName(pairs_cross).persist()
+    pairs.count()
+    labels = connected_components(pairs)
+
+    stored_ids = bands_old.select("doc_id").distinct()
+    # components containing a stored doc: every batch member drops
+    poisoned = (
+        labels.join(stored_ids, "doc_id").select("cluster_id").distinct()
+    )
+    batch_labels = labels.join(stored_ids, "doc_id", "left_anti")
+    comp_keep = (
+        batch_labels.join(poisoned, "cluster_id", "left_anti")
+        .groupBy("cluster_id")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    # docs with no verified pair at all never enter the graph: kept
+    singles = docs.select("doc_id").join(
+        labels.select("doc_id"), "doc_id", "left_anti"
+    )
+    kept_ids = comp_keep.unionByName(singles)
+
+    kept = docs.join(kept_ids, "doc_id").withColumn("fp", fingerprint("text")) \
+        .select("doc_id", "fp")
+    _write(kept, store_dir, "kept", epoch_id)
+    _write(bands_new.join(kept_ids, "doc_id"), store_dir, "bands", epoch_id)
+    _write(sh_new.join(kept_ids, "doc_id"), store_dir, "shingles", epoch_id)
+    for df in (sh_new, bands_new, pairs):
+        df.unpersist()
+
+
+def doc_stream(
+    spark: SparkSession, docs: DataFrame, out_dir: str, slices: int = 3
+) -> DataFrame:
+    """Replay a documents table as a doc_id-ordered file stream (one
+    parquet file per micro-batch; test harness, like ``replay_events``)."""
+    n = docs.count()
+    if n > 2_000_000:
+        raise ValueError("doc_stream is a test harness; use Kafka/files at scale")
+    per = (n + slices - 1) // slices
+    ordered = docs.orderBy("doc_id").collect()
+    for i in range(slices):
+        chunk = ordered[i * per:(i + 1) * per]
+        if chunk:
+            spark.createDataFrame(chunk, docs.schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(out_dir, f"slice={i}"))
+    return (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(out_dir, "slice=*"))
+    )
+
+
+def run_dedup_stream(
+    sdf: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    mode: str = "near",
+):
+    """Wire a document stream into the incremental dedup store."""
+    body = neardup_dedup_batch if mode == "near" else exact_dedup_batch
+    q = (
+        sdf.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(lambda df, eid: body(df, eid, store_dir))
+        .start()
+    )
+    return q
+
+
+def kept_docs(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The accepted-survivor set accumulated so far."""
+    return _store(spark, store_dir, "kept")

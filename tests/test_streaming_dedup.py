@@ -1,0 +1,126 @@
+"""Incremental (streaming) corpus dedup ≡ an order-aware simulation.
+
+Drives a real file-source stream (one micro-batch per slice, doc_id
+order) through the foreachBatch dedup bodies and checks the final
+survivor store against a pure-Python replay of the documented
+semantics, using the batch pair list (``t_minhash_lsh_dups``) as the
+ground-truth edge universe — a batch↔store candidate shares a band key
+exactly like a batch-mode candidate, so the detectable edges are the
+same set.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_spark.registry import all_queries, release_persisted
+from flink_spark.streaming.dedup import (
+    doc_stream,
+    exact_dedup_batch,
+    kept_docs,
+    neardup_dedup_batch,
+    run_dedup_stream,
+)
+
+from conftest import SF_DIR
+
+SLICES = 3
+
+
+def _chunks(spark):
+    from flink_spark.sources import load
+
+    ids = [r.doc_id for r in
+           load(spark, SF_DIR, "documents").select("doc_id").orderBy("doc_id").collect()]
+    per = (len(ids) + SLICES - 1) // SLICES
+    return [set(ids[i * per:(i + 1) * per]) for i in range(SLICES)]
+
+
+def test_exact_stream_first_arrival_wins(spark, tmp_path):
+    from flink_spark.functions.text import fingerprint
+    from flink_spark.sources import load
+
+    docs = load(spark, SF_DIR, "documents")
+    sdf = doc_stream(spark, docs, str(tmp_path / "replay"), slices=SLICES)
+    q = run_dedup_stream(sdf, str(tmp_path / "store"), str(tmp_path / "ck"),
+                         mode="exact")
+    q.processAllAvailable(); q.stop()
+
+    fps = {r.doc_id: r.fp
+           for r in docs.select("doc_id", fingerprint("text").alias("fp")).collect()}
+    expect, seen = set(), set()
+    for chunk in _chunks(spark):
+        for d in sorted(chunk):
+            if fps[d] not in seen:
+                seen.add(fps[d]); expect.add(d)
+    got = {r.doc_id for r in kept_docs(spark, str(tmp_path / "store")).collect()}
+    assert got == expect
+    # the sf0.001 fixture happens to have no exact dups — the semantic
+    # equality above is the real check; near-dup coverage (which does
+    # drop rows) lives in test_neardup_stream_matches_simulation.
+
+
+def test_neardup_stream_matches_simulation(spark, tmp_path):
+    from flink_spark.sources import load
+
+    pairs = [(r.d1, r.d2) for r in
+             all_queries()["t_minhash_lsh_dups"].fn(spark, SF_DIR).collect()]
+    release_persisted()
+    assert pairs                        # fixture has near-dups
+
+    docs = load(spark, SF_DIR, "documents")
+    sdf = doc_stream(spark, docs, str(tmp_path / "replay"), slices=SLICES)
+    q = run_dedup_stream(sdf, str(tmp_path / "store"), str(tmp_path / "ck"),
+                         mode="near")
+    q.processAllAvailable(); q.stop()
+
+    kept: set = set()
+    for chunk in _chunks(spark):
+        edges = [(a, b) for a, b in pairs
+                 if (a in chunk or a in kept) and (b in chunk or b in kept)
+                 and (a in chunk or b in chunk)]
+        parent: dict = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        comps: dict = {}
+        for d in parent:
+            comps.setdefault(find(d), set()).add(d)
+        in_graph = set(parent)
+        for members in comps.values():
+            batch_members = members & chunk
+            if not batch_members:
+                continue            # stored-only component
+            if members & kept:
+                continue            # poisoned: all batch members drop
+            kept.add(min(batch_members))
+        kept |= chunk - in_graph    # singletons always survive
+
+    got = {r.doc_id for r in kept_docs(spark, str(tmp_path / "store")).collect()}
+    assert got == kept
+    assert len(got) < docs.count()  # something was actually dropped
+
+
+def test_epoch_overwrite_is_idempotent(spark, tmp_path):
+    """A crash-retried micro-batch rewrites its epoch, never appends."""
+    from flink_spark.sources import load
+
+    docs = load(spark, SF_DIR, "documents").limit(50)
+    store = str(tmp_path / "store")
+    exact_dedup_batch(docs, 0, store)
+    once = sorted(r.doc_id for r in kept_docs(spark, store).collect())
+    exact_dedup_batch(docs, 0, store)   # same epoch re-runs (crash retry)
+    twice = sorted(r.doc_id for r in kept_docs(spark, store).collect())
+    assert once == twice
+
+    neardup_dedup_batch(docs, 1, store)
+    a = sorted(r.doc_id for r in kept_docs(spark, store).collect())
+    neardup_dedup_batch(docs, 1, store)
+    b = sorted(r.doc_id for r in kept_docs(spark, store).collect())
+    assert a == b
