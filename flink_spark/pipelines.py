@@ -305,6 +305,8 @@ OPERATOR_COVERAGE: dict[str, tuple[str, tuple[str, ...]]] = {
     "F3": ("config-routing foreachBatch", ("tests/test_streaming.py::test_routed_dim_sink",)),
     "F4": ("rich stateful ops", ("tests/test_streaming.py::test_is_new_correction_equals_batch",)),
     "REST": ("serving.py: publisher controller routes → catalog queries, Sugar envelope", ("tests/test_serving.py::test_province_map_endpoint_matches_query",)),
+    "DEDUP-STREAM": ("streaming/dedup.py: incremental exact + MinHash-LSH dedup vs survivor store (epoch-idempotent)", ("tests/test_streaming_dedup.py::test_neardup_stream_matches_simulation",)),
+    "DEDUP-CLUSTER": ("plans/graph.py: connected components shared by text + embedding dup clustering", ("t_dup_clusters", "e_dup_clusters")),
 }
 
 
