@@ -65,9 +65,11 @@ def main() -> None:
         return time.time() - t0
 
     # warmup: JVM + codegen + parquet footer/file-index reads for each
-    # table family (lineitem-, events-, documents-, embeddings-based)
+    # table family (lineitem-, events-, documents-, embeddings-based);
+    # t_token_stats also compiles the tokenize pipeline the whole text
+    # family shares, so their timed runs measure plans, not Janino
     for name in ["q1_pricing_summary", "s_daily_unique_users",
-                 "t_exact_dedup", "e_norm_stats"]:
+                 "t_token_stats", "e_norm_stats"]:
         run(name)
 
     times: dict[str, float] = {}
