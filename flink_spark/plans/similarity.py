@@ -759,7 +759,8 @@ def m_resize_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_CELLS_ENV = os.environ.get("FLINK_SPARK_IVF_CELLS")
 IVF_CELLS = int(_IVF_CELLS_ENV) if _IVF_CELLS_ENV else 8  # fixed-mode count
 IVF_MIN_CELLS, IVF_MAX_CELLS = 8, 4096
-IVF_PROBES = 2
+# nprobe — the IVF recall/latency dial; a plain constant on both sides
+IVF_PROBES = int(os.environ.get("FLINK_SPARK_IVF_PROBES", "2"))
 
 
 def ivf_cells_for(n: int) -> int:
@@ -816,6 +817,11 @@ def _cell_scores_spark(a, cells: int):
 
 @query(
     "e_ann_ivf_topk",
+    # top-probes cell indices by struct argsort: (-score, index)
+    # ascending ≡ score descending with first-index tiebreak — the
+    # same pair both engines compute, so probing is oracle-identical
+    # at ANY probe count (the -1e300-masking trick this replaces only
+    # expressed probes=2).
     oracle=f"""
     WITH {_IVF_CELLS_CTE},
     scored AS (
@@ -824,23 +830,19 @@ def _cell_scores_spark(a, cells: int):
       FROM embeddings, nc
     ),
     cellassign AS (
-      SELECT *, list_position(d, list_max(d)) AS c1 FROM scored
-    ),
-    probed AS (
-      SELECT *, list_position(
-               list_transform(range(1, cells + 1),
-                              j -> CASE WHEN j = c1 THEN -1e300 ELSE d[j] END),
-               list_max(list_transform(range(1, cells + 1),
-                              j -> CASE WHEN j = c1 THEN -1e300 ELSE d[j] END)))
-             AS c2
-      FROM cellassign
+      SELECT *, list_transform(list_slice(list_sort(
+                  list_transform(range(1, cells + 1),
+                                 j -> {{'nv': -d[j], 'i': j}})),
+                1, {IVF_PROBES}), x -> x.i) AS topc
+      FROM scored
     ),
     q AS (
-      SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, unnest([c1, c2]) AS cell
-      FROM probed WHERE vec_id < {N_QUERIES}
+      SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, unnest(topc) AS cell
+      FROM cellassign WHERE vec_id < {N_QUERIES}
     ),
-    n AS (SELECT vec_id AS neighbor_id, embedding AS ne, nrm AS nn, c1 AS cell
-          FROM probed),
+    n AS (SELECT vec_id AS neighbor_id, embedding AS ne, nrm AS nn,
+                 topc[1] AS cell
+          FROM cellassign),
     pairs AS (
       SELECT query_id, neighbor_id, {_COSINE_SQL} AS cosine
       FROM q JOIN n USING (cell) WHERE neighbor_id <> query_id
@@ -853,16 +855,18 @@ def _cell_scores_spark(a, cells: int):
     tags=("similarity", "ann", "ivf"),
 )
 def e_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat ANN: coarse quantizer cells, query probes nearest 2.
+    """IVF-flat ANN: coarse quantizer cells, query probes the nearest
+    ``IVF_PROBES`` cells (env knob ``FLINK_SPARK_IVF_PROBES``).
 
     The inverted-file structure of FAISS-style IVF indexes: every
     vector is assigned to the cell whose coarse direction scores
     highest (argmax dot, first-index tiebreak); a query searches only
-    the vectors in its top-``IVF_PROBES`` cells. Directions here are
-    md5-derived ±1 vectors so the oracle reproduces assignment exactly
-    (trained k-means centroids drop in without changing the dataflow:
-    a broadcast cell table + the same probed join). Candidate volume
-    is |Q| x probes x (N / cells) — the cell count tracks sqrt(n) by
+    the vectors in its top-``IVF_PROBES`` cells — THE recall/latency
+    dial of IVF (FAISS ``nprobe``). Directions here are md5-derived ±1
+    vectors so the oracle reproduces assignment exactly (trained
+    k-means centroids drop in without changing the dataflow: a
+    broadcast cell table + the same probed join). Candidate volume is
+    |Q| x probes x (N / cells) — the cell count tracks sqrt(n) by
     default (``ivf_cells_for``, computed from a cheap count on both
     the Spark and oracle sides), which keeps per-cell lists
     executor-sized at 100 TB with no manual tuning.
@@ -874,27 +878,25 @@ def e_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _norm(F.col("embedding")).alias("nrm"),
         _cell_scores_spark(F.col("embedding"), n_cells).alias("d"),
     )
-    cells = scored.withColumn("c1", F.array_position("d", F.array_max("d")))
-    masked = F.transform(
-        F.sequence(F.lit(1), F.lit(n_cells)),
-        lambda j: F.when(j == F.col("c1"), F.lit(-1e300)).otherwise(
-            F.element_at("d", j.cast("int"))
+    probed = scored.withColumn(
+        "topc",
+        F.expr(
+            f"transform(slice(array_sort(transform(sequence(1, {n_cells}), "
+            f"j -> struct(-element_at(d, j) AS nv, j AS i))), "
+            f"1, {IVF_PROBES}), x -> x.i)"
         ),
-    )
-    probed = cells.withColumn("_m", masked).withColumn(
-        "c2", F.array_position("_m", F.array_max("_m"))
     )
     q = (
         probed.filter(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
             F.col("nrm").alias("qn"),
-            F.explode(F.array("c1", "c2")).alias("cell"),
+            F.explode("topc").alias("cell"),
         )
     )
     n = probed.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"),
-        F.col("nrm").alias("nn"), F.col("c1").alias("cell"),
+        F.col("nrm").alias("nn"), F.element_at("topc", 1).alias("cell"),
     )
     pairs = (
         n.join(F.broadcast(q), "cell")

@@ -1,0 +1,79 @@
+"""ANN quality contract: recall vs the exact baseline, and true scores.
+
+The fixtures are near-orthogonal random vectors (max pairwise cosine
+~0.5, no cluster structure), which is the WORST case for LSH/IVF —
+every partition boundary is equally likely to split a "true" neighbor
+pair, so recall is inherently modest here (~0.2–0.4 measured) and
+rises on real embedding corpora, which are strongly clustered. These
+tests therefore pin the properties that must hold regardless of
+corpus geometry, plus a loose recall floor that catches total
+breakage (e.g. bucketing both sides with different hyperplanes would
+send recall to ~0):
+
+- every ANN hit's cosine equals the exact cosine for that pair (ANN
+  restricts the CANDIDATE set, never approximates the score);
+- per-query result sets are correctly ranked and bounded;
+- mean recall@k clears a floor far below real-corpus expectations.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_spark.registry import all_queries, release_persisted
+
+from conftest import SF_DIR
+
+_Q = all_queries()
+
+
+def _by_query(rows, id_col):
+    out = {}
+    for r in rows:
+        out.setdefault(r.query_id, []).append(r)
+    return out
+
+
+@pytest.fixture(scope="module")
+def exact(spark):
+    rows = _Q["e_cosine_topk"].fn(spark, SF_DIR).collect()
+    release_persisted()
+    return rows
+
+
+@pytest.mark.parametrize("name", ["e_ann_lsh_topk", "e_ann_ivf_topk"])
+def test_ann_scores_are_true_and_ranked(spark, exact, name):
+    ann = _Q[name].fn(spark, SF_DIR).collect()
+    release_persisted()
+    assert ann, name
+    true_cos = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+    for q, rs in _by_query(ann, "query_id").items():
+        rs = sorted(rs, key=lambda r: r.rnk)
+        assert len(rs) <= 5
+        cosines = [r.cosine for r in rs]
+        assert cosines == sorted(cosines, reverse=True), (name, q)
+        for r in rs:
+            # where ANN and exact top-k overlap, the scores must be
+            # bit-identical — same fold, same arithmetic
+            if (r.query_id, r.neighbor_id) in true_cos:
+                assert r.cosine == true_cos[(r.query_id, r.neighbor_id)]
+
+
+@pytest.mark.parametrize("name,floor", [
+    ("e_ann_lsh_topk", 0.05),
+    ("e_ann_ivf_topk", 0.10),
+])
+def test_ann_recall_floor(spark, exact, name, floor):
+    ann = _Q[name].fn(spark, SF_DIR).collect()
+    release_persisted()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got = {}
+    for r in ann:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(got.get(q, set()) & t) / len(t) for q, t in truth.items()
+    ]
+    mean = sum(recalls) / len(recalls)
+    assert mean >= floor, f"{name}: mean recall {mean:.3f} < {floor}"

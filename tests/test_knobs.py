@@ -93,6 +93,7 @@ def test_widened_knobs_stay_oracle_symmetric(tmp_path):
         FLINK_SPARK_SIMHASH_BITS="48",
         FLINK_SPARK_LSH_BITS="6",
         FLINK_SPARK_IVF_CELLS="16",
+        FLINK_SPARK_IVF_PROBES="3",
     )
     script = _SCRIPT.format(
         repo=repo,
