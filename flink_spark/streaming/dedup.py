@@ -187,10 +187,19 @@ def neardup_dedup_batch(
 
 
 def doc_stream(
-    spark: SparkSession, docs: DataFrame, out_dir: str, slices: int = 3
+    spark: SparkSession, docs: DataFrame, out_dir: str, slices: int = 3,
+    start_slice: int = 0,
 ) -> DataFrame:
     """Replay a documents table as a doc_id-ordered file stream (one
-    parquet file per micro-batch; test harness, like ``replay_events``)."""
+    parquet file per micro-batch; test harness, like ``replay_events``).
+
+    ``start_slice`` appends new slices after an earlier replay into the
+    same directory — with the SAME checkpoint, a restarted stream picks
+    up only the new files and its batch ids continue monotonically,
+    which is what keeps store epochs globally unique across restarts
+    (epoch ids are checkpoint-scoped: never restart a dedup stream with
+    a fresh checkpoint against an existing store).
+    """
     n = docs.count()
     if n > 2_000_000:
         raise ValueError("doc_stream is a test harness; use Kafka/files at scale")
@@ -201,7 +210,7 @@ def doc_stream(
         if chunk:
             spark.createDataFrame(chunk, docs.schema).coalesce(1).write.mode(
                 "overwrite"
-            ).parquet(os.path.join(out_dir, f"slice={i}"))
+            ).parquet(os.path.join(out_dir, f"slice={start_slice + i}"))
     return (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)

@@ -85,3 +85,48 @@ def test_shingle_count_invariant(tokens):
         F.size(word_shingles(F.col("t"), 3)).alias("n")
     )
     assert df.collect()[0]["n"] == len(tokens) - 2
+
+
+# --- connected components ≡ union-find on arbitrary pair graphs ---
+
+EDGE_LISTS = st.lists(
+    st.tuples(st.integers(0, 25), st.integers(0, 25)).map(
+        lambda t: (min(t), max(t))
+    ).filter(lambda t: t[0] != t[1]),
+    min_size=1, max_size=40,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(EDGE_LISTS)
+def test_connected_components_equals_union_find(edges):
+    """connected_components labels every node with its component's min
+    id, on arbitrary graphs (chains, cliques, stars, disjoint bits) —
+    not just the LSH-shaped fixtures the oracle covers."""
+    from flink_spark.plans.graph import connected_components
+
+    spark = _session()
+    pairs = spark.createDataFrame(
+        list(set(edges)), "d1 bigint, d2 bigint"
+    ).persist()
+    labels = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(pairs).collect()
+    }
+    pairs.unpersist()
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    comps: dict = {}
+    for n in parent:
+        comps.setdefault(find(n), set()).add(n)
+    expect = {n: min(m) for m in comps.values() for n in m}
+    assert labels == expect
