@@ -1002,10 +1002,13 @@ def t_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load(spark, sf_dir, "documents")
-    toks = tokenize("text")
-    n_tok = F.size(toks)
+    # tokenize ONCE: the array is projected first and every quality
+    # stat reads the column, then the same array feeds the shingle
+    # stage through the persisted barrier (no second tokenize pass)
+    t0 = docs.select("doc_id", "source", "text", tokenize("text").alias("t"))
+    n_tok = F.size("t")
     stop_ratio = (
-        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double") / n_tok
+        F.size(F.filter("t", lambda x: x.isin(*STOPWORDS))).cast("double") / n_tok
     )
     avg_len = (
         F.length(F.regexp_replace(normalize_text("text"), " ", "")).cast("double")
@@ -1016,8 +1019,8 @@ def t_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.when(stop_ratio.between(0.02, 0.5), 1).otherwise(0)
         + F.when(avg_len.between(3, 8), 1).otherwise(0)
     )
-    q = docs.select(
-        "doc_id", "source", "text",
+    q = t0.select(
+        "doc_id", "source", "t",
         n_tok.alias("n_tokens"),
         F.when(score >= 2, 1).otherwise(0).alias("pass_q"),
         fingerprint("text").alias("fp"),
@@ -1037,7 +1040,7 @@ def t_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = track_persist(e)
     sh2 = (
         e.filter(F.col("canon") == 1)
-        .select("doc_id", tokenize("text").alias("t"))
+        .select("doc_id", "t")
         .filter(F.size("t") >= SHINGLE_N)
         .select(
             "doc_id",
