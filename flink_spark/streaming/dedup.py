@@ -40,6 +40,7 @@ batch size, not corpus size.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -62,6 +63,15 @@ _EMPTY_SCHEMA = {
 }
 
 
+def _marker(path: str) -> dict:
+    """{"through": m, "base": n} — epochs ≤ m live in base-n."""
+    try:
+        with open(os.path.join(path, "_COMPACTED"), encoding="utf-8") as fh:
+            return json.load(fh)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return {"through": -1, "base": -1}
+
+
 def _store(
     spark: SparkSession, store_dir: str, name: str,
     before_epoch: int | None = None,
@@ -69,18 +79,29 @@ def _store(
     """Committed store state; ``before_epoch`` excludes the current
     epoch's own (possibly partial, crash-retried) output — a retried
     micro-batch must dedup against the state its first attempt saw, or
-    it would match the batch against itself and drop everything."""
+    it would match the batch against itself and drop everything.
+
+    Layout: live state = the compacted base dir (epochs ≤ marker
+    "through", if any) + every ``epoch=N`` dir with N above the
+    marker. Epoch dirs at or below the marker are post-compaction
+    debris and are ignored even if their deletion didn't finish."""
     path = os.path.join(store_dir, name)
-    epochs = [
-        e for e in (os.listdir(path) if os.path.isdir(path) else [])
+    mark = _marker(path)
+    entries = os.listdir(path) if os.path.isdir(path) else []
+    parts = [
+        os.path.join(path, e) for e in entries
         if e.startswith("epoch=")
+        and int(e.split("=")[1]) > mark["through"]
         and (before_epoch is None or int(e.split("=")[1]) < before_epoch)
     ]
-    if not epochs:
+    base = os.path.join(path, f"base-{mark['base']}")
+    if mark["base"] >= 0 and os.path.isdir(base):
+        parts.append(base)
+    if not parts:
         return spark.createDataFrame([], _EMPTY_SCHEMA[name])
-    return spark.read.option("basePath", path).parquet(
-        *[os.path.join(path, e) for e in epochs]
-    ).select(*[c.split()[0] for c in _EMPTY_SCHEMA[name].split(", ")])
+    return spark.read.parquet(*parts).select(
+        *[c.split()[0] for c in _EMPTY_SCHEMA[name].split(", ")]
+    )
 
 
 def _write(df: DataFrame, store_dir: str, name: str, epoch_id: int) -> None:
@@ -238,3 +259,54 @@ def run_dedup_stream(
 def kept_docs(spark: SparkSession, store_dir: str) -> DataFrame:
     """The accepted-survivor set accumulated so far."""
     return _store(spark, store_dir, "kept")
+
+
+def compact_store(spark: SparkSession, store_dir: str) -> None:
+    """Fold all committed epoch dirs into one base per store table.
+
+    Epoch-per-micro-batch dirs accumulate forever on a long-running
+    stream; every batch's store read then opens thousands of small
+    files. Compaction rewrites the live state (current base + all
+    epoch dirs) as a single ``base-<g+1>`` directory and commits it by
+    atomically replacing the ``_COMPACTED`` marker (write-temp +
+    ``os.replace`` + fsync — the same pointer-commit discipline as
+    ``upsert_sink``'s manifest), then deletes the folded epoch dirs.
+
+    Crash safety: before the marker lands, readers still resolve the
+    old base + epochs (the half-written new base is invisible); after
+    it lands, folded epoch dirs are ignored whether or not their
+    deletion finished (``_store`` filters ≤ through), so deletion is
+    plain idempotent GC. Run it while the stream is STOPPED (or
+    between batches): epochs above the stream's last committed batch
+    could be crash debris, and folding uncommitted output into the
+    base would break the retry contract.
+    """
+    for name in _EMPTY_SCHEMA:
+        path = os.path.join(store_dir, name)
+        if not os.path.isdir(path):
+            continue
+        mark = _marker(path)
+        epochs = sorted(
+            int(e.split("=")[1]) for e in os.listdir(path)
+            if e.startswith("epoch=") and int(e.split("=")[1]) > mark["through"]
+        )
+        if not epochs:
+            continue
+        gen = mark["base"] + 1
+        live = _store(spark, store_dir, name)
+        live.write.mode("overwrite").parquet(os.path.join(path, f"base-{gen}"))
+        tmp = os.path.join(path, "_COMPACTED.tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump({"through": epochs[-1], "base": gen}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, os.path.join(path, "_COMPACTED"))
+        # idempotent GC: folded epochs + the superseded base
+        import shutil
+
+        for e in epochs:
+            shutil.rmtree(os.path.join(path, f"epoch={e}"), ignore_errors=True)
+        if mark["base"] >= 0:
+            shutil.rmtree(
+                os.path.join(path, f"base-{mark['base']}"), ignore_errors=True
+            )

@@ -169,3 +169,47 @@ def test_dedup_stream_resumes_across_runs(spark, tmp_path):
     if cross:                       # fixture-dependent, but assert when present
         dropped = {b for _, b in cross} - kept_final
         assert dropped, "cross-run near-dups were all kept"
+
+
+def test_compaction_preserves_state_and_continuation(spark, tmp_path):
+    """compact_store folds epochs into one base without changing the
+    resolved state, and a resumed stream keeps deduping against it."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from flink_spark.sources import load
+    from flink_spark.streaming.dedup import compact_store
+
+    docs = load(spark, SF_DIR, "documents")
+    ids = [r.doc_id for r in docs.select("doc_id").orderBy("doc_id").collect()]
+    half = len(ids) // 2
+    store, ck = str(tmp_path / "store"), str(tmp_path / "ck")
+    replay = str(tmp_path / "replay")
+
+    q = run_dedup_stream(
+        doc_stream(spark, docs.filter(F.col("doc_id").isin(ids[:half])),
+                   replay, slices=2),
+        store, ck, mode="near")
+    q.processAllAvailable(); q.stop()
+    before = sorted(r.doc_id for r in kept_docs(spark, store).collect())
+
+    compact_store(spark, store)
+    after = sorted(r.doc_id for r in kept_docs(spark, store).collect())
+    assert after == before
+    kept_dir = os.path.join(store, "kept")
+    assert not [e for e in os.listdir(kept_dir) if e.startswith("epoch=")]
+    assert os.path.isfile(os.path.join(kept_dir, "_COMPACTED"))
+
+    # double-compaction is a no-op (nothing above the marker)
+    compact_store(spark, store)
+    assert sorted(r.doc_id for r in kept_docs(spark, store).collect()) == before
+
+    # the resumed stream dedups against the compacted base
+    sdf = doc_stream(spark, docs.filter(F.col("doc_id").isin(ids[half:])),
+                     replay, slices=2, start_slice=2)
+    q = run_dedup_stream(sdf, store, ck, mode="near")
+    q.processAllAvailable(); q.stop()
+    final = {r.doc_id for r in kept_docs(spark, store).collect()}
+    assert set(before) <= final
+    assert final - set(before) <= set(ids[half:])
