@@ -185,6 +185,71 @@ def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_BUDGET = 512      # tokens per training context (packing target)
+
+
+@query(
+    "t_pack_sequences",
+    oracle=f"""
+    WITH counted AS (
+      SELECT doc_id, source, len({_TOKS}) AS ntok FROM documents
+    ),
+    packed AS (
+      SELECT source, ntok,
+             (SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - ntok)
+               // {PACK_BUDGET} AS pack_id
+      FROM counted
+    )
+    SELECT source, CAST(pack_id AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS pack_tokens,
+           CAST(SUM(ntok) AS DOUBLE) / {PACK_BUDGET} AS fill_ratio
+    FROM packed
+    GROUP BY source, pack_id
+    """,
+    tags=("textops", "packing", "tokens"),
+)
+def t_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: bin documents into fixed token budgets.
+
+    The pretraining-data step after dedup/filtering: concatenate
+    documents into fixed-length training contexts (the T5/GPT "packing"
+    that keeps attention windows full instead of padding). The classic
+    streaming-concat formulation: docs in arrival (doc_id) order, a
+    document starts in pack ``floor(tokens_before_it / budget)`` — a
+    boundary doc spills its tail into the next pack, which is exactly
+    how naive concat-packing behaves. Output audits pack occupancy
+    (docs, tokens, fill ratio vs the {PACK_BUDGET}-token budget).
+
+    Scale notes: one window cumsum per source partition — the scan
+    order is a per-source sequential contract, so parallelism is
+    across sources (and at 100 TB you'd salt each source into
+    (source, shard) sub-streams packed independently: packing is
+    order-sensitive only WITHIN a context, so any deterministic
+    sharding works). Integer cumsum ⇒ oracle-identical.
+    """
+    docs = load(spark, sf_dir, "documents")
+    counted = docs.select(
+        "doc_id", "source", F.size(tokenize("text")).alias("ntok")
+    )
+    w = (
+        Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = counted.withColumn("cum", F.sum("ntok").over(w)).select(
+        "source", "ntok",
+        # integer division end-to-end: a per-source token cumsum can
+        # pass 2^53 at corpus scale, where a double-backed floor drifts
+        F.expr(f"(cum - ntok) div {PACK_BUDGET}").alias("pack_id"),
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").cast("long").alias("pack_tokens"),
+        (F.sum("ntok").cast("double") / PACK_BUDGET).alias("fill_ratio"),
+    )
+
+
 @query(
     "t_bpe_token_stats",
     oracle=f"""
