@@ -186,6 +186,117 @@ def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PACK_BUDGET = 512      # tokens per training context (packing target)
+EVAL_SOURCE = "src0"   # the held-out benchmark source (decontamination)
+TRAIN_PCT = 90         # train split share (hash-deterministic)
+
+
+@query(
+    "t_decontaminate",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    ev AS (
+      SELECT DISTINCT s FROM ex JOIN documents USING (doc_id)
+      WHERE source = '{EVAL_SOURCE}'
+    ),
+    corpus AS (
+      SELECT doc_id, source FROM documents WHERE source <> '{EVAL_SOURCE}'
+    ),
+    hit AS (
+      SELECT DISTINCT e.doc_id
+      FROM ex e JOIN ev USING (s)
+      JOIN documents d ON e.doc_id = d.doc_id
+      WHERE d.source <> '{EVAL_SOURCE}'
+    )
+    SELECT c.source,
+           COUNT(*) AS total_docs,
+           CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS contaminated,
+           CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS contamination_rate
+    FROM corpus c LEFT JOIN hit h USING (doc_id)
+    GROUP BY c.source
+    """,
+    tags=("textops", "decontamination"),
+)
+def t_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs overlapping eval.
+
+    The GPT-3-style n-gram decontamination step: a training document
+    is contaminated if it shares any shingle with the held-out
+    benchmark corpus (``{EVAL_SOURCE}`` plays the benchmark here;
+    production uses 13-grams — the shingle width is the same
+    ``SHINGLE_N`` constant the dedup family uses). Reports per-source
+    contamination counts and rates.
+
+    Scale shape: the eval shingle set is benchmark-sized (small by
+    definition), so it BROADCASTS — the 100 TB training corpus is
+    scanned once, probed map-side against the broadcast set, and only
+    |sources| aggregate rows shuffle. No corpus self-join anywhere.
+    """
+    docs = load(spark, sf_dir, "documents")
+    _, ex = _shingled(spark, sf_dir, persist=True)
+    src = docs.select("doc_id", "source")
+    ex_src = ex.join(src, "doc_id")
+    ev = (
+        ex_src.filter(F.col("source") == EVAL_SOURCE).select("s").distinct()
+    )
+    corpus = src.filter(F.col("source") != EVAL_SOURCE)
+    hit = (
+        ex_src.filter(F.col("source") != EVAL_SOURCE)
+        .join(F.broadcast(ev), "s")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_hit", F.lit(1))
+    )
+    return (
+        corpus.join(hit, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total_docs"),
+            F.sum(F.coalesce("is_hit", F.lit(0))).cast("long")
+            .alias("contaminated"),
+            (F.sum(F.coalesce("is_hit", F.lit(0))).cast("double")
+             / F.count(F.lit(1))).alias("contamination_rate"),
+        )
+    )
+
+
+@query(
+    "t_train_val_split",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT source,
+             CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                   1, 4)) AS BIGINT) % 100 < {TRAIN_PCT}
+                  THEN 'train' ELSE 'val' END AS split
+      FROM documents
+    )
+    SELECT source, split, COUNT(*) AS n_docs
+    FROM tagged GROUP BY source, split
+    """,
+    tags=("textops", "split"),
+)
+def t_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash train/val split ({TRAIN_PCT}/{100 - TRAIN_PCT}).
+
+    The assignment every training pipeline needs to be REPRODUCIBLE
+    and order-free: split = md5(doc_id) mod 100, so membership is a
+    pure function of the key — stable under reshuffles, re-runs,
+    backfills, and engine changes (the oracle derives the identical
+    assignment). Row-local map + one tiny aggregate; trivially 100 TB.
+    """
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4),
+        16, 10,
+    ).cast("long") % 100
+    tagged = docs.select(
+        "source",
+        F.when(bucket < TRAIN_PCT, "train").otherwise("val").alias("split"),
+    )
+    return tagged.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
 
 
 @query(

@@ -47,6 +47,14 @@ def test_dim_joins_broadcast(spark):
         assert "SortMergeJoin" not in plan, name
 
 
+def test_decontaminate_broadcasts_eval_set(spark):
+    """The benchmark shingle set must broadcast — the training corpus
+    is probed map-side, never shuffled against the eval set."""
+    plan = _plan(_Q["t_decontaminate"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_topk_is_take_ordered(spark):
     plan = _plan(_Q["ads_topk_users"].fn(spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan
