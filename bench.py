@@ -36,6 +36,8 @@ HEADLINE = [
     "t_dup_clusters",
     "t_simhash_dups",
     "t_corpus_pipeline",
+    "t_decontaminate",
+    "t_pack_sequences",
     "e_cosine_topk",
     "e_ann_lsh_topk",
     "t_embedding_neardup",
