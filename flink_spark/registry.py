@@ -94,6 +94,11 @@ _SNAPSHOT_FIRST = (
     "t_cjk_keyword_counts",
     "j_wide_order_5way",
     "sql_dwd_topic_db",
+    "t_dup_clusters",
+    "e_dup_clusters",
+    "t_decontaminate",
+    "t_train_val_split",
+    "t_pack_sequences",
     # green in r2 only — keep them rotating back in
     "e_ann_ivf_topk",
     "w_tumble_10s_keyed",
