@@ -188,6 +188,13 @@ def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 PACK_BUDGET = 512      # tokens per training context (packing target)
 EVAL_SOURCE = "src0"   # the held-out benchmark source (decontamination)
 TRAIN_PCT = 90         # train split share (hash-deterministic)
+# Packing parallelism: each source is split into this many independently
+# packed sub-streams (shard = doc_id % N). Deliberately env-only (NOT
+# corpus-derived like the LSH knobs): the shard count changes which
+# documents share a context — a semantic choice the pipeline owner pins,
+# not a physical knob the engine may silently retune. Default 1 packs
+# each source as one sequential stream.
+PACK_SHARDS = int(os.environ.get("FLINK_SPARK_PACK_SHARDS", "1"))
 
 
 @query(
@@ -303,21 +310,23 @@ def t_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t_pack_sequences",
     oracle=f"""
     WITH counted AS (
-      SELECT doc_id, source, len({_TOKS}) AS ntok FROM documents
+      SELECT doc_id, source, doc_id % {PACK_SHARDS} AS shard,
+             len({_TOKS}) AS ntok FROM documents
     ),
     packed AS (
-      SELECT source, ntok,
-             (SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id
+      SELECT source, shard, ntok,
+             (SUM(ntok) OVER (PARTITION BY source, shard ORDER BY doc_id
                               ROWS UNBOUNDED PRECEDING) - ntok)
                // {PACK_BUDGET} AS pack_id
       FROM counted
     )
-    SELECT source, CAST(pack_id AS BIGINT) AS pack_id,
+    SELECT source, CAST(shard AS BIGINT) AS shard,
+           CAST(pack_id AS BIGINT) AS pack_id,
            COUNT(*) AS n_docs,
            CAST(SUM(ntok) AS BIGINT) AS pack_tokens,
            CAST(SUM(ntok) AS DOUBLE) / {PACK_BUDGET} AS fill_ratio
     FROM packed
-    GROUP BY source, pack_id
+    GROUP BY source, shard, pack_id
     """,
     tags=("textops", "packing", "tokens"),
 )
@@ -333,28 +342,32 @@ def t_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     how naive concat-packing behaves. Output audits pack occupancy
     (docs, tokens, fill ratio vs the {PACK_BUDGET}-token budget).
 
-    Scale notes: one window cumsum per source partition — the scan
-    order is a per-source sequential contract, so parallelism is
-    across sources (and at 100 TB you'd salt each source into
-    (source, shard) sub-streams packed independently: packing is
-    order-sensitive only WITHIN a context, so any deterministic
-    sharding works). Integer cumsum ⇒ oracle-identical.
+    Scale notes: the window cumsum is a sequential contract per
+    (source, shard) partition — packing is order-sensitive only
+    WITHIN a context, so ``FLINK_SPARK_PACK_SHARDS`` salts each
+    source into that many deterministic sub-streams
+    (``doc_id % N``) packed independently, bounding the largest
+    sort at corpus/(sources·shards) rows. The oracle derives shard
+    ids from the same expression, so correctness holds at any
+    shard count. Integer cumsum ⇒ oracle-identical.
     """
     docs = load(spark, sf_dir, "documents")
     counted = docs.select(
-        "doc_id", "source", F.size(tokenize("text")).alias("ntok")
+        "doc_id", "source",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(tokenize("text")).alias("ntok"),
     )
     w = (
-        Window.partitionBy("source").orderBy("doc_id")
+        Window.partitionBy("source", "shard").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     packed = counted.withColumn("cum", F.sum("ntok").over(w)).select(
-        "source", "ntok",
+        "source", "shard", "ntok",
         # integer division end-to-end: a per-source token cumsum can
         # pass 2^53 at corpus scale, where a double-backed floor drifts
         F.expr(f"(cum - ntok) div {PACK_BUDGET}").alias("pack_id"),
     )
-    return packed.groupBy("source", "pack_id").agg(
+    return packed.groupBy("source", "shard", "pack_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("ntok").cast("long").alias("pack_tokens"),
         (F.sum("ntok").cast("double") / PACK_BUDGET).alias("fill_ratio"),

@@ -94,12 +94,13 @@ def test_widened_knobs_stay_oracle_symmetric(tmp_path):
         FLINK_SPARK_LSH_BITS="6",
         FLINK_SPARK_IVF_CELLS="16",
         FLINK_SPARK_IVF_PROBES="3",
+        FLINK_SPARK_PACK_SHARDS="4",
     )
     script = _SCRIPT.format(
         repo=repo,
         sf_dir="/root/testdata/sf0.001",
         queries=["t_simhash_dups", "t_embedding_neardup", "e_ann_lsh_topk",
-                 "e_ann_ivf_topk"],
+                 "e_ann_ivf_topk", "t_pack_sequences"],
     )
     out = subprocess.run(
         [sys.executable, "-c", script],
