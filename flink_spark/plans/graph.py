@@ -83,4 +83,13 @@ def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
         if cur == prev:
             break
         prev = cur
+    else:
+        # an unconverged label table is NOT a component labeling —
+        # returning it silently would split clusters. Fail loudly; a
+        # corpus that legitimately hits this has chain-shaped dup
+        # components and wants the O(log n)-round star contraction.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds; "
+            "raise max_rounds or switch to large-star/small-star contraction"
+        )
     return labels

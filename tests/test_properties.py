@@ -130,3 +130,26 @@ def test_connected_components_equals_union_find(edges):
         comps.setdefault(find(n), set()).add(n)
     expect = {n: min(m) for m in comps.values() for n in m}
     assert labels == expect
+
+
+def test_connected_components_raises_when_unconverged():
+    """A round budget too small for the graph diameter must fail loudly
+    — silently returning unconverged labels would split clusters."""
+    import pytest
+
+    from flink_spark.plans.graph import connected_components
+
+    spark = _session()
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "d1 bigint, d2 bigint"
+    ).persist()
+    try:
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(chain, max_rounds=2)
+        labels = {
+            r.doc_id: r.cluster_id
+            for r in connected_components(chain).collect()
+        }
+        assert set(labels.values()) == {0}  # one chain, min-id label
+    finally:
+        chain.unpersist()
