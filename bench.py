@@ -38,6 +38,7 @@ HEADLINE = [
     "t_corpus_pipeline",
     "t_decontaminate",
     "t_pack_sequences",
+    "t_repetition_filter",
     "e_cosine_topk",
     "e_ann_lsh_topk",
     "t_embedding_neardup",

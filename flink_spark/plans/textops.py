@@ -562,6 +562,134 @@ def t_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Repetition filter (Gopher-style n-gram dominance rules)
+# --------------------------------------------------------------------------
+
+@query(
+    "t_repetition_filter",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    base AS (SELECT doc_id, len(t) AS n_tokens, t FROM toks),
+    bg AS (
+      SELECT doc_id, MAX(cnt) AS top_bigram_ct
+      FROM (SELECT doc_id, g, COUNT(*) AS cnt
+            FROM (SELECT doc_id,
+                         unnest(list_transform(range(1, len(t)),
+                                i -> t[i] || ' ' || t[i+1])) AS g
+                  FROM base WHERE n_tokens >= 2)
+            GROUP BY doc_id, g)
+      GROUP BY doc_id
+    ),
+    g5 AS (
+      SELECT doc_id,
+             SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_5gram_ct
+      FROM (SELECT doc_id, g, COUNT(*) AS cnt
+            FROM (SELECT doc_id,
+                         unnest(list_transform(range(1, len(t) - 3),
+                                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                     || ' ' || t[i+3] || ' ' || t[i+4])) AS g
+                  FROM base WHERE n_tokens >= 5)
+            GROUP BY doc_id, g)
+      GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(COALESCE(bg.top_bigram_ct, 0) AS BIGINT) AS top_bigram_ct,
+           CAST(COALESCE(g5.dup_5gram_ct, 0) AS BIGINT) AS dup_5gram_tokens,
+           CASE WHEN b.n_tokens >= 2 THEN
+             2.0 * COALESCE(bg.top_bigram_ct, 0) / b.n_tokens
+             ELSE 0.0 END AS top_bigram_frac,
+           CASE WHEN b.n_tokens >= 5 THEN
+             CAST(COALESCE(g5.dup_5gram_ct, 0) AS DOUBLE) / (b.n_tokens - 4)
+             ELSE 0.0 END AS dup_5gram_frac,
+           CAST(CASE WHEN 10 * COALESCE(bg.top_bigram_ct, 0) <= b.n_tokens
+                      AND (b.n_tokens < 5 OR
+                           20 * COALESCE(g5.dup_5gram_ct, 0)
+                             <= 3 * (b.n_tokens - 4))
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep_flag
+    FROM base b
+    LEFT JOIN bg ON b.doc_id = bg.doc_id
+    LEFT JOIN g5 ON b.doc_id = g5.doc_id
+    """,
+    tags=("textops", "quality", "repetition"),
+)
+def t_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter (the Gopher n-gram rules).
+
+    The repetition family of Rae et al. '21 (Gopher, Table A1) that
+    length/stopword scoring (``t_quality_score``) can't see: boiler-
+    plate and spam repeat themselves. Two signals per document —
+
+    - **top-bigram dominance**: fraction of tokens covered by the
+      single most frequent bigram (drop above 0.20);
+    - **duplicated 5-gram coverage**: fraction of 5-gram positions
+      whose gram occurs more than once in the document (drop above
+      0.15).
+
+    Shape: tokenize once (persisted — both explodes branch from it),
+    explode n-grams, count per (doc, gram), aggregate per doc — the
+    same map + key-shuffle skeleton as the shingle table, so it
+    scales identically (no all-pairs anywhere). Thresholds compare
+    as pure integers (``10·top ≤ n`` ⇔ frac ≤ 0.20; ``20·dup ≤
+    3·(n−4)`` ⇔ frac ≤ 0.15) — cross-engine exact per the catalog's
+    determinism rules; fractions are emitted as one int/int division
+    each for reporting.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = track_persist(
+        docs.select("doc_id", tokenize("text").alias("t"))
+    )
+    base = toks.select("doc_id", F.size("t").alias("n_tokens"), "t")
+    bg = (
+        base.filter(F.col("n_tokens") >= 2)
+        .select("doc_id", F.explode(word_shingles(F.col("t"), 2)).alias("g"))
+        .groupBy("doc_id", "g").count()
+        .groupBy("doc_id").agg(F.max("count").alias("top_bigram_ct"))
+    )
+    g5 = (
+        base.filter(F.col("n_tokens") >= 5)
+        .select("doc_id", F.explode(word_shingles(F.col("t"), 5)).alias("g"))
+        .groupBy("doc_id", "g").count()
+        .groupBy("doc_id").agg(
+            F.sum(F.when(F.col("count") > 1, F.col("count")).otherwise(0))
+            .alias("dup_5gram_ct")
+        )
+    )
+    out = (
+        base.select("doc_id", "n_tokens")
+        .join(bg, "doc_id", "left")
+        .join(g5, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("top_bigram_ct", F.lit(0)).cast("long")
+            .alias("top_bigram_ct"),
+            F.coalesce("dup_5gram_ct", F.lit(0)).cast("long")
+            .alias("dup_5gram_tokens"),
+        )
+    )
+    top_frac = F.when(
+        F.col("n_tokens") >= 2,
+        F.lit(2.0) * F.col("top_bigram_ct") / F.col("n_tokens"),
+    ).otherwise(F.lit(0.0))
+    dup_frac = F.when(
+        F.col("n_tokens") >= 5,
+        F.col("dup_5gram_tokens").cast("double") / (F.col("n_tokens") - 4),
+    ).otherwise(F.lit(0.0))
+    keep = (
+        (10 * F.col("top_bigram_ct") <= F.col("n_tokens"))
+        & ((F.col("n_tokens") < 5)
+           | (20 * F.col("dup_5gram_tokens") <= 3 * (F.col("n_tokens") - 4)))
+    )
+    return out.select(
+        "doc_id", "n_tokens", "top_bigram_ct", "dup_5gram_tokens",
+        top_frac.alias("top_bigram_frac"),
+        dup_frac.alias("dup_5gram_frac"),
+        keep.cast("long").alias("keep_flag"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Language-ID heuristic (marker-stopword scoring) vs labeled lang
 # --------------------------------------------------------------------------
 

@@ -99,6 +99,7 @@ _SNAPSHOT_FIRST = (
     "t_decontaminate",
     "t_train_val_split",
     "t_pack_sequences",
+    "t_repetition_filter",
     # green in r2 only — keep them rotating back in
     "e_ann_ivf_topk",
     "w_tumble_10s_keyed",
