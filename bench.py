@@ -39,6 +39,7 @@ HEADLINE = [
     "t_decontaminate",
     "t_pack_sequences",
     "t_repetition_filter",
+    "t_source_mixture",
     "e_cosine_topk",
     "e_ann_lsh_topk",
     "t_embedding_neardup",

@@ -306,6 +306,88 @@ def t_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# training-mixture weights: pct of each source to keep. Explicit rows
+# for curated domains, DEFAULT_MIX_PCT for the long tail — the shape of
+# a real data-mix config (weights per known domain + a crawl default).
+MIXTURE = [("src0", 5), ("src1", 100), ("src2", 60), ("src3", 30)]
+DEFAULT_MIX_PCT = 50
+_MIX_VALUES = ", ".join(f"('{s}', {p})" for s, p in MIXTURE)
+
+
+@query(
+    "t_source_mixture",
+    oracle=f"""
+    WITH mix(source, pct) AS (VALUES {_MIX_VALUES}),
+    ranked AS (
+      SELECT d.source,
+             COALESCE(m.pct, {DEFAULT_MIX_PCT}) AS pct,
+             d.doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.source
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY d.source) AS n
+      FROM documents d LEFT JOIN mix m ON d.source = m.source
+    )
+    SELECT source,
+           CAST(MAX(pct) AS BIGINT) AS pct,
+           COUNT(*) AS n_docs,
+           CAST(MAX((pct * n) // 100) AS BIGINT) AS quota,
+           CAST(SUM(CASE WHEN rn <= (pct * n) // 100 THEN 1 ELSE 0 END)
+                AS BIGINT) AS kept,
+           CAST(SUM(CASE WHEN rn <= (pct * n) // 100 THEN doc_id ELSE 0 END)
+                AS BIGINT) AS kept_id_sum
+    FROM ranked GROUP BY source
+    """,
+    tags=("textops", "mixture", "sampling"),
+)
+def t_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source mixture sampling (data-mix control).
+
+    The step between filtering and packing: downsample each source to
+    its mixture weight (curated domains upweighted, the crawl tail at
+    a default, the held-out benchmark source nearly excluded). The
+    kept set must be a pure function of the data — selection is by
+    md5(doc_id) priority order within each source, so it is stable
+    under reshuffles, backfills, and engine changes, and reproducible
+    without storing a sample seed. ``kept_id_sum`` pins the EXACT
+    selected set in the oracle compare, not just its size.
+
+    Shape: broadcast the mixture config (the reference's
+    table_process pattern), one window rank per source partition, one
+    aggregate. Quota math is integer end-to-end (``(pct·n) div
+    100``). At 100 TB the rank is the only per-source sort; a source
+    too large for one task shards like packing does — or the rank is
+    replaced by the equivalent threshold-on-hash (keep iff
+    md5-bucket < pct), which is fully map-side; the rank form is used
+    here because it hits exact quotas on small sources.
+    """
+    docs = load(spark, sf_dir, "documents")
+    mix = spark.createDataFrame(MIXTURE, "source string, pct int")
+    d = docs.join(F.broadcast(mix), "source", "left").select(
+        "source", "doc_id",
+        F.coalesce("pct", F.lit(DEFAULT_MIX_PCT)).alias("pct"),
+    )
+    order = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), F.col("doc_id")
+    )
+    part = Window.partitionBy("source")
+    ranked = d.select(
+        "source", "pct", "doc_id",
+        F.row_number().over(order).alias("rn"),
+        F.count(F.lit(1)).over(part).alias("n"),
+    )
+    quota = F.expr("(pct * n) div 100")
+    kept = F.col("rn") <= quota
+    return ranked.groupBy("source").agg(
+        F.max("pct").cast("long").alias("pct"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max(quota).cast("long").alias("quota"),
+        F.sum(kept.cast("int")).cast("long").alias("kept"),
+        F.sum(F.when(kept, F.col("doc_id")).otherwise(0)).cast("long")
+        .alias("kept_id_sum"),
+    )
+
+
 @query(
     "t_pack_sequences",
     oracle=f"""

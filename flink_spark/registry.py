@@ -100,6 +100,7 @@ _SNAPSHOT_FIRST = (
     "t_train_val_split",
     "t_pack_sequences",
     "t_repetition_filter",
+    "t_source_mixture",
     # green in r2 only — keep them rotating back in
     "e_ann_ivf_topk",
     "w_tumble_10s_keyed",
