@@ -55,6 +55,27 @@ def test_decontaminate_broadcasts_eval_set(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_repetition_filter_plan_shape(spark):
+    """One tokenize (persisted, both n-gram explodes branch from it),
+    key-partitioned aggregation only — no joins wider than the
+    doc_id equi-joins, no cartesian degradation."""
+    plan = _plan(_Q["t_repetition_filter"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "InMemoryTableScan" in plan  # the shared token table cache
+    from flink_spark.registry import release_persisted
+    release_persisted()
+
+
+def test_source_mixture_plan_shape(spark):
+    """The mixture config broadcasts (table_process pattern); the rank
+    is one window over the source partition, no global sort."""
+    plan = _plan(_Q["t_source_mixture"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
 def test_topk_is_take_ordered(spark):
     plan = _plan(_Q["ads_topk_users"].fn(spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan
