@@ -36,6 +36,7 @@ HEADLINE = [
     "t_dup_clusters",
     "t_simhash_dups",
     "t_corpus_pipeline",
+    "t_training_pipeline",
     "t_decontaminate",
     "t_pack_sequences",
     "t_repetition_filter",

@@ -1481,3 +1481,377 @@ def t_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("kept") == 1, F.col("n_tokens"))).cast("long")
         .alias("kept_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# Flagship composition: the full training-data pipeline in one plan
+# --------------------------------------------------------------------------
+
+@query(
+    "t_training_pipeline",
+    oracle=f"""
+    WITH t0 AS (
+      SELECT doc_id, source, text, {_TOKS} AS t FROM documents
+      WHERE source <> '{EVAL_SOURCE}'
+    ),
+    q AS (
+      SELECT doc_id, source, t, len(t) AS n_tokens,
+             CASE WHEN {_quality_pass_sql()} THEN 1 ELSE 0 END AS pass_q,
+             md5({_NORM}) AS fp
+      FROM t0
+    ),
+    e AS (
+      SELECT *, CASE WHEN pass_q = 1
+                      AND doc_id = MIN(CASE WHEN pass_q = 1 THEN doc_id END)
+                                   OVER (PARTITION BY fp)
+                     THEN 1 ELSE 0 END AS canon
+      FROM q
+    ),
+    sh2 AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t) - {SHINGLE_N - 2}),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sl
+      FROM e WHERE canon = 1 AND len(t) >= {SHINGLE_N}
+    ),
+    ex AS (SELECT doc_id, unnest(sl) AS s FROM sh2),
+    sigs AS (
+      {_minhash_sql()}
+    ),
+    bands AS (SELECT doc_id, unnest({_band_keys_sql()}) AS bkey FROM sigs),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    dups AS (
+      SELECT DISTINCT d2
+      FROM cand
+      JOIN sh2 x ON d1 = x.doc_id
+      JOIN sh2 y ON d2 = y.doc_id
+      WHERE CAST(len(list_intersect(x.sl, y.sl)) AS DOUBLE)
+              / (len(x.sl) + len(y.sl) - len(list_intersect(x.sl, y.sl)))
+            >= {JACCARD_THRESHOLD}
+    ),
+    evt AS (
+      SELECT {_TOKS} AS t FROM documents WHERE source = '{EVAL_SOURCE}'
+    ),
+    ev AS (
+      SELECT DISTINCT unnest(list_transform(range(1, len(t) - {SHINGLE_N - 2}),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM evt WHERE len(t) >= {SHINGLE_N}
+    ),
+    hit AS (SELECT DISTINCT e2.doc_id FROM ex e2 JOIN ev USING (s)),
+    bg AS (
+      SELECT doc_id, MAX(cnt) AS top_bigram_ct
+      FROM (SELECT doc_id, g, COUNT(*) AS cnt
+            FROM (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                         i -> t[i] || ' ' || t[i+1])) AS g
+                  FROM e WHERE canon = 1 AND len(t) >= 2)
+            GROUP BY doc_id, g)
+      GROUP BY doc_id
+    ),
+    g5 AS (
+      SELECT doc_id, SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup5
+      FROM (SELECT doc_id, g, COUNT(*) AS cnt
+            FROM (SELECT doc_id, unnest(list_transform(range(1, len(t) - 3),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                              || ' ' || t[i+3] || ' ' || t[i+4])) AS g
+                  FROM e WHERE canon = 1 AND len(t) >= 5)
+            GROUP BY doc_id, g)
+      GROUP BY doc_id
+    ),
+    fs AS (
+      SELECT s0.*, CASE WHEN s0.no_dup = 1 AND s0.clean = 1
+                         AND s0.rep_ok = 1 THEN 1 ELSE 0 END AS survivor
+      FROM (
+        SELECT e.doc_id, e.source, e.n_tokens, e.pass_q, e.canon,
+               CASE WHEN e.canon = 1 AND dups.d2 IS NULL
+                    THEN 1 ELSE 0 END AS no_dup,
+               CASE WHEN hit.doc_id IS NULL THEN 1 ELSE 0 END AS clean,
+               CASE WHEN 10 * COALESCE(bg.top_bigram_ct, 0) <= e.n_tokens
+                     AND (e.n_tokens < 5 OR
+                          20 * COALESCE(g5.dup5, 0) <= 3 * (e.n_tokens - 4))
+                    THEN 1 ELSE 0 END AS rep_ok
+        FROM e
+        LEFT JOIN dups ON e.doc_id = dups.d2
+        LEFT JOIN hit ON e.doc_id = hit.doc_id
+        LEFT JOIN bg ON e.doc_id = bg.doc_id
+        LEFT JOIN g5 ON e.doc_id = g5.doc_id
+      ) s0
+    ),
+    mixcfg(source, pct) AS (VALUES {_MIX_VALUES}),
+    ranked AS (
+      SELECT fs.source, fs.doc_id, fs.n_tokens,
+             COALESCE(m.pct, {DEFAULT_MIX_PCT}) AS pct,
+             ROW_NUMBER() OVER (
+               PARTITION BY fs.source
+               ORDER BY md5(CAST(fs.doc_id AS VARCHAR)), fs.doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY fs.source) AS n
+      FROM fs LEFT JOIN mixcfg m ON fs.source = m.source
+      WHERE fs.survivor = 1
+    ),
+    mk AS (
+      SELECT source, doc_id, n_tokens,
+             (pct * n) // 100 AS quota,
+             CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                   1, 4)) AS BIGINT) % 100 < {TRAIN_PCT}
+                  THEN 1 ELSE 0 END AS is_train,
+             (SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens)
+               // {PACK_BUDGET} AS pack_id
+      FROM ranked WHERE rn <= (pct * n) // 100
+    ),
+    m AS (
+      SELECT source, MAX(quota) AS mix_quota, COUNT(*) AS mix_kept,
+             SUM(is_train) AS train_docs, SUM(1 - is_train) AS val_docs,
+             SUM(n_tokens) AS kept_tokens, MAX(pack_id) + 1 AS n_contexts
+      FROM mk GROUP BY source
+    ),
+    funnel AS (
+      SELECT source, COUNT(*) AS total_docs,
+             SUM(pass_q) AS quality_docs,
+             SUM(canon) AS exact_unique,
+             SUM(no_dup) AS neardup_kept,
+             SUM(CASE WHEN no_dup = 1 AND clean = 1 THEN 1 ELSE 0 END)
+               AS clean_docs,
+             SUM(survivor) AS survivor_docs
+      FROM fs GROUP BY source
+    )
+    SELECT f2.source,
+           CAST(f2.total_docs AS BIGINT) AS total_docs,
+           CAST(f2.quality_docs AS BIGINT) AS quality_docs,
+           CAST(f2.exact_unique AS BIGINT) AS exact_unique,
+           CAST(f2.neardup_kept AS BIGINT) AS neardup_kept,
+           CAST(f2.clean_docs AS BIGINT) AS clean_docs,
+           CAST(f2.survivor_docs AS BIGINT) AS survivor_docs,
+           CAST(COALESCE(m.mix_quota, 0) AS BIGINT) AS mix_quota,
+           CAST(COALESCE(m.mix_kept, 0) AS BIGINT) AS mix_kept,
+           CAST(COALESCE(m.train_docs, 0) AS BIGINT) AS train_docs,
+           CAST(COALESCE(m.val_docs, 0) AS BIGINT) AS val_docs,
+           CAST(COALESCE(m.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+           CAST(COALESCE(m.n_contexts, 0) AS BIGINT) AS n_contexts
+    FROM funnel f2 LEFT JOIN m USING (source)
+    """,
+    tags=("textops", "pipeline", "flagship"),
+)
+def t_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE training-data pipeline, one composed plan.
+
+    Extends ``t_corpus_pipeline`` (quality → exact dedup → MinHash-LSH
+    near-dedup) with every remaining curation stage the catalog
+    implements individually, in production order:
+
+    4. decontamination — drop docs sharing a shingle with the held-out
+       benchmark source (broadcast eval set, map-side probe);
+    5. repetition gate — Gopher top-bigram/dup-5-gram rules;
+    6. mixture sampling — per-source data-mix quota by md5 priority;
+    7. train/val split — hash-deterministic {TRAIN_PCT}/{100 - TRAIN_PCT};
+    8. sequence packing — {PACK_BUDGET}-token contexts over the final
+       train+val set (audited as contexts per source).
+
+    Output is the per-source funnel: doc counts surviving each stage,
+    then mixture quota/kept, split sizes, surviving tokens and packed
+    context counts. All columns integer ⇒ the oracle compare is exact.
+
+    Every stage keeps its individual operator's scale shape (broadcast
+    eval set and mixture config; banded LSH, never all-pairs; window
+    ranks per source partition) — composing them adds NO new shuffle
+    pattern: the doc-level flags from stages 1-5 are one persisted
+    table, aggregated once, and stages 6-8 run on the (much smaller)
+    survivor set.
+    """
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    t0 = docs.filter(F.col("source") != EVAL_SOURCE).select(
+        "doc_id", "source", "text", tokenize("text").alias("t")
+    )
+    n_tok = F.size("t")
+    stop_ratio = (
+        F.size(F.filter("t", lambda x: x.isin(*STOPWORDS))).cast("double") / n_tok
+    )
+    avg_len = (
+        F.length(F.regexp_replace(normalize_text("text"), " ", "")).cast("double")
+        / n_tok
+    )
+    score = (
+        F.when(n_tok.between(20, 200), 1).otherwise(0)
+        + F.when(stop_ratio.between(0.02, 0.5), 1).otherwise(0)
+        + F.when(avg_len.between(3, 8), 1).otherwise(0)
+    )
+    q = t0.select(
+        "doc_id", "source", "t",
+        n_tok.alias("n_tokens"),
+        F.when(score >= 2, 1).otherwise(0).alias("pass_q"),
+        fingerprint("text").alias("fp"),
+    )
+    w_fp = Window.partitionBy("fp")
+    e = q.withColumn(
+        "canon",
+        F.when(
+            (F.col("pass_q") == 1)
+            & (
+                F.col("doc_id")
+                == F.min(F.when(F.col("pass_q") == 1, F.col("doc_id"))).over(w_fp)
+            ),
+            1,
+        ).otherwise(0),
+    )
+    e = track_persist(e)
+    canon_toks = e.filter(F.col("canon") == 1).select("doc_id", "t")
+    sh2 = canon_toks.filter(F.size("t") >= SHINGLE_N).select(
+        "doc_id",
+        F.array_distinct(word_shingles(F.col("t"), SHINGLE_N)).alias("sl"),
+    )
+    sh2 = track_persist(sh2)
+    ex = sh2.select("doc_id", F.explode("sl").alias("s"))
+    sigs = _hashed_shingles_spark(ex).groupBy("doc_id").agg(*_minhash_cols_spark())
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*_band_keys_spark())).alias("bkey")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bkey") == F.col("b.bkey"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    x = sh2.select(F.col("doc_id").alias("d1"), F.col("sl").alias("sl1"))
+    y = sh2.select(F.col("doc_id").alias("d2"), F.col("sl").alias("sl2"))
+    shared = F.size(F.array_intersect("sl1", "sl2"))
+    jac = shared.cast("double") / (F.size("sl1") + F.size("sl2") - shared)
+    dups = (
+        cand.join(x, "d1").join(y, "d2")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("d2")
+        .distinct()
+    )
+    ev = (
+        docs.filter(F.col("source") == EVAL_SOURCE)
+        .select(tokenize("text").alias("t"))
+        .filter(F.size("t") >= SHINGLE_N)
+        .select(F.explode(word_shingles(F.col("t"), SHINGLE_N)).alias("s"))
+        .distinct()
+    )
+    hit = (
+        ex.join(F.broadcast(ev), "s").select("doc_id").distinct()
+        .withColumn("is_hit", F.lit(1))
+    )
+    bg = (
+        canon_toks.filter(F.size("t") >= 2)
+        .select("doc_id", F.explode(word_shingles(F.col("t"), 2)).alias("g"))
+        .groupBy("doc_id", "g").count()
+        .groupBy("doc_id").agg(F.max("count").alias("top_bigram_ct"))
+    )
+    g5 = (
+        canon_toks.filter(F.size("t") >= 5)
+        .select("doc_id", F.explode(word_shingles(F.col("t"), 5)).alias("g"))
+        .groupBy("doc_id", "g").count()
+        .groupBy("doc_id").agg(
+            F.sum(F.when(F.col("count") > 1, F.col("count")).otherwise(0))
+            .alias("dup5")
+        )
+    )
+    no_dup = F.when(
+        (F.col("canon") == 1) & F.col("d2").isNull(), 1
+    ).otherwise(0)
+    clean = F.when(F.col("is_hit").isNull(), 1).otherwise(0)
+    rep_ok = F.when(
+        (10 * F.coalesce("top_bigram_ct", F.lit(0)) <= F.col("n_tokens"))
+        & ((F.col("n_tokens") < 5)
+           | (20 * F.coalesce("dup5", F.lit(0)) <= 3 * (F.col("n_tokens") - 4))),
+        1,
+    ).otherwise(0)
+    fs = (
+        e.join(dups, e["doc_id"] == dups["d2"], "left")
+        .join(hit, "doc_id", "left")
+        .join(bg, "doc_id", "left")
+        .join(g5, "doc_id", "left")
+        .select(
+            "doc_id", "source", "n_tokens", "pass_q", "canon",
+            no_dup.alias("no_dup"), clean.alias("clean"),
+            rep_ok.alias("rep_ok"),
+        )
+        .withColumn(
+            "survivor",
+            F.when(
+                (F.col("no_dup") == 1) & (F.col("clean") == 1)
+                & (F.col("rep_ok") == 1), 1
+            ).otherwise(0),
+        )
+    )
+    fs = track_persist(fs)
+    mix = spark.createDataFrame(MIXTURE, "source string, pct int")
+    ranked = (
+        fs.filter(F.col("survivor") == 1)
+        .join(F.broadcast(mix), "source", "left")
+        .select(
+            "source", "doc_id", "n_tokens",
+            F.coalesce("pct", F.lit(DEFAULT_MIX_PCT)).alias("pct"),
+        )
+        .select(
+            "source", "doc_id", "n_tokens", "pct",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.md5(F.col("doc_id").cast("string").cast("binary")),
+                    F.col("doc_id"),
+                )
+            ).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+        )
+    )
+    quota = F.expr("(pct * n) div 100")
+    split_bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4),
+        16, 10,
+    ).cast("long") % 100
+    w_pack = (
+        Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    mk = (
+        ranked.filter(F.col("rn") <= quota)
+        .withColumn("quota", quota)
+        .withColumn(
+            "is_train", F.when(split_bucket < TRAIN_PCT, 1).otherwise(0)
+        )
+        .withColumn("cum", F.sum("n_tokens").over(w_pack))
+        .withColumn(
+            "pack_id", F.expr(f"(cum - n_tokens) div {PACK_BUDGET}")
+        )
+    )
+    m = mk.groupBy("source").agg(
+        F.max("quota").alias("mix_quota"),
+        F.count(F.lit(1)).alias("mix_kept"),
+        F.sum("is_train").alias("train_docs"),
+        F.sum(1 - F.col("is_train")).alias("val_docs"),
+        F.sum("n_tokens").alias("kept_tokens"),
+        (F.max("pack_id") + 1).alias("n_contexts"),
+    )
+    funnel = fs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.sum("pass_q").alias("quality_docs"),
+        F.sum("canon").alias("exact_unique"),
+        F.sum("no_dup").alias("neardup_kept"),
+        F.sum(
+            F.when((F.col("no_dup") == 1) & (F.col("clean") == 1), 1)
+            .otherwise(0)
+        ).alias("clean_docs"),
+        F.sum("survivor").alias("survivor_docs"),
+    )
+    out = funnel.join(m, "source", "left")
+    zero = F.lit(0)
+    return out.select(
+        "source",
+        F.col("total_docs").cast("long").alias("total_docs"),
+        F.col("quality_docs").cast("long").alias("quality_docs"),
+        F.col("exact_unique").cast("long").alias("exact_unique"),
+        F.col("neardup_kept").cast("long").alias("neardup_kept"),
+        F.col("clean_docs").cast("long").alias("clean_docs"),
+        F.col("survivor_docs").cast("long").alias("survivor_docs"),
+        F.coalesce("mix_quota", zero).cast("long").alias("mix_quota"),
+        F.coalesce("mix_kept", zero).cast("long").alias("mix_kept"),
+        F.coalesce("train_docs", zero).cast("long").alias("train_docs"),
+        F.coalesce("val_docs", zero).cast("long").alias("val_docs"),
+        F.coalesce("kept_tokens", zero).cast("long").alias("kept_tokens"),
+        F.coalesce("n_contexts", zero).cast("long").alias("n_contexts"),
+    )

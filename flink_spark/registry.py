@@ -101,6 +101,7 @@ _SNAPSHOT_FIRST = (
     "t_pack_sequences",
     "t_repetition_filter",
     "t_source_mixture",
+    "t_training_pipeline",
     # green in r2 only — keep them rotating back in
     "e_ann_ivf_topk",
     "w_tumble_10s_keyed",
