@@ -41,18 +41,33 @@ PUNCT_RE = "[.,!?;:]"
 _HAN_JAVA = r"\p{IsHan}"
 _HAN_RE2 = r"\p{Han}"
 
+# Cheap fast-path probe: any non-ASCII byte. The Han-aware and plain-ASCII
+# normalize/tokenize branches produce IDENTICAL output for every Han-free
+# row, so the gate only has to be conservative (never send a Han row down
+# the fast path) — a code-point range check costs far less per char than
+# the \p{IsHan} script-property scan, and mis-routing an accented-Latin
+# row to the slow branch changes nothing but speed.
+_NON_ASCII = r"[^\x00-\x7F]"
+
 
 def normalize_text(c: Column | str) -> Column:
     """lower → strip non-(alnum|Han) → collapse whitespace → trim.
 
-    On pure-ASCII input this is exactly the old ``[^a-z0-9]+`` rewrite;
-    Han characters now survive normalization instead of vanishing (the
-    round-3 F1 fidelity gap: the reference's actual workload is Chinese
-    search keywords).
+    On pure-ASCII input this is exactly the old ``[^a-z0-9]+`` rewrite
+    (and runs it — the ASCII-only probe keeps the Han char class out of
+    the hot loop); Han characters survive normalization instead of
+    vanishing (the round-3 F1 fidelity gap: the reference's actual
+    workload is Chinese search keywords).
     """
     col = F.col(c) if isinstance(c, str) else c
+    low = F.lower(col)
     return F.trim(
-        F.regexp_replace(F.lower(col), f"[^a-z0-9{_HAN_JAVA}]+", " ")
+        F.when(
+            ~col.rlike(_NON_ASCII),
+            F.regexp_replace(low, "[^a-z0-9]+", " "),
+        ).otherwise(
+            F.regexp_replace(low, f"[^a-z0-9{_HAN_JAVA}]+", " ")
+        )
     )
 
 
@@ -94,11 +109,12 @@ def tokenize(c: Column | str) -> Column:
     """
     col = F.col(c) if isinstance(c, str) else c
     plain = F.split(normalize_text(col), " ")
-    # probe the RAW column: normalization never introduces Han, so a
-    # Han-free raw row is a Han-free normalized row (a Han-bearing raw
-    # row conservatively takes the slow branch, which is also correct)
-    # — and the probe doesn't re-evaluate the normalize regex.
-    return F.when(~col.rlike(_HAN_JAVA), plain).otherwise(
+    # probe the RAW column with the same cheap ASCII gate as
+    # normalize_text (shared subexpression in codegen): normalization
+    # never introduces Han, and a non-Han non-ASCII row's tokens all
+    # take _expand_token's identity branch, so routing it to the slow
+    # branch is value-identical — only Han rows pay the bigram work.
+    return F.when(~col.rlike(_NON_ASCII), plain).otherwise(
         F.flatten(F.transform(plain, _expand_token))
     )
 

@@ -86,31 +86,38 @@ def release_persisted() -> None:
 # remainder (all green in the latest snapshot) follow in registration
 # order and absorb the cap.
 _SNAPSHOT_FIRST = (
-    # never in any driver snapshot (r2 + r3 both sampled past them)
-    "w_agg_distinct_users",
-    "w_keyword_tumble",
-    "s_returning_users_7d",
-    # new this round — need their first row
-    "t_cjk_keyword_counts",
-    "j_wide_order_5way",
-    "sql_dwd_topic_db",
-    "t_dup_clusters",
-    "e_dup_clusters",
-    "t_decontaminate",
-    "t_train_val_split",
-    "t_pack_sequences",
-    "t_repetition_filter",
-    "t_source_mixture",
-    "t_training_pipeline",
-    # green in r2 only — keep them rotating back in
-    "e_ann_ivf_topk",
-    "w_tumble_10s_keyed",
-    "w_tumble_10s_global",
-    "w_event_time_fallback",
+    # failed r4 on the TIMESTAMP_NTZ regression — re-green first
     "s_dedup_latest",
-    "s_daily_unique_users",
-    "s_new_vs_returning",
     "s_cep_jump",
+    "j_interval_join",
+    "j_left_outer_interval",
+    # green in r3 only (rotated out of the r4 snapshot) — every one of
+    # these needs a fresh row so the r4+r5 union covers all 72
+    "t_ngram_jaccard_dups",
+    "t_minhash_lsh_dups",
+    "t_simhash_dups",
+    "t_corpus_pipeline",
+    "t_embedding_neardup",
+    "ads_funnel_union",
+    "ads_category_fullouter",
+    "ads_gmv_topk_brand",
+    "ads_subsidy_rate",
+    "ads_keyword_score",
+    "ads_province_stats",
+    "r_config_routing",
+    "p_split_counts",
+    "p_cdc_map_projection",
+    "e_cosine_topk",
+    "e_ann_lsh_topk",
+    "e_norm_stats",
+    "m_doc_embedding_join",
+    "m_binary_meta",
+    "m_decode_features",
+    "m_frame_sample",
+    "m_resize_bytes",
+    # new this round — need their first row
+    "j_lru_dim_join",
+    "s_cep_browse_buy",
 )
 
 

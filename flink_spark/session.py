@@ -20,7 +20,14 @@ from pyspark.sql import SparkSession
 _RUNTIME_CONFS = {
     # deterministic date/window bucketing, matches DuckDB's naive timestamps
     "spark.sql.session.timeZone": "UTC",
-    # events.parquet carries TIMESTAMP(NANOS); Spark reads it as long ns
+    # events.parquet carries timestamp[us] with no UTC flag; Spark 4 would
+    # infer TIMESTAMP_NTZ, which unix_millis/watermarks reject. With the
+    # session TZ pinned UTC, reading it as plain TIMESTAMP matches DuckDB's
+    # epoch_ms exactly. load() also normalizes defensively (belt-and-braces
+    # for sessions we didn't configure).
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # older fixture generations carried TIMESTAMP(NANOS); harmless now,
+    # load() handles the bigint-ns form if it ever reappears
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # runtime re-planning: coalesce tiny shuffle partitions, split skewed ones
     "spark.sql.adaptive.enabled": "true",
@@ -35,10 +42,14 @@ def tune(spark: SparkSession) -> SparkSession:
         try:
             spark.conf.set(k, v)
         except Exception:
-            # nanosAsLong is load-bearing (events.parquet carries
-            # TIMESTAMP(NANOS)); failing to set it must surface rather
-            # than become an obscure downstream parquet read error.
-            if k == "spark.sql.legacy.parquet.nanosAsLong":
+            # The parquet timestamp confs are load-bearing (events.ts
+            # arrives as NTZ or bigint-ns without them); failing to set
+            # one must surface rather than become an obscure downstream
+            # type error. load() still normalizes as a second line.
+            if k in (
+                "spark.sql.parquet.inferTimestampNTZ.enabled",
+                "spark.sql.legacy.parquet.nanosAsLong",
+            ):
                 raise
     return spark
 

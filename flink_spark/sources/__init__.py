@@ -32,21 +32,46 @@ TABLES = (
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table; normalizes types for engine use.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark reads as
-    long nanoseconds (with ``nanosAsLong``); we convert to a proper
-    microsecond TimestampType so event-time operators (windows,
-    watermarks) work natively. DuckDB keeps nanoseconds, so oracle
-    comparisons on timestamps always go through millisecond-floor
-    (``epoch_ms`` ≡ ``unix_millis``) or second-level formatting.
+    ``events.ts`` is ``timestamp[us]`` with no UTC flag in the current
+    fixtures; Spark 4 with ``inferTimestampNTZ`` on would read it as
+    TIMESTAMP_NTZ, which ``unix_millis``/watermarks reject. ``tune()``
+    disables the inference, and this function defensively normalizes
+    whatever arrives (NTZ from a pre-tuned session, or bigint-ns from
+    the older TIMESTAMP(NANOS) fixture generation) to a proper
+    session-TZ TimestampType, then asserts the result — so a future
+    fixture/Spark reader change fails loudly at load, not in query 5
+    of the bench. The session TZ is pinned UTC, so the NTZ→TZ cast is
+    value-preserving and matches DuckDB ``epoch_ms`` exactly.
     """
+    key = (id(spark), sf_dir, name)
+    if key in _DF_CACHE:
+        return _DF_CACHE[key]
     tune(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # integer division: `/ 1000` goes through double, whose 53-bit
-        # mantissa cannot represent epoch-ns (~1.7e18) exactly and flips
-        # ~1.5% of microseconds by one.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # integer division: `/ 1000` goes through double, whose 53-bit
+            # mantissa cannot represent epoch-ns (~1.7e18) exactly and flips
+            # ~1.5% of microseconds by one.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        elif ts_type != "timestamp":
+            raise TypeError(
+                f"events.ts loaded as {ts_type!r}; expected timestamp, "
+                "timestamp_ntz, or bigint (ns) — fixture or Spark reader "
+                "defaults changed, update sources.load()"
+            )
+    _DF_CACHE[key] = df
     return df
+
+
+# Lazy DataFrame handles are immutable and session-bound; re-listing the
+# parquet footer costs ~0.1 s of driver time per read.parquet call, which
+# dominates sub-second queries. Keyed by the session's Python identity so
+# a stopped-and-recreated session never sees a stale handle.
+_DF_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
 
 _COUNT_CACHE: dict[tuple[str, str], int] = {}
