@@ -22,8 +22,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from flink_spark.plans.cep import SeqPattern, pattern_matches, pattern_oracle_sql
 from flink_spark.registry import query
 from flink_spark.sources import load
+
+# W8: the reference's jump pattern — any event `next` any event within
+# 10 s; the jump/bounce is the TIMEOUT side (no successor in time).
+JUMP_PATTERN = SeqPattern(steps=("true", "true"), within_ms=10_000)
+
+# A second pattern on the same evaluator (what round 4 could not
+# express without writing a new state machine): view `next` purchase
+# within one hour — the direct browse→buy conversion.
+BROWSE_BUY_PATTERN = SeqPattern(
+    steps=("event_type = 'view'", "event_type = 'purchase'"),
+    within_ms=3_600_000,
+)
 
 
 @query(
@@ -205,23 +218,43 @@ def s_cep_jump(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Covers W8 (rt/app/dwd/log/DwdTrafficUserJumpDetail.java:79-119 —
     pattern ``next within 10s`` with the timeout side-output unioned
-    in). Batch truth via lead(): an event is a jump when the next event
-    of the same key is >10 s later or absent — exactly the match ∪
-    timeout union of the reference.
+    in). Expressed on the generalized ``SeqPattern`` evaluator: a jump
+    is the TIMEOUT side of the trivial two-step pattern (any event
+    ``next`` any event, within 10 s) — the successor is late or absent.
+    ``keep_all`` folds jump counting and the per-user event total into
+    one aggregation over the evaluator's single shuffle, the same plan
+    the hand-written lead() version produced.
     """
     ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
-    seq = ev.select(
-        "user_id", "event_id", F.unix_millis("ts").alias("ms")
-    ).withColumn("next_ms", F.lead("ms").over(w))
-    return seq.groupBy("user_id").agg(
-        F.sum(
-            F.when(
-                F.col("next_ms").isNull() | (F.col("next_ms") - F.col("ms") > 10000),
-                1,
-            ).otherwise(0)
-        )
+    em = pattern_matches(ev, JUMP_PATTERN, keep_all=True)
+    return em.groupBy("user_id").agg(
+        F.sum(F.when(F.col("via") == "timeout", 1).otherwise(0))
         .cast("long")
         .alias("jump_ct"),
+        F.count(F.lit(1)).alias("event_ct"),
+    )
+
+
+@query(
+    "s_cep_browse_buy",
+    oracle=pattern_oracle_sql(BROWSE_BUY_PATTERN, agg="match", alias="conv_ct"),
+    tags=("state", "cep"),
+)
+def s_cep_browse_buy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct browse→buy conversions: view `next` purchase within 1 h.
+
+    The generality proof for W8: the reference's CEP surface is Flink's
+    Pattern API (rt/app/dwd/log/DwdTrafficUserJumpDetail.java:79-89 is
+    one instance of it); with ``SeqPattern`` a second pattern is a
+    declaration, not a new state machine. Here the MATCH side is the
+    signal (completed two-step sequence), where s_cep_jump consumes the
+    timeout side — same evaluator, both halves exercised.
+    """
+    ev = load(spark, sf_dir, "events")
+    em = pattern_matches(ev, BROWSE_BUY_PATTERN, keep_all=True)
+    return em.groupBy("user_id").agg(
+        F.sum(F.when(F.col("via") == "match", 1).otherwise(0))
+        .cast("long")
+        .alias("conv_ct"),
         F.count(F.lit(1)).alias("event_ct"),
     )

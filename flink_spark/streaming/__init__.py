@@ -10,6 +10,8 @@ streaming-only machinery:
                  memory-sink test execution
 - ``state``    : keyed-state operators via ``applyInPandasWithState``
                  (W5 ValueState dedup, W6 timers, W8 CEP jump)
+- ``cep``      : generalized sequence-pattern evaluator (W8 as a
+                 declared ``SeqPattern``, match + timeout sides)
 - ``sinks``    : kafka/upsert/jdbc/routed/console writers (K1-K6) and
                  the config-driven router (J6/P7/F3/W10)
 
@@ -39,6 +41,7 @@ from flink_spark.streaming.sources import (  # noqa: F401
     kafka_source,
     replay_events,
 )
+from flink_spark.streaming.cep import pattern_stream  # noqa: F401
 from flink_spark.streaming.state import (  # noqa: F401
     cep_jump_stream,
     daily_unique_stream,

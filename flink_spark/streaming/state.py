@@ -182,29 +182,16 @@ def is_new_correction_stream(sdf: DataFrame, watermark: str = "2 seconds") -> Da
     )
 
 
-_CEP_OUT = T.StructType(
-    [
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ms", T.LongType()),
-        T.StructField("via", T.StringType()),
-    ]
-)
-_CEP_STATE = T.StructType(
-    [
-        T.StructField("last_ms", T.LongType()),
-        T.StructField("last_event", T.LongType()),
-    ]
-)
-
-
 def cep_jump_stream(
     sdf: DataFrame, gap_ms: int = 10_000, watermark: str = "2 seconds"
 ) -> DataFrame:
     """Per-key jump detection: event with no successor within 10 s.
 
-    Two emission paths, exactly the reference's CEP match ∪ timeout
-    union:
+    Round 5: a declaration over the generalized pattern evaluator
+    (``flink_spark.streaming.cep.pattern_stream``) instead of a
+    bespoke state machine — the jump is the non-match side of the
+    trivial two-step pattern. Two emission paths survive, exactly the
+    reference's CEP match ∪ timeout union:
 
     - ``via='gap'``     — a newer event arrived more than ``gap_ms``
       later, so the stored event is a jump (the PatternSelect path);
@@ -216,38 +203,8 @@ def cep_jump_stream(
     emitted. Equivalence: count of emitted rows per user equals batch
     ``s_cep_jump.jump_ct`` once every key's state is flushed.
     """
+    from flink_spark.plans.cep import SeqPattern
+    from flink_spark.streaming.cep import pattern_stream
 
-    def fn(key, pdfs, state):
-        import pandas as pd
-
-        def emit(last_ms, last_event, via):
-            if last_event >= 0:
-                out.append((key[0], last_event, last_ms, via))
-
-        out = []
-        if state.hasTimedOut:
-            if state.exists:
-                lm, le = state.get
-                emit(lm, le, "timeout")
-            state.remove()
-        else:
-            have = tuple(state.get) if state.exists else None
-            rows = pd.concat(list(pdfs))
-            rows = rows.sort_values(["ms", "event_id"])
-            for r in rows.itertuples(index=False):
-                if have is not None and r.ms - have[0] > gap_ms:
-                    emit(have[0], have[1], "gap")
-                have = (int(r.ms), int(r.event_id))
-            state.update(have)
-            # timer must be strictly ahead of the current watermark
-            wm = state.getCurrentWatermarkMs()
-            state.setTimeoutTimestamp(max(have[0] + gap_ms, wm + 1))
-        if out:
-            yield pd.DataFrame(out, columns=["user_id", "event_id", "ms", "via"])
-
-    prepared = sdf.withWatermark("ts", watermark).select(
-        "ts", "user_id", "event_id", F.unix_millis("ts").alias("ms")
-    )
-    return prepared.groupBy("user_id").applyInPandasWithState(
-        fn, _CEP_OUT, _CEP_STATE, "append", GroupStateTimeout.EventTimeTimeout
-    )
+    pat = SeqPattern(steps=("true", "true"), within_ms=gap_ms)
+    return pattern_stream(sdf, pat, watermark).filter(F.col("via") != "match")
