@@ -1035,3 +1035,53 @@ def u_union_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS (metric, val)"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# J5 fallback: beyond-broadcast dim via per-executor LRU point-gets
+# --------------------------------------------------------------------------
+
+@query(
+    "j_lru_dim_join",
+    oracle="""
+    SELECT CAST(c_nationkey AS BIGINT) AS nation_key,
+           COUNT(*) AS order_ct,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+    tags=("join", "lookup"),
+)
+def j_lru_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim enrichment through the cache-aside LRU path (no broadcast).
+
+    Covers the J5 oversized-dim fallback (rt/utils/DimUtil.java:16-45
+    cache-aside point-gets, rt/app/func/DimAsyncFunction.java async
+    I/O): the customer dim is NEVER loaded as a Spark relation — each
+    executor point-gets only the keys its fact partitions touch,
+    through a bounded LRU. The plan therefore contains no join node at
+    all (asserted in tests/test_plans.py); the dim traffic is the
+    working set, not the table. Use when |touched keys| ≪ |dim|; see
+    flink_spark/sources/lookup.py for the scale decision rule.
+    """
+    from pyspark.sql import types as T
+
+    from flink_spark.sources.lookup import ParquetPointGetter, lru_dim_join
+
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    getter = ParquetPointGetter(
+        f"{sf_dir}/customer.parquet", "c_custkey", ["c_custkey", "c_nationkey"]
+    )
+    enriched = lru_dim_join(
+        orders,
+        getter,
+        fact_key="o_custkey",
+        dim_key="c_custkey",
+        dim_fields=[("c_nationkey", T.LongType())],
+    )
+    return enriched.groupBy(
+        F.col("c_nationkey").alias("nation_key")
+    ).agg(
+        F.count(F.lit(1)).alias("order_ct"),
+        dsum("o_totalprice", "spend"),
+    )

@@ -1,0 +1,71 @@
+"""J5 beyond-broadcast fallback: LRU cache semantics + plan shape."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import types as T
+
+from flink_spark.registry import all_queries
+from flink_spark.sources.lookup import LruCache, lru_dim_join
+
+from conftest import SF_DIR
+
+_Q = all_queries()
+
+
+def test_lru_eviction_and_recency():
+    c = LruCache(maxsize=2)
+    c.put(1, "a")
+    c.put(2, "b")
+    assert c.get(1) == "a"     # refreshes 1's recency
+    c.put(3, "c")              # evicts 2 (least recently used), not 1
+    assert 2 not in c and 1 in c and 3 in c
+    assert c.get(2) is None
+    assert (c.hits, c.misses) == (1, 1)
+
+
+def test_lru_rejects_zero_size():
+    with pytest.raises(ValueError):
+        LruCache(0)
+
+
+def test_lru_dim_join_inner_semantics(spark):
+    """Facts whose key the store lacks drop (reference: discard on
+    missing dim); present keys enrich with the dim columns."""
+
+    def getter(keys):
+        store = {10: "x", 20: "y"}  # key 30 missing
+        hit = [k for k in keys if k in store]
+        return pd.DataFrame({"k": hit, "tag": [store[k] for k in hit]})
+
+    facts = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (4, 10)], "fact_id long, k long"
+    )
+    out = lru_dim_join(
+        facts, getter, fact_key="k", dim_key="k",
+        dim_fields=[("tag", T.StringType())],
+    )
+    got = sorted((r.fact_id, r.tag) for r in out.collect())
+    assert got == [(1, "x"), (2, "y"), (4, "x")]
+
+
+def test_lru_dim_join_plan_has_no_join_or_broadcast(spark):
+    """The dim must never appear as a Spark relation: no join node of
+    any kind, no broadcast exchange — the whole lookup lives inside
+    MapInPandas and the only exchange is the final aggregation's."""
+    import contextlib
+    import io
+
+    df = _Q["j_lru_dim_join"].fn(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "MapInPandas" in plan
+    for node in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+                 "BroadcastExchange", "CartesianProduct"):
+        assert node not in plan, node
+    tree = plan.split("(1) ")[0]
+    assert tree.count("Exchange") == 1  # the groupBy shuffle only
