@@ -65,6 +65,64 @@ def _scalar_sum(col: str):
     return shape
 
 
+def _table(*cols: str):
+    """Sugar table shape: ``{"columns": [{name,id}...], "rows": [...]}``.
+
+    Mirrors the hand-built table envelope of
+    ``TradeController.java:64-80`` / ``CommodityStatsController.java:93-126``
+    (the reference labels columns with display names; we reuse the
+    column id). Rows sort by the first column for deterministic output.
+    """
+
+    def shape(rows):
+        recs = sorted(
+            ({c: r[c] for c in cols} for r in rows),
+            key=lambda d: str(d[cols[0]]),
+        )
+        return {
+            "columns": [{"name": c, "id": c} for c in cols],
+            "rows": recs,
+        }
+
+    return shape
+
+
+def _bar(cat_col: str, series: dict):
+    """Sugar bar shape: parallel ``categories`` + named ``series`` arrays
+    (``TrafficController.java:100-117`` svCt et al.). ``series`` maps a
+    series name to a per-row value function; categories sort for
+    deterministic output.
+    """
+
+    def shape(rows):
+        ordered = sorted(rows, key=lambda r: r[cat_col])
+        return {
+            "categories": [str(r[cat_col]) for r in ordered],
+            "series": [
+                {"name": name, "data": [fn(r) for r in ordered]}
+                for name, fn in series.items()
+            ],
+        }
+
+    return shape
+
+
+def _day_bar(date_col: str, cat_col: str, series: dict):
+    """Bar over one dashboard day (``TrafficController.java:413-468``).
+
+    The reference's ``?date=`` picks the day; the fixture window is a
+    fixed snapshot, so the latest date plays "today" and the per-day
+    rows reduce to that day's 24 categories.
+    """
+    inner = _bar(cat_col, series)
+
+    def shape(rows):
+        day = max(r[date_col] for r in rows)
+        return inner([r for r in rows if r[date_col] == day])
+
+    return shape
+
+
 # path → (catalog query name, payload shaper). Paths are the
 # reference's controller routes verbatim (file:line cited per row).
 ENDPOINTS: dict[str, tuple[str, object]] = {
@@ -97,6 +155,40 @@ ENDPOINTS: dict[str, tuple[str, object]] = {
         "ads_funnel_union", _name_value("page_id", "uv_ct")),
     # UserStatsController.java:67-110 userChangeCt
     "/gmall/realtime/user/userChangeCt": ("ads_conditional_score", _records),
+    # CommodityStatsController.java:59-126 trademark2 stats table
+    "/gmall/realtime/commodity/trademark2": (
+        "ads_category_fullouter",
+        _table("brand", "ptype", "order_ct", "order_amount", "refund_ct")),
+    # CommodityStatsController.java:128-159 trademark GMV pie
+    "/gmall/realtime/commodity/tmPieGraph": (
+        "ads_gmv_topk_brand", _name_value("brand", "order_amount")),
+    # CommodityStatsController.java:243-330 spu stats table
+    "/gmall/realtime/commodity/spu": (
+        "j_broadcast_dim_join", _table("p_brand", "line_ct", "revenue")),
+    # TradeController.java:37-81 trade metric table (type/value rows)
+    "/gmall/realtime/trade/stats": (
+        "u_union_metrics", _table("metric", "val")),
+    # UserStatsController.java:112-160 per-user trade counts table
+    "/gmall/realtime/user/userTradeCt": (
+        "ads_topk_users", _table("user_id", "purchase_ct", "spend")),
+    # TrafficController.java:74-117 per-channel session bar
+    "/gmall/realtime/traffic/svCt": (
+        "ads_channel_stats", _bar("ch", {"svCt": lambda r: r["uv"]})),
+    # TrafficController.java:119-162 pages-per-session bar
+    "/gmall/realtime/traffic/pvPerSession": (
+        "ads_channel_stats", _bar("ch", {"pvPerSession": lambda r: r["pv_per_uv"]})),
+    # TrafficController.java:164-207 duration-per-session bar
+    "/gmall/realtime/traffic/durPerSession": (
+        "ads_channel_stats", _bar("ch", {"durPerSession": lambda r: r["avg_value"]})),
+    # TrafficController.java:209-252 jump-out rate bar (per key)
+    "/gmall/realtime/traffic/ujRate": (
+        "s_cep_jump",
+        _bar("user_id", {"ujRate": lambda r: r["jump_ct"] / r["event_ct"]})),
+    # TrafficController.java:413-468 per-hour visitor bar (dashboard day
+    # = latest date in the fixture window, the reference's ?date default)
+    "/gmall/realtime/traffic/visitorPerHr": (
+        "ads_hourly_stats",
+        _day_bar("date_num", "hr", {"uv": lambda r: r["uv"]})),
 }
 
 

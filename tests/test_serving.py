@@ -83,3 +83,60 @@ def test_cache_serves_second_request(server):
     for _ in range(2):  # second hit must come from the cache path
         status, body = _get(server, "/gmall/realtime/traffic/keywords")
         assert status == 200 and len(body["data"]) > 0
+
+
+def test_route_count_covers_publisher_surface():
+    """pub22 exposes 22 controller routes; the shim must map them all."""
+    assert len(ENDPOINTS) >= 22
+
+
+def test_table_endpoints_shape(server):
+    for path, first_col in [
+        ("/gmall/realtime/commodity/trademark2", "brand"),
+        ("/gmall/realtime/commodity/spu", "p_brand"),
+        ("/gmall/realtime/trade/stats", "metric"),
+        ("/gmall/realtime/user/userTradeCt", "user_id"),
+    ]:
+        status, body = _get(server, path)
+        assert status == 200 and body["status"] == 0, path
+        data = body["data"]
+        col_ids = [c["id"] for c in data["columns"]]
+        assert col_ids[0] == first_col, path
+        assert len(data["rows"]) > 0, path
+        for row in data["rows"]:
+            assert set(row) == set(col_ids), path
+
+
+def test_bar_endpoints_shape(server):
+    for path, series_name in [
+        ("/gmall/realtime/traffic/svCt", "svCt"),
+        ("/gmall/realtime/traffic/pvPerSession", "pvPerSession"),
+        ("/gmall/realtime/traffic/durPerSession", "durPerSession"),
+        ("/gmall/realtime/traffic/ujRate", "ujRate"),
+        ("/gmall/realtime/traffic/visitorPerHr", "uv"),
+    ]:
+        status, body = _get(server, path)
+        assert status == 200 and body["status"] == 0, path
+        data = body["data"]
+        assert len(data["categories"]) > 0, path
+        assert data["series"][0]["name"] == series_name, path
+        assert len(data["series"][0]["data"]) == len(data["categories"]), path
+
+
+def test_visitor_per_hr_single_day(server):
+    """The hourly bar reduces to one dashboard day: ≤24 categories,
+    no duplicates."""
+    _, body = _get(server, "/gmall/realtime/traffic/visitorPerHr")
+    cats = body["data"]["categories"]
+    assert len(cats) == len(set(cats)) <= 24
+
+
+def test_pie_endpoint_matches_bar_source(spark, server):
+    """tmPieGraph name/value pairs equal the GMV top-k query's rows."""
+    _, body = _get(server, "/gmall/realtime/commodity/tmPieGraph")
+    direct = {
+        r.brand: r.order_amount
+        for r in all_queries()["ads_gmv_topk_brand"].fn(spark, SF_DIR).collect()
+    }
+    release_persisted()
+    assert {d["name"]: d["value"] for d in body["data"]} == direct
