@@ -52,9 +52,11 @@ JOBS: dict[str, JobParity] = {
     ),
     "DwdTrafficUserJumpDetail": JobParity(
         ref="rt/app/dwd/log/DwdTrafficUserJumpDetail.java",
-        queries=("s_cep_jump",),
-        streaming=("state.cep_jump_stream",),
-        notes="CEP next-within-10s; match ∪ timeout emission",
+        queries=("s_cep_jump", "s_cep_browse_buy"),
+        streaming=("state.cep_jump_stream", "cep.pattern_stream"),
+        notes="CEP via declarative SeqPattern (plans/cep.py): the jump is "
+        "the timeout side of a 2-step pattern; browse_buy proves a second "
+        "pattern is a declaration, not a new state machine",
     ),
     # --- DWD db --------------------------------------------------------
     "DwdTradeCartAdd": JobParity(
@@ -272,7 +274,7 @@ OPERATOR_COVERAGE: dict[str, tuple[str, tuple[str, ...]]] = {
     "J2": ("left outer join; streaming/jobs.py:left_outer_interval_join_stream (null-pad at watermark → upsert merge)", ("j_left_outer_enrich", "j_left_outer_interval", "j_wide_order_5way", "tests/test_streaming_join.py::test_streaming_left_outer_join_changelog")),
     "J3": ("broadcast dim join; per-batch dim re-snapshot = temporal AS OF", ("j_broadcast_dim_join", "tests/test_streaming.py::test_lookup_join_sees_dim_updates")),
     "J4": ("interval join", ("j_interval_join",)),
-    "J5": ("broadcast replaces async point-gets", ("j_broadcast_dim_join",)),
+    "J5": ("broadcast replaces async point-gets; LRU cache-aside path for beyond-broadcast dims", ("j_broadcast_dim_join", "j_lru_dim_join")),
     "J5a": ("pre-flattened snowflake + broadcast", ("q5_local_supplier_volume",)),
     "J6": ("broadcast config join", ("r_config_routing",)),
     "J7": ("full outer join (single + composite key)", ("j_full_outer_metrics", "ads_category_fullouter")),
@@ -298,7 +300,7 @@ OPERATOR_COVERAGE: dict[str, tuple[str, tuple[str, ...]]] = {
     "W5": ("applyInPandasWithState ValueState", ("tests/test_streaming.py::test_daily_unique_stream_equals_batch",)),
     "W6": ("event-time timers", ("tests/test_streaming.py::test_cep_jump_stream_equals_batch",)),
     "W7": ("watermark-bounded join state", ("tests/test_streaming_join.py::test_stream_stream_interval_join",)),
-    "W8": ("CEP jump", ("s_cep_jump",)),
+    "W8": ("CEP via SeqPattern evaluator", ("s_cep_jump", "s_cep_browse_buy", "tests/test_cep.py::test_pattern_stream_browse_buy_equals_batch")),
     "W9": ("checkpoint/restart", ("tests/test_streaming_join.py::test_checkpoint_restart_exactly_once",)),
     "W10": ("per-batch config broadcast", ("tests/test_streaming.py::test_routed_dim_sink",)),
     "F1": ("tokenizer UDTF → tokenize+explode", ("t_keyword_counts",)),
