@@ -44,6 +44,9 @@ HEADLINE = [
     "e_cosine_topk",
     "e_ann_lsh_topk",
     "t_embedding_neardup",
+    # round 5
+    "s_cep_browse_buy",
+    "j_lru_dim_join",
 ]
 
 

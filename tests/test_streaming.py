@@ -469,20 +469,23 @@ def test_upsert_sink_ignores_stale_crash_debris(spark, tmp_path):
     assert not os.path.isdir(os.path.join(table, "b3_e99"))
 
 
-def test_upsert_sink_rejects_scheme_paths(spark, tmp_path):
+def test_upsert_sink_scheme_path_dispatch(spark, tmp_path):
     """The manifest commit is local-FS rename/replace; a URI path must
-    fail loudly up front, not with a FileNotFoundError at swap time."""
+    never reach it — it either dispatches to the Delta MERGE form
+    (delta-spark installed) or fails loudly up front, not with a
+    FileNotFoundError at swap time."""
     import pytest
 
+    from flink_spark.streaming.sinks import delta_available
+
     sdf = replay_events(spark, SF_DIR, str(tmp_path / "replay"), slices=2)
-    with pytest.raises(ValueError, match="local-filesystem"):
-        upsert_sink(
-            sdf, "s3://bucket/table", keys=["user_id"], order_cols=["ts"]
-        )
-    with pytest.raises(ValueError, match="local-filesystem"):
-        upsert_sink(
-            sdf, f"file:{tmp_path}/t", keys=["user_id"], order_cols=["ts"]
-        )
+    for path in ("s3://bucket/table", f"file:{tmp_path}/t"):
+        if delta_available():
+            writer = upsert_sink(sdf, path, keys=["user_id"], order_cols=["ts"])
+            assert writer is not None  # Delta form handles URI paths
+        else:
+            with pytest.raises(ValueError, match="delta-spark"):
+                upsert_sink(sdf, path, keys=["user_id"], order_cols=["ts"])
 
 
 def test_socket_source_word_count(spark):
