@@ -105,3 +105,24 @@ def test_pattern_stream_browse_buy_equals_batch(spark, tmp_path):
     assert _rows(out.filter(F.col("via") != "match").select(*cols)) == _rows(
         batch.filter(F.col("via") == "timeout").select(*cols)
     )
+
+
+def test_pattern_matches_single_shuffle_plan(spark):
+    """The batch evaluator must stay one key-partitioned shuffle: the
+    window's lead() offsets AND the downstream per-key aggregation
+    reuse the same user_id partitioning — no second exchange, no join."""
+    import contextlib
+    import io
+
+    from flink_spark.registry import all_queries
+
+    df = all_queries()["s_cep_browse_buy"].fn(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    tree = plan.split("(1) ")[0]
+    assert tree.count("Exchange") == 1
+    assert "Window" in tree
+    for node in ("Join", "CartesianProduct", "BatchEvalPython"):
+        assert node not in tree, node
