@@ -126,3 +126,51 @@ def test_pattern_matches_single_shuffle_plan(spark):
     assert "Window" in tree
     for node in ("Join", "CartesianProduct", "BatchEvalPython"):
         assert node not in tree, node
+
+
+def test_pattern_stream_three_step_both_flush_paths(spark, tmp_path):
+    """Streaming k=3: depth-2 partial tracking, with each expiry
+    detection path pinned — 'gap' when a late successor arrives (user
+    1), 'timeout' when only the watermark passes the horizon (user 2,
+    whose key sees no further rows; the sentinel advances the GLOBAL
+    watermark)."""
+    import pandas as pd
+
+    rows = [
+        (1, 1, _t(0), "a"), (1, 2, _t(1), "b"), (1, 3, _t(2), "c"),
+        (1, 4, _t(20), "a"), (1, 5, _t(21), "b"), (1, 6, _t(40), "c"),
+        (2, 7, _t(0), "a"), (2, 8, _t(1), "x"),
+        (2, 9, _t(30), "a"),
+        (3, 10, _t(0), "a"), (3, 11, _t(1), "a"),
+        (3, 12, _t(2), "b"), (3, 13, _t(3), "c"),
+    ]
+    sentinel = [(1, -1, _t(300), "flush")]
+    src = tmp_path / "stream"
+    src.mkdir()
+    cols = ["user_id", "event_id", "ts", "event_type"]
+    pd.DataFrame(rows[:6], columns=cols).to_parquet(
+        src / "0000.parquet", index=False, coerce_timestamps="us")
+    pd.DataFrame(rows[6:], columns=cols).to_parquet(
+        src / "0001.parquet", index=False, coerce_timestamps="us")
+    pd.DataFrame(sentinel, columns=cols).to_parquet(
+        src / "0002.parquet", index=False, coerce_timestamps="us")
+
+    pat = SeqPattern(
+        steps=("event_type = 'a'", "event_type = 'b'", "event_type = 'c'"),
+        within_ms=10_000,
+    )
+    sdf = (
+        spark.readStream.schema(
+            "user_id long, event_id long, ts timestamp, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = run_to_memory(pattern_stream(sdf, pat), "cep3_mem")
+    got = {(r.user_id, r.event_id): r.via for r in out.collect()}
+    assert got == {
+        (1, 1): "match",
+        (1, 4): "gap",       # expiry seen when the t=40 'c' arrived
+        (2, 9): "timeout",   # no successor ever: event-time timer
+        (3, 11): "match",
+    }
