@@ -1060,7 +1060,7 @@ def j_lru_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     I/O): the customer dim is NEVER loaded as a Spark relation — each
     executor point-gets only the keys its fact partitions touch,
     through a bounded LRU. The plan therefore contains no join node at
-    all (asserted in tests/test_plans.py); the dim traffic is the
+    all (asserted in tests/test_lookup.py); the dim traffic is the
     working set, not the table. Use when |touched keys| ≪ |dim|; see
     flink_spark/sources/lookup.py for the scale decision rule.
     """
