@@ -189,6 +189,13 @@ ENDPOINTS: dict[str, tuple[str, object]] = {
     "/gmall/realtime/traffic/visitorPerHr": (
         "ads_hourly_stats",
         _day_bar("date_num", "hr", {"uv": lambda r: r["uv"]})),
+    # The FIRST-generation publisher app (gmall-publisher
+    # SugarController.java:24-37,39-67) exposes two more routes the
+    # 2022 app superseded; a migrating user may still call them.
+    "/gmall/realtime/gmv": (
+        "ads_province_stats", _scalar_sum("order_amount")),
+    "/gmall/realtime/ch": (
+        "ads_channel_stats", _bar("ch", {"UV": lambda r: r["uv"]})),
 }
 
 

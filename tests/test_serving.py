@@ -140,3 +140,15 @@ def test_pie_endpoint_matches_bar_source(spark, server):
     }
     release_persisted()
     assert {d["name"]: d["value"] for d in body["data"]} == direct
+
+
+def test_legacy_publisher_routes(spark, server):
+    """The first-generation publisher's gmv/ch routes
+    (gmall-publisher SugarController.java:24-67) still answer."""
+    _, body = _get(server, "/gmall/realtime/gmv")
+    rows = all_queries()["ads_province_stats"].fn(spark, SF_DIR).collect()
+    release_persisted()
+    assert body["data"] == pytest.approx(sum(r.order_amount for r in rows))
+    _, body = _get(server, "/gmall/realtime/ch")
+    assert body["data"]["series"][0]["name"] == "UV"
+    assert len(body["data"]["categories"]) > 0
