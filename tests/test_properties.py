@@ -153,3 +153,79 @@ def test_connected_components_raises_when_unconverged():
         assert set(labels.values()) == {0}  # one chain, min-id label
     finally:
         chain.unpersist()
+
+
+# --- SeqPattern batch evaluator vs a brute-force python reference ------
+
+_EV_TYPES = "abc"
+SEQS = st.lists(
+    st.tuples(
+        st.integers(1, 3),                      # user_id
+        st.integers(0, 120),                    # second offset
+        st.sampled_from(_EV_TYPES),             # event_type
+    ),
+    min_size=0,
+    max_size=20,
+)
+PATTERNS = st.lists(st.sampled_from(_EV_TYPES), min_size=1, max_size=3)
+
+
+def _py_pattern(rows, steps, within_ms):
+    """Brute-force SeqPattern reference: for each start event of each
+    key's (ms, event_id)-ordered sequence, walk the strict-contiguity
+    predicate chain and classify match / timeout / nothing."""
+    out = {}
+    byu: dict = {}
+    for uid, eid, ms, et in rows:
+        byu.setdefault(uid, []).append((ms, eid, et))
+    for uid, seq in byu.items():
+        seq.sort()
+        for i, (ms0, eid0, _et0) in enumerate(seq):
+            m = 0  # predicates matched so far
+            for j in range(i, len(seq)):
+                ms_j, _eid_j, et_j = seq[j]
+                if ms_j - ms0 > within_ms:
+                    if m >= 1:
+                        out[(uid, eid0)] = "timeout"
+                    break
+                if et_j != steps[m]:
+                    break
+                m += 1
+                if m == len(steps):
+                    out[(uid, eid0)] = "match"
+                    break
+            else:
+                if 1 <= m < len(steps):
+                    out[(uid, eid0)] = "timeout"  # sequence ended in time
+    return out
+
+
+@given(SEQS, PATTERNS)
+@settings(max_examples=20, deadline=None)
+def test_seq_pattern_matches_brute_force(rows_raw, steps):
+    from datetime import datetime, timedelta
+
+    from flink_spark.plans.cep import SeqPattern, pattern_matches
+
+    spark = _session()
+    base = datetime(2024, 1, 1)
+    rows = [
+        (uid, eid, sec * 1000, et)
+        for eid, (uid, sec, et) in enumerate(rows_raw)
+    ]
+    df = spark.createDataFrame(
+        [
+            (uid, eid, base + timedelta(milliseconds=ms), et)
+            for uid, eid, ms, et in rows
+        ],
+        "user_id long, event_id long, ts timestamp, event_type string",
+    )
+    pat = SeqPattern(
+        steps=tuple(f"event_type = '{s}'" for s in steps),
+        within_ms=10_000,
+    )
+    got = {
+        (r.user_id, r.event_id): r.via
+        for r in pattern_matches(df, pat).collect()
+    }
+    assert got == _py_pattern(rows, list(steps), 10_000)
