@@ -117,6 +117,8 @@ def _day_bar(date_col: str, cat_col: str, series: dict):
     inner = _bar(cat_col, series)
 
     def shape(rows):
+        if not rows:  # empty-but-valid day → empty envelope, not a 500
+            return inner([])
         day = max(r[date_col] for r in rows)
         return inner([r for r in rows if r[date_col] == day])
 

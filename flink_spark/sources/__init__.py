@@ -44,8 +44,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     value-preserving and matches DuckDB ``epoch_ms`` exactly.
     """
     key = (id(spark), sf_dir, name)
-    if key in _DF_CACHE:
-        return _DF_CACHE[key]
+    cached = _DF_CACHE.get(key)
+    # id() can be reused after a stopped session is garbage-collected;
+    # verify the handle really belongs to THIS session before serving it.
+    if cached is not None and cached.sparkSession is spark:
+        return cached
     tune(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":

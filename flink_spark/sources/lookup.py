@@ -33,13 +33,18 @@ from pyspark import cloudpickle
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-# The driver may run this package from a path its Python workers don't
-# share (the correctness harness sys.path-inserts the repo on the
-# driver only). Everything the mapInPandas closure touches must
-# therefore serialize BY VALUE, not by module reference — register the
-# whole module so LruCache/ParquetPointGetter travel inside the task
-# payload instead of being re-imported worker-side.
-cloudpickle.register_pickle_by_value(sys.modules[__name__])
+def _register_by_value() -> None:
+    """Make this module's classes pickle BY VALUE, not by reference.
+
+    The driver may run this package from a path its Python workers
+    don't share (the correctness harness sys.path-inserts the repo on
+    the driver only), so everything a mapInPandas closure touches must
+    travel inside the task payload instead of being re-imported
+    worker-side. Called from :func:`lru_dim_join` (idempotent — the
+    registry is a set) rather than at import time, so merely importing
+    the module never changes pickling behavior for other consumers.
+    """
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
 
 class ParquetPointGetter:
@@ -123,10 +128,13 @@ def lru_dim_join(
 
     Batching: misses are fetched once per Arrow batch as ONE bulk get
     (the Spark analog of the reference's per-record async I/O — same
-    store round-trips, amortized), then merged from the cache so a key
-    repeated within or across batches is fetched exactly once per
-    executor per eviction window.
+    store round-trips, amortized). The merge frame is built from the
+    per-batch hit/fetch results directly — the LRU is ONLY a
+    cross-batch cache, so a batch whose distinct keys exceed
+    ``cache_rows`` still enriches every row correctly (eviction can
+    only cost re-fetches later, never drop rows).
     """
+    _register_by_value()
     out_schema = T.StructType(
         list(facts.schema.fields)
         + [T.StructField(n, t) for n, t in dim_fields]
@@ -140,13 +148,26 @@ def lru_dim_join(
         cache = LruCache(cache_rows)
         for pdf in batches:
             uniq = pdf[fact_key].dropna().unique()
-            missing = [k for k in uniq if cache.get(k) is None]
+            # Collect this batch's key→dim-tuple map as we scan: cache
+            # hits first, then the bulk-get results. Never read it back
+            # out of the LRU — a batch with more distinct keys than
+            # cache_rows would otherwise lose keys evicted mid-batch.
+            rows = {}
+            missing = []
+            for k in uniq:
+                v = cache.get(k)
+                if v is None:
+                    missing.append(k)
+                else:
+                    rows[k] = v
             if missing:
                 got = getter(missing)
                 for row in got.itertuples(index=False):
                     d = row._asdict()
-                    cache.put(d.pop(dim_key), tuple(d[c] for c in dim_cols))
-            rows = {k: cache._d[k] for k in uniq if k in cache._d}
+                    k = d.pop(dim_key)
+                    v = tuple(d[c] for c in dim_cols)
+                    rows[k] = v
+                    cache.put(k, v)
             if not rows:
                 continue
             dim_df = pd.DataFrame(

@@ -69,3 +69,44 @@ def test_lru_dim_join_plan_has_no_join_or_broadcast(spark):
         assert node not in plan, node
     tree = plan.split("(1) ")[0]
     assert tree.count("Exchange") == 1  # the groupBy shuffle only
+
+
+def test_lru_dim_join_batch_wider_than_cache(spark):
+    """A single Arrow batch with more distinct keys than cache_rows must
+    still enrich EVERY row (regression: mid-batch eviction used to drop
+    rows for keys fetched early in the batch, corrupting the inner
+    join as if the dim lacked them)."""
+
+    n = 50  # distinct keys per batch, far above cache_rows=2
+
+    def getter(keys):
+        ks = list(keys)
+        return pd.DataFrame({"k": ks, "tag": [f"t{k}" for k in ks]})
+
+    facts = spark.createDataFrame(
+        [(i, i % n) for i in range(2 * n)], "fact_id long, k long"
+    ).coalesce(1)
+    out = lru_dim_join(
+        facts, getter, fact_key="k", dim_key="k",
+        dim_fields=[("tag", T.StringType())],
+        cache_rows=2,
+    )
+    got = out.collect()
+    assert len(got) == 2 * n
+    assert all(r.tag == f"t{r.k}" for r in got)
+
+
+def test_lru_dim_join_import_has_no_pickle_side_effect():
+    """Importing the module must not globally register by-value pickling
+    (that happens inside lru_dim_join, scoped to the closures it ships)."""
+    import importlib
+    import sys as _sys
+
+    from pyspark import cloudpickle as cp
+
+    _sys.modules.pop("flink_spark.sources.lookup", None)
+    try:
+        mod = importlib.import_module("flink_spark.sources.lookup")
+        assert mod not in cp.list_registry_pickle_by_value()
+    finally:
+        importlib.reload(importlib.import_module("flink_spark.sources.lookup"))

@@ -152,3 +152,19 @@ def test_legacy_publisher_routes(spark, server):
     _, body = _get(server, "/gmall/realtime/ch")
     assert body["data"]["series"][0]["name"] == "UV"
     assert len(body["data"]["categories"]) > 0
+
+
+def test_shapers_handle_empty_rows():
+    """An empty-but-valid query result must shape to an empty envelope,
+    never raise (regression: _day_bar's max() over an empty day list)."""
+    from flink_spark.serving import _bar, _day_bar, _scalar_sum, _table
+
+    assert _table("a", "b")([]) == {
+        "columns": [{"name": "a", "id": "a"}, {"name": "b", "id": "b"}],
+        "rows": [],
+    }
+    assert _scalar_sum("v")([]) == 0
+    bar = _bar("c", {"s": lambda r: r["v"]})([])
+    assert bar == {"categories": [], "series": [{"name": "s", "data": []}]}
+    day = _day_bar("d", "c", {"s": lambda r: r["v"]})([])
+    assert day == {"categories": [], "series": [{"name": "s", "data": []}]}
