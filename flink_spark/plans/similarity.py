@@ -32,10 +32,14 @@ Scale notes (100 TB stance)
   map-side — one narrow pass over the big side, then a top-k shuffle
   of |Q| x N scored pairs. That is the *baseline*; it is linear in N
   per query and is what you fall back to for exactness.
-- The LSH variant reduces each vector to a b-bit bucket key map-side,
-  then joins query↔corpus *within buckets only* — candidate volume
-  drops by ~2^b and the join key is uniformly distributed (md5-derived
-  hyperplanes), so no skew. This is the 1000-executor design: bucket
+- The LSH variant reduces each vector to r band keys map-side (r
+  bands × b sign bits each — MinHash-style banding over SRP signs),
+  then joins query↔corpus *within band buckets only* — candidate
+  volume drops by ~2^b/r, pair recall is 1−(1−p^b)^r instead of a
+  single band's p^b, and the join keys are uniformly distributed
+  (md5-derived hyperplanes), so no skew: a dense semantic cluster is
+  split across r independent plane sets instead of piling into one
+  quadratic bucket. This is the 1000-executor design: band-key
   assignment is embarrassingly parallel, and the per-bucket join is an
   ordinary hash join Catalyst/AQE handles.
 - Per-query top-k uses ``row_number`` over (query partition); for huge
@@ -60,18 +64,27 @@ from flink_spark.sources import load, table_rows
 DIM = 64              # embedding width of the fixture corpus
 N_QUERIES = 10        # vec_id < 10 form the query set
 TOPK = 5
-# Bucket count is the corpus-size knob for the in-bucket self-join
-# (embedding near-dup): candidates scale with n^2 / 2^bits, so raise
-# bits with the corpus (rule of thumb: bits ≈ log2(n_vectors) - 7 for
-# ~128 vectors/bucket). By default the rule is COMPUTED, not documented:
-# with the env knob unset, the Spark plan derives bits from a cheap
-# corpus count at build time and the DuckDB oracle derives the SAME
-# bits inside SQL (a COUNT(*) CTE + md5-generated hyperplanes), so the
-# default stays near-linear at any corpus size with no tuning. Setting
-# FLINK_SPARK_LSH_BITS pins a fixed width on both sides instead.
+# SRP-LSH is BANDED (r bands × b bits, the Broder/MinHash banding
+# applied to sign-random-projections): a vector gets one bucket key
+# per band, each from its own b hyperplanes; candidates are pairs
+# sharing ANY band. Single-band SRP at b bits has pair-recall p^b
+# (p = 1 − θ/π): at cosine 0.9 and 8 bits that is ~0.29 — ~70% of true
+# near-dups never become candidates. Banding lifts it to 1−(1−p^b)^r
+# (~0.75 at r=4) while candidate volume stays O(n²·r/2^b), never
+# all-pairs. b is the corpus-size knob for the in-bucket self-join
+# (rule of thumb: b ≈ log2(n_vectors) − 7 for ~128 vectors per band
+# bucket). By default the rule is COMPUTED, not documented: with the
+# env knob unset, the Spark plan derives b from a cheap corpus count at
+# build time and the DuckDB oracle derives the SAME b inside SQL (a
+# COUNT(*) CTE + md5-generated hyperplanes), so the default stays
+# near-linear at any corpus size with no tuning. Setting
+# FLINK_SPARK_LSH_BITS pins a fixed per-band width on both sides;
+# FLINK_SPARK_LSH_BANDS pins the band count (default 4, mirroring the
+# MinHash 4×4 banding in plans.textops).
 _LSH_BITS_ENV = os.environ.get("FLINK_SPARK_LSH_BITS")
 LSH_BITS = int(_LSH_BITS_ENV) if _LSH_BITS_ENV else 4  # fixed-mode width
 LSH_MIN_BITS, LSH_MAX_BITS = 4, 16
+LSH_BANDS = int(os.environ.get("FLINK_SPARK_LSH_BANDS", "4"))
 LSH_TOPK = 3
 
 
@@ -121,13 +134,21 @@ def _proj(a, signs: list[int]):
     return _dot(a, plane)
 
 
-def _bucket(a, bits: int):
-    expr = F.lit(0)
+def _band_bucket(a, band: int, bits: int):
+    """Band ``band``'s bucket key: sign bits of planes band*bits..+bits-1,
+    offset by ``band << bits`` so keys from different bands never
+    collide in the single flat ``bkey`` join column."""
+    expr = F.lit(band * (1 << bits))
     for j in range(bits):
-        expr = expr + F.when(_proj(a, _signs(j)) >= 0, F.lit(1 << j)).otherwise(
-            F.lit(0)
-        )
+        expr = expr + F.when(
+            _proj(a, _signs(band * bits + j)) >= 0, F.lit(1 << j)
+        ).otherwise(F.lit(0))
     return expr
+
+
+def _band_keys(a, bits: int):
+    """All ``LSH_BANDS`` band keys of ``a`` as one array (explode me)."""
+    return F.array(*[_band_bucket(a, t, bits) for t in range(LSH_BANDS)])
 
 
 # --- DuckDB-side fold helpers (identical op order) ---
@@ -163,26 +184,43 @@ else:
         "CAST(ceil(log2(COUNT(*))) AS INTEGER) - 7)) FROM embeddings)"
     )
 
-# sign of hyperplane j, dimension i, derived from md5(j || ':' || i) —
-# the SQL twin of _signs(), so the oracle can build ANY plane count
-# (the hyperplane set is open-ended, not a pre-enumerated literal)
-_SIGN_SQL = (
-    "(CASE WHEN substring(md5(CAST(j AS VARCHAR) || ':' || "
-    "CAST(i - 1 AS VARCHAR)), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END)"
-)
+def _sign_sql(plane: str) -> str:
+    """Sign of hyperplane ``plane`` (an SQL expression), dimension i,
+    derived from md5(plane || ':' || i) — the SQL twin of ``_signs()``,
+    so the oracle can build ANY plane count (the hyperplane set is
+    open-ended, not a pre-enumerated literal)."""
+    return (
+        f"(CASE WHEN substring(md5(CAST({plane} AS VARCHAR) || ':' || "
+        "CAST(i - 1 AS VARCHAR)), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END)"
+    )
 
 
-def _bucket_sql(a: str) -> str:
-    """SRP bucket of ``a`` using the first ``nb.bits`` md5 hyperplanes."""
+def _band_bucket_sql(a: str) -> str:
+    """Band ``band``'s bucket key of ``a`` — the SQL twin of
+    ``_band_bucket``: sign bits of planes ``band*bits + j`` (j in
+    [0, bits)), offset by ``band * 2^bits``. ``band`` and ``bits``
+    come from the surrounding FROM (range unnest + nb CTE)."""
     proj = (
         f"list_reduce(list_transform(range(1, {DIM + 1}), "
-        f"i -> CAST({a}[i] AS DOUBLE) * {_SIGN_SQL}), (x, y) -> x + y)"
+        f"i -> CAST({a}[i] AS DOUBLE) * {_sign_sql('band * bits + j')}), "
+        "(x, y) -> x + y)"
     )
     return (
+        "band * CAST(power(2, bits) AS BIGINT) + "
         "CAST(list_sum(list_transform(range(0, bits), j -> "
         f"CASE WHEN {proj} >= 0 THEN CAST(power(2, j) AS BIGINT) "
-        "ELSE 0 END)) AS INTEGER)"
+        "ELSE 0 END)) AS BIGINT)"
     )
+
+
+# vectors + norms / exploded band keys — the two base CTEs every
+# banded-LSH oracle shares (the SQL twin of the v / bands frames the
+# Spark plans build).
+_V_CTE = f"v AS (SELECT vec_id, embedding, {_norm_sql('embedding')} AS nrm FROM embeddings)"
+_BANDS_CTE = f"""bands AS (
+      SELECT vec_id, {_band_bucket_sql('embedding')} AS bkey
+      FROM embeddings, nb, range(0, {LSH_BANDS}) t(band)
+    )"""
 
 
 # cosine over pre-computed norms (qn/nn columns): the norm fold runs
@@ -258,17 +296,18 @@ def e_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "e_ann_lsh_topk",
     oracle=f"""
     WITH {_LSH_BITS_CTE},
-    b AS (
-      SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket,
-             {_norm_sql('embedding')} AS nrm
-      FROM embeddings, nb
+    {_V_CTE},
+    {_BANDS_CTE},
+    cand AS (
+      SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+      FROM bands a JOIN bands b ON a.bkey = b.bkey
+      WHERE a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
     ),
-    q AS (SELECT vec_id AS query_id, embedding AS qe, bucket, nrm AS qn
-          FROM b WHERE vec_id < {N_QUERIES}),
-    n AS (SELECT vec_id AS neighbor_id, embedding AS ne, bucket, nrm AS nn FROM b),
     pairs AS (
-      SELECT query_id, neighbor_id, {_COSINE_SQL} AS cosine
-      FROM q JOIN n USING (bucket) WHERE neighbor_id <> query_id
+      SELECT query_id, neighbor_id,
+             {_dot_sql('x.embedding', 'y.embedding')} / (x.nrm * y.nrm) AS cosine
+      FROM cand JOIN v x ON query_id = x.vec_id
+                JOIN v y ON neighbor_id = y.vec_id
     )
     SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, cosine
     FROM (SELECT *, row_number() OVER (PARTITION BY query_id
@@ -278,35 +317,44 @@ def e_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "ann", "lsh"),
 )
 def e_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-3 neighbors via sign-random-projection buckets.
+    """Approximate top-3 neighbors via BANDED sign-random-projections.
 
-    Charikar-style SRP-LSH: each vector gets a 4-bit key of projection
-    signs onto md5-derived ±1 hyperplanes (map-side, deterministic);
-    candidates are same-bucket pairs only — the join is on a uniform
-    4-bit key instead of a cross product, which is the shape that
-    survives a 1000-executor corpus. Recall tradeoff vs ``e_cosine_topk``
-    is the standard LSH one; the oracle reproduces bucketing exactly.
-    With the env knob unset the bit count derives from the corpus size
-    (``lsh_bits_for``) on both sides — no manual retuning at scale.
+    Charikar SRP signs + Broder-style banding (the same r×b structure
+    as the MinHash path, ``plans.textops:_minhash_pairs``): each vector
+    gets ``LSH_BANDS`` bucket keys, each from its own ``bits``
+    md5-derived ±1 hyperplanes; candidates are distinct pairs sharing
+    ANY band. Single-band recall p^bits (~0.29 at cosine 0.9, 8 bits)
+    becomes 1−(1−p^bits)^r (~0.75 at r=4) — the difference between a
+    dedup pass that misses 70% of near-dups and one that catches most.
+    Everything stays map-side until the band-key join: key assignment
+    is embarrassingly parallel, the query side is broadcast (small by
+    construction), and only candidates pay the exact-cosine fold.
+    With the env knobs unset the per-band bit count derives from the
+    corpus size (``lsh_bits_for``) on both sides — no retuning at scale.
     """
+    bits = _active_lsh_bits(spark, sf_dir)
     emb = load(spark, sf_dir, "embeddings")
-    b = emb.select(
-        "vec_id",
-        "embedding",
-        _bucket(F.col("embedding"), _active_lsh_bits(spark, sf_dir)).cast("int").alias("bucket"),
-        _norm(F.col("embedding")).alias("nrm"),
+    v = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    bands = emb.select(
+        "vec_id", F.explode(_band_keys(F.col("embedding"), bits)).alias("bkey")
     )
-    q = b.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
-        "bucket", F.col("nrm").alias("qn"),
+    qb = bands.filter(F.col("vec_id") < N_QUERIES).withColumnRenamed(
+        "vec_id", "query_id"
     )
-    n = b.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"),
-        "bucket", F.col("nrm").alias("nn"),
-    )
-    pairs = (
-        n.join(F.broadcast(q), "bucket")
+    nb = bands.withColumnRenamed("vec_id", "neighbor_id")
+    cand = (
+        nb.join(F.broadcast(qb), "bkey")
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    x = v.select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qe"), F.col("nrm").alias("qn"))
+    y = v.select(F.col("vec_id").alias("neighbor_id"),
+                 F.col("embedding").alias("ne"), F.col("nrm").alias("nn"))
+    pairs = (
+        y.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(x), "query_id")
         .select("query_id", "neighbor_id", _cosine_spark().alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
@@ -437,22 +485,61 @@ def m_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 COSDUP_THRESHOLD = 0.45
 
 
+_EMB_COSINE_SQL = f"{_dot_sql('x.embedding', 'y.embedding')} / (x.nrm * y.nrm)"
+
+# banded-LSH verified near-dup pairs -- shared by t_embedding_neardup
+# (which selects it directly) and e_dup_clusters (which walks its
+# transitive closure); the SQL twin of _emb_neardup_pairs.
+_EMB_PAIRS_CTES = f"""{_LSH_BITS_CTE},
+    {_V_CTE},
+    {_BANDS_CTE},
+    cand AS (
+      SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+      FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.vec_id < b.vec_id
+    ),
+    pairs AS (
+      SELECT d1, d2, {_EMB_COSINE_SQL} AS cosine
+      FROM cand JOIN v x ON d1 = x.vec_id JOIN v y ON d2 = y.vec_id
+      WHERE {_EMB_COSINE_SQL} >= {COSDUP_THRESHOLD}
+    )"""
+
+
+def _emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified banded-LSH cosine near-dup pairs (d1 < d2, cosine) --
+    the Spark twin of ``_EMB_PAIRS_CTES``; algorithm notes on
+    ``t_embedding_neardup``."""
+    bits = _active_lsh_bits(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    bands = emb.select(
+        "vec_id", F.explode(_band_keys(F.col("embedding"), bits)).alias("bkey")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bkey") == F.col("b.bkey"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("d1"), F.col("b.vec_id").alias("d2"))
+        .distinct()
+    )
+    x = v.select(F.col("vec_id").alias("d1"),
+                 F.col("embedding").alias("qe"), F.col("nrm").alias("qn"))
+    y = v.select(F.col("vec_id").alias("d2"),
+                 F.col("embedding").alias("ne"), F.col("nrm").alias("nn"))
+    # no explicit broadcast: at corpus scale the vector table is the
+    # big side and candidates the small one -- AQE picks the build side.
+    return (
+        cand.join(x, "d1")
+        .join(y, "d2")
+        .select("d1", "d2", _cosine_spark().alias("cosine"))
+        .filter(F.col("cosine") >= COSDUP_THRESHOLD)
+    )
+
+
 @query(
     "t_embedding_neardup",
     oracle=f"""
-    WITH {_LSH_BITS_CTE},
-    b AS (
-      SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket,
-             {_norm_sql('embedding')} AS nrm
-      FROM embeddings, nb
-    ),
-    q AS (SELECT vec_id AS d1, embedding AS qe, bucket, nrm AS qn FROM b),
-    n AS (SELECT vec_id AS d2, embedding AS ne, bucket, nrm AS nn FROM b),
-    pairs AS (
-      SELECT d1, d2, {_COSINE_SQL} AS cosine
-      FROM q JOIN n USING (bucket) WHERE d1 < d2
-    )
-    SELECT d1, d2, cosine FROM pairs WHERE cosine >= {COSDUP_THRESHOLD}
+    WITH {_EMB_PAIRS_CTES}
+    SELECT d1, d2, cosine FROM pairs
     """,
     tags=("similarity", "dedup", "neardup"),
 )
@@ -461,49 +548,25 @@ def t_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The embedding-space member of the dedup family (alongside exact /
     Jaccard / MinHash / SimHash in ``plans.textops``): candidate pairs
-    from SRP-LSH buckets, verified by exact cosine. The
-    self-join is on the bucket key — O(n²/2^bits) candidate volume
-    instead of all-pairs, uniform keys, ordinary hash join. The bit
-    count derives from the corpus size by default (``lsh_bits_for``:
-    bits ≈ log2(n) − 7, so buckets stay ~128 vectors at any scale);
-    the env knob pins it when a specific recall/cost point is wanted.
+    from BANDED SRP-LSH (``LSH_BANDS`` band keys per vector, each from
+    its own ``bits`` hyperplanes -- the r x b structure of the MinHash
+    path, ``plans.textops:_minhash_pairs``), verified by exact cosine.
+    Banding fixes the two single-band failure modes at scale: recall
+    (p^bits -> 1-(1-p^bits)^r) and bucket skew (a dense semantic
+    cluster splits across r independent plane sets instead of landing
+    in one quadratic bucket). Candidate volume is O(n^2 * r / 2^bits),
+    never all-pairs; the per-band bit count derives from the corpus
+    size by default (``lsh_bits_for``: bits ~ log2(n) - 7, ~128
+    vectors per band bucket at any scale); the env knobs pin r and
+    bits when a specific recall/cost point is wanted.
     """
-    emb = load(spark, sf_dir, "embeddings")
-    b = emb.select(
-        "vec_id",
-        "embedding",
-        _bucket(F.col("embedding"), _active_lsh_bits(spark, sf_dir)).cast("int").alias("bucket"),
-        _norm(F.col("embedding")).alias("nrm"),
-    )
-    q = b.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("qe"),
-                 "bucket", F.col("nrm").alias("qn"))
-    n = b.select(F.col("vec_id").alias("d2"), F.col("embedding").alias("ne"),
-                 "bucket", F.col("nrm").alias("nn"))
-    return (
-        q.join(n, "bucket")
-        .filter(F.col("d1") < F.col("d2"))
-        .select("d1", "d2", _cosine_spark().alias("cosine"))
-        .filter(F.col("cosine") >= COSDUP_THRESHOLD)
-    )
+    return _emb_neardup_pairs(spark, sf_dir)
 
 
 @query(
     "e_dup_clusters",
     oracle=f"""
-    WITH RECURSIVE {_LSH_BITS_CTE},
-    b AS (
-      SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket,
-             {_norm_sql('embedding')} AS nrm
-      FROM embeddings, nb
-    ),
-    q AS (SELECT vec_id AS d1, embedding AS qe, bucket, nrm AS qn FROM b),
-    n AS (SELECT vec_id AS d2, embedding AS ne, bucket, nrm AS nn FROM b),
-    pairs AS (
-      SELECT d1, d2 FROM (
-        SELECT d1, d2, {_COSINE_SQL} AS cosine
-        FROM q JOIN n USING (bucket) WHERE d1 < d2
-      ) WHERE cosine >= {COSDUP_THRESHOLD}
-    ),
+    WITH RECURSIVE {_EMB_PAIRS_CTES},
     {CC_SQL_CTES}
     SELECT cluster_id, COUNT(*) AS n_vecs, MAX(doc_id) AS max_vec
     FROM labels GROUP BY cluster_id

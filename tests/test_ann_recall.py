@@ -60,7 +60,10 @@ def test_ann_scores_are_true_and_ranked(spark, exact, name):
 
 
 @pytest.mark.parametrize("name,floor", [
-    ("e_ann_lsh_topk", 0.05),
+    # banded SRP (4 bands) measures ~0.44 on the near-orthogonal
+    # fixture — roughly double the single-band design it replaced;
+    # the floor stays conservative to absorb knob-rule drift.
+    ("e_ann_lsh_topk", 0.20),
     ("e_ann_ivf_topk", 0.10),
 ])
 def test_ann_recall_floor(spark, exact, name, floor):
