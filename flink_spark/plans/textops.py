@@ -188,13 +188,50 @@ def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 PACK_BUDGET = 512      # tokens per training context (packing target)
 EVAL_SOURCE = "src0"   # the held-out benchmark source (decontamination)
 TRAIN_PCT = 90         # train split share (hash-deterministic)
-# Packing parallelism: each source is split into this many independently
-# packed sub-streams (shard = doc_id % N). Deliberately env-only (NOT
-# corpus-derived like the LSH knobs): the shard count changes which
-# documents share a context — a semantic choice the pipeline owner pins,
-# not a physical knob the engine may silently retune. Default 1 packs
-# each source as one sequential stream.
-PACK_SHARDS = int(os.environ.get("FLINK_SPARK_PACK_SHARDS", "1"))
+# Packing parallelism: each source is split into independently packed
+# sub-streams (shard = doc_id % N), bounding the largest running-sum
+# window sort at ~PACK_SHARD_ROWS rows instead of sorting an entire
+# source on one core. The shard count is semantic (it changes which
+# documents share a training context), so it must never depend on
+# cluster physics — it is DERIVED DETERMINISTICALLY from the corpus
+# row count at plan-build time, with the oracle deriving the identical
+# value inside SQL (a COUNT(*) CTE, the same mechanism as the
+# LSH/SimHash/IVF knobs): same corpus ⇒ same packing, on any cluster.
+# FLINK_SPARK_PACK_SHARDS pins an explicit count when the pipeline
+# owner wants one.
+_PACK_SHARDS_ENV = os.environ.get("FLINK_SPARK_PACK_SHARDS")
+# Target rows per shard for the derived rule: ~1M rows of
+# (doc_id, ntok) pairs is a few hundred MB — one comfortable task.
+# Env-overridable (symmetrically, the oracle CTE embeds the same
+# value) so tests can engage the rule on fixture-sized corpora.
+PACK_SHARD_ROWS = int(os.environ.get("FLINK_SPARK_PACK_SHARD_ROWS", "1000000"))
+PACK_MAX_SHARDS = 4096
+
+
+def pack_shards_for(n: int) -> int:
+    """shards = clamp(⌈n / PACK_SHARD_ROWS⌉, 1, 4096) — each shard's
+    sequential cumsum window sorts at most ~PACK_SHARD_ROWS rows."""
+    return min(PACK_MAX_SHARDS, max(1, math.ceil(n / PACK_SHARD_ROWS)))
+
+
+def _active_pack_shards(spark: SparkSession, sf_dir: str) -> int:
+    """Env-pinned shard count, or the corpus rule over a cached count."""
+    if _PACK_SHARDS_ENV:
+        return int(_PACK_SHARDS_ENV)
+    return pack_shards_for(table_rows(spark, sf_dir, "documents"))
+
+
+# The oracle's shard count: a one-row CTE named ps(shards) — the SQL
+# twin of _active_pack_shards, so both engines derive the same packing
+# at every corpus size.
+if _PACK_SHARDS_ENV:
+    _PACK_SHARDS_CTE = f"ps(shards) AS (SELECT {int(_PACK_SHARDS_ENV)})"
+else:
+    _PACK_SHARDS_CTE = (
+        f"ps(shards) AS (SELECT LEAST({PACK_MAX_SHARDS}, GREATEST(1, "
+        f"CAST(ceil(COUNT(*) / {PACK_SHARD_ROWS}.0) AS BIGINT))) "
+        "FROM documents)"
+    )
 
 
 @query(
@@ -391,9 +428,10 @@ def t_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "t_pack_sequences",
     oracle=f"""
-    WITH counted AS (
-      SELECT doc_id, source, doc_id % {PACK_SHARDS} AS shard,
-             len({_TOKS}) AS ntok FROM documents
+    WITH {_PACK_SHARDS_CTE},
+    counted AS (
+      SELECT doc_id, source, doc_id % shards AS shard,
+             len({_TOKS}) AS ntok FROM documents, ps
     ),
     packed AS (
       SELECT source, shard, ntok,
@@ -426,17 +464,21 @@ def t_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale notes: the window cumsum is a sequential contract per
     (source, shard) partition — packing is order-sensitive only
-    WITHIN a context, so ``FLINK_SPARK_PACK_SHARDS`` salts each
-    source into that many deterministic sub-streams
-    (``doc_id % N``) packed independently, bounding the largest
-    sort at corpus/(sources·shards) rows. The oracle derives shard
-    ids from the same expression, so correctness holds at any
-    shard count. Integer cumsum ⇒ oracle-identical.
+    WITHIN a context, so each source is salted into deterministic
+    sub-streams (``doc_id % shards``) packed independently, bounding
+    the largest sort at ~``PACK_SHARD_ROWS`` rows. The shard count
+    derives from the corpus row count at plan-build time
+    (``pack_shards_for``; ``FLINK_SPARK_PACK_SHARDS`` pins it), and
+    the oracle derives the identical value in SQL — deterministic per
+    corpus, never a silent function of cluster physics, so the same
+    data packs the same way everywhere. Integer cumsum ⇒
+    oracle-identical.
     """
     docs = load(spark, sf_dir, "documents")
+    shards = _active_pack_shards(spark, sf_dir)
     counted = docs.select(
         "doc_id", "source",
-        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        (F.col("doc_id") % shards).alias("shard"),
         F.size(tokenize("text")).alias("ntok"),
     )
     w = (

@@ -45,6 +45,13 @@ def test_corpus_rules():
     assert simhash_bits_for(650_000) == 48   # 10x corpus: measured-good
     assert simhash_bits_for(10**9) == 56     # cap
 
+    from flink_spark.plans.textops import pack_shards_for
+
+    assert pack_shards_for(1_000) == 1        # fixtures: one stream
+    assert pack_shards_for(1_000_000) == 1    # exactly one task's worth
+    assert pack_shards_for(50_000_000) == 50  # ~1M rows per shard sort
+    assert pack_shards_for(10**12) == 4096    # cap
+
 
 def test_adaptive_default_stays_oracle_symmetric(spark, tmp_path):
     """With NO env knobs set, a corpus large enough to leave the clamp
@@ -107,3 +114,30 @@ def test_widened_knobs_stay_oracle_symmetric(tmp_path):
         env=env, capture_output=True, text=True, timeout=420,
     )
     assert "KNOB-SYMMETRY-OK" in out.stdout, out.stderr[-2000:]
+
+
+def test_derived_pack_shards_stay_oracle_symmetric():
+    """With PACK_SHARDS unset, both engines derive the shard count from
+    the documents row count. Shrinking the per-shard row target makes
+    the rule engage (shards > 1) even on the fixture corpus; the
+    packing must still match the oracle exactly — i.e. the derived
+    value and the shard assignment agree across engines."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items()
+           if k != "FLINK_SPARK_PACK_SHARDS"}
+    env["FLINK_SPARK_PACK_SHARD_ROWS"] = "100"
+    script = _SCRIPT.format(
+        repo=repo,
+        sf_dir="/root/testdata/sf0.001",
+        queries=["t_pack_sequences"],
+    ) + """
+from flink_spark.plans.textops import _active_pack_shards
+assert _active_pack_shards(spark, '/root/testdata/sf0.001') > 1, "rule idle"
+print("PACK-RULE-ENGAGED")
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        env=env, capture_output=True, text=True, timeout=420,
+    )
+    assert "KNOB-SYMMETRY-OK" in out.stdout, out.stderr[-2000:]
+    assert "PACK-RULE-ENGAGED" in out.stdout, out.stderr[-2000:]
