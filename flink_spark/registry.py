@@ -86,38 +86,36 @@ def release_persisted() -> None:
 # remainder (all green in the latest snapshot) follow in registration
 # order and absorb the cap.
 _SNAPSHOT_FIRST = (
-    # failed r4 on the TIMESTAMP_NTZ regression — re-green first
-    "s_dedup_latest",
-    "s_cep_jump",
-    "j_interval_join",
-    "j_left_outer_interval",
-    # green in r3 only (rotated out of the r4 snapshot) — every one of
-    # these needs a fresh row so the r4+r5 union covers all 72
-    "t_ngram_jaccard_dups",
-    "t_minhash_lsh_dups",
-    "t_simhash_dups",
-    "t_corpus_pipeline",
+    # green in r4 only (rotated out of the r5 snapshot) — every one of
+    # these needs a fresh r6 row so the r5+r6 union covers all 74
+    "t_train_val_split",
+    "t_source_mixture",
+    "t_bpe_token_stats",
+    "t_rolling_fingerprint",
+    "t_exact_dedup",
+    "t_quality_score",
+    "t_repetition_filter",
+    "t_lang_id",
+    "t_keyword_counts",
+    "t_cjk_keyword_counts",
+    "t_dup_clusters",
+    "t_training_pipeline",
+    "sql_dwd_topic_db",
+    "e_ann_ivf_topk",
+    "s_daily_unique_users",
+    "s_new_vs_returning",
+    "s_returning_users_7d",
+    "w_tumble_10s_keyed",
+    "w_tumble_10s_global",
+    "w_event_time_fallback",
+    "w_keyword_tumble",
+    "w_agg_distinct_users",
+    # implementation changed this round (banded SRP-LSH / derived
+    # pack shards) — re-green on the new code even though r5 was green
+    "t_pack_sequences",
+    "e_dup_clusters",
     "t_embedding_neardup",
-    "ads_funnel_union",
-    "ads_category_fullouter",
-    "ads_gmv_topk_brand",
-    "ads_subsidy_rate",
-    "ads_keyword_score",
-    "ads_province_stats",
-    "r_config_routing",
-    "p_split_counts",
-    "p_cdc_map_projection",
-    "e_cosine_topk",
     "e_ann_lsh_topk",
-    "e_norm_stats",
-    "m_doc_embedding_join",
-    "m_binary_meta",
-    "m_decode_features",
-    "m_frame_sample",
-    "m_resize_bytes",
-    # new this round — need their first row
-    "j_lru_dim_join",
-    "s_cep_browse_buy",
 )
 
 
