@@ -39,24 +39,26 @@ CC_SQL_CTES = """edges AS (
     )"""
 
 
-def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
+def connected_components(
+    pairs: DataFrame, max_rounds: int = 20, star_after: int = 8
+) -> DataFrame:
     """labels(doc_id, cluster_id) for the graph given by pairs(d1, d2).
 
-    Iterative min-label propagation: label(v) ← min(label(v), labels
-    of v's neighbors) to a fixpoint; the label is the smallest id in
-    the component. Each round is one join + one groupBy-min on the
-    pair graph (only ids with a verified near-dup — orders of
-    magnitude smaller than the corpus), rounds are bounded by
-    component diameter (LSH components are band-clique unions, so
-    tiny in practice; ``max_rounds`` guards adversarial chains — the
-    O(log n)-round large-star/small-star contraction of Kiveris et
-    al. drops in if a corpus ever hits it). Convergence is detected
-    by the monotone label-sum invariant (exact decimal, one action
-    per round); per-round lazy ``localCheckpoint`` cuts the iterative
-    lineage (swap for a reliable HDFS checkpoint on a real cluster).
+    Two-phase: min-label propagation first (one join + one
+    groupBy-min per round, converges in diameter rounds — LSH
+    components are band-clique unions, so tiny in practice), and if
+    that has not converged after ``star_after`` rounds, the graph has
+    chain-shaped components and the algorithm switches to the
+    alternating large-star/small-star contraction of Kiveris et al.
+    (SOCC'14), which converges in O(log² n) rounds regardless of
+    diameter — no cliff, no RuntimeError, just the asymptotically
+    right algorithm when the cheap one stops being cheap. Convergence
+    of the propagation phase is detected by the monotone label-sum
+    invariant (exact decimal, one action per round); per-round lazy
+    ``localCheckpoint`` cuts the iterative lineage (swap for a
+    reliable HDFS checkpoint on a real cluster).
 
-    ``pairs`` must already be persisted/cheap: the symmetrizing union
-    reads it twice per round.
+    ``pairs`` must already be persisted/cheap: both phases re-read it.
     """
     edges = pairs.select(F.col("d1").alias("u"), F.col("d2").alias("v")).union(
         pairs.select(F.col("d2").alias("u"), F.col("d1").alias("v"))
@@ -67,7 +69,7 @@ def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     prev = None
-    for _ in range(max_rounds):
+    for _ in range(min(star_after, max_rounds)):
         prop = edges.join(labels, edges.u == labels.doc_id).select(
             F.col("v").alias("doc_id"), "cluster_id"
         )
@@ -81,15 +83,97 @@ def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
             F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
         ).collect()[0].s
         if cur == prev:
-            break
+            return labels
         prev = cur
-    else:
-        # an unconverged label table is NOT a component labeling —
-        # returning it silently would split clusters. Fail loudly; a
-        # corpus that legitimately hits this has chain-shaped dup
-        # components and wants the O(log n)-round star contraction.
-        raise RuntimeError(
-            f"connected_components did not converge in {max_rounds} rounds; "
-            "raise max_rounds or switch to large-star/small-star contraction"
+    return _star_contraction(pairs, max_rounds)
+
+
+def _edge_signature(edges: DataFrame):
+    """(count, Σu, Σv) of an edge set — exact decimal sums, one action.
+    Equal signatures across rounds flag a *candidate* fixpoint; the
+    caller confirms with a set compare before trusting it."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.col("u").cast("decimal(38,0)")).alias("su"),
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
+    ).collect()[0]
+    return (row.c, row.su, row.sv)
+
+
+def _star_contraction(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Alternating large-star/small-star CC (Kiveris et al., SOCC'14).
+
+    Each round rewires edges toward neighborhood minima:
+
+    - large-star: every neighbor v > u links to min(N(u) ∪ {u});
+    - small-star: every neighbor v ≤ u (plus u itself) links to
+      min(N(u) ∪ {u}), over the downward (u > v) edge form.
+
+    The edge set converges to stars centered at component minima in
+    O(log² n) rounds independent of diameter — the scale path for
+    chain-shaped duplicate graphs where per-round propagation would
+    need diameter rounds. Each round is two groupBy-min + two joins
+    on the (small) pair graph; one scalar action checks the
+    (count, Σu, Σv) signature, and a candidate fixpoint is confirmed
+    with an exact set compare before being trusted.
+    """
+    edges = (
+        pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
         )
-    return labels
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    prev_sig = None
+    for _ in range(max_rounds):
+        # large-star over the symmetric neighborhood: emits (v, m) for
+        # v > u with m = min(N(u) ∪ {u}) — output is downward (u > v)
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn")).select(
+            "u", F.least("mn", "u").alias("mn")
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over the downward form: every v in N(u) plus u
+        # links to min(N(u)); output stays downward
+        mins2 = large.groupBy("u").agg(F.min("v").alias("mn"))
+        nxt = (
+            large.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .unionByName(mins2.select("u", F.col("mn").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        sig = _edge_signature(nxt)
+        # prev_sig is last round's nxt (== this round's input edges);
+        # a match plus the equal counts it implies flags a candidate
+        # fixpoint — confirm with an exact set compare before trusting
+        if sig == prev_sig and nxt.exceptAll(edges).limit(1).count() == 0:
+            edges = nxt
+            break
+        prev_sig = sig
+        edges = nxt
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_rounds} rounds; "
+            "raise max_rounds"
+        )
+    roots = (
+        edges.select(F.col("v").alias("doc_id")).distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    return (
+        edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+        .unionByName(roots)
+        .distinct()
+    )

@@ -97,24 +97,8 @@ EDGE_LISTS = st.lists(
 )
 
 
-@settings(max_examples=12, deadline=None)
-@given(EDGE_LISTS)
-def test_connected_components_equals_union_find(edges):
-    """connected_components labels every node with its component's min
-    id, on arbitrary graphs (chains, cliques, stars, disjoint bits) —
-    not just the LSH-shaped fixtures the oracle covers."""
-    from flink_spark.plans.graph import connected_components
-
-    spark = _session()
-    pairs = spark.createDataFrame(
-        list(set(edges)), "d1 bigint, d2 bigint"
-    ).persist()
-    labels = {
-        r.doc_id: r.cluster_id
-        for r in connected_components(pairs).collect()
-    }
-    pairs.unpersist()
-
+def _union_find_labels(edges) -> dict:
+    """Brute-force reference: node → min id of its component."""
     parent: dict = {}
 
     def find(x):
@@ -128,13 +112,46 @@ def test_connected_components_equals_union_find(edges):
     comps: dict = {}
     for n in parent:
         comps.setdefault(find(n), set()).add(n)
-    expect = {n: min(m) for m in comps.values() for n in m}
-    assert labels == expect
+    return {n: min(m) for m in comps.values() for n in m}
+
+
+def _cc_labels(edges, **kwargs) -> dict:
+    from flink_spark.plans.graph import connected_components
+
+    spark = _session()
+    pairs = spark.createDataFrame(
+        list(set(edges)), "d1 bigint, d2 bigint"
+    ).persist()
+    try:
+        return {
+            r.doc_id: r.cluster_id
+            for r in connected_components(pairs, **kwargs).collect()
+        }
+    finally:
+        pairs.unpersist()
+
+
+@settings(max_examples=12, deadline=None)
+@given(EDGE_LISTS)
+def test_connected_components_equals_union_find(edges):
+    """connected_components labels every node with its component's min
+    id, on arbitrary graphs (chains, cliques, stars, disjoint bits) —
+    not just the LSH-shaped fixtures the oracle covers."""
+    assert _cc_labels(edges) == _union_find_labels(edges)
+
+
+@settings(max_examples=8, deadline=None)
+@given(EDGE_LISTS)
+def test_star_contraction_equals_union_find(edges):
+    """The large-star/small-star path (forced by star_after=0) honors
+    the same contract as propagation on arbitrary graphs."""
+    assert _cc_labels(edges, star_after=0) == _union_find_labels(edges)
 
 
 def test_connected_components_raises_when_unconverged():
-    """A round budget too small for the graph diameter must fail loudly
-    — silently returning unconverged labels would split clusters."""
+    """A round budget too small for even star contraction must still
+    fail loudly — silently returning unconverged labels would split
+    clusters."""
     import pytest
 
     from flink_spark.plans.graph import connected_components
@@ -151,6 +168,27 @@ def test_connected_components_raises_when_unconverged():
             for r in connected_components(chain).collect()
         }
         assert set(labels.values()) == {0}  # one chain, min-id label
+    finally:
+        chain.unpersist()
+
+
+def test_long_path_converges_via_star_contraction():
+    """A 1000-node path — diameter far past any propagation budget —
+    must converge through the star-contraction handoff (the former
+    RuntimeError cliff for chain-shaped dup graphs)."""
+    from flink_spark.plans.graph import connected_components
+
+    spark = _session()
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(999)], "d1 bigint, d2 bigint"
+    ).persist()
+    try:
+        labels = {
+            r.doc_id: r.cluster_id
+            for r in connected_components(chain).collect()
+        }
+        assert len(labels) == 1000
+        assert set(labels.values()) == {0}
     finally:
         chain.unpersist()
 
