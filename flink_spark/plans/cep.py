@@ -45,25 +45,39 @@ from pyspark.sql.window import Window
 
 @dataclass(frozen=True)
 class SeqPattern:
-    """A strict-contiguity predicate sequence with a time bound.
+    """A predicate sequence with a time bound and a contiguity mode.
 
     ``steps`` are SQL boolean expressions evaluated per event row (both
     engines understand them, keeping oracles symmetric). ``within_ms``
     bounds last-event-time minus first-event-time of a full match, and
     is also the partial-match expiry horizon — exactly Flink's
     ``Pattern.within``.
+
+    ``contiguity`` selects the step-linking rule (Flink's two main
+    modes): ``'next'`` (strict — the immediately following event must
+    satisfy the step or the partial dies) or ``'followed_by'``
+    (relaxed — irrelevant events are skipped; a partial is extended by
+    the EARLIEST later event satisfying the step). Under followed_by a
+    partial never dies from a non-matching event, so every start either
+    matches or times out.
     """
 
     steps: tuple[str, ...]
     within_ms: int
     key: str = "user_id"
     ts: str = "ts"
+    contiguity: str = "next"
 
     def __post_init__(self) -> None:
         if len(self.steps) < 1:
             raise ValueError("SeqPattern needs at least one step")
         if self.within_ms <= 0:
             raise ValueError("within_ms must be positive")
+        if self.contiguity not in ("next", "followed_by"):
+            raise ValueError(
+                f"contiguity must be 'next' or 'followed_by', "
+                f"got {self.contiguity!r}"
+            )
 
 
 def pattern_matches(
@@ -87,7 +101,13 @@ def pattern_matches(
     every intermediate event was in time, so the two sides never both
     fire for one start event, and only the smallest failing depth can
     emit the timeout.
+
+    ``followed_by`` patterns dispatch to the relaxed-contiguity
+    evaluator (``_followed_by_matches``) with the same emission
+    contract.
     """
+    if pat.contiguity == "followed_by":
+        return _followed_by_matches(df, pat, keep_all)
     k = len(pat.steps)
     w = Window.partitionBy(pat.key).orderBy("ms", "event_id")
     ev = df.select(
@@ -115,6 +135,84 @@ def pattern_matches(
     )
     cols.append(via.alias("via"))
     out = ev.select(pat.key, "event_id", "ms", *cols)
+    return out if keep_all else out.filter(F.col("via").isNotNull())
+
+
+def _followed_by_matches(
+    df: DataFrame, pat: SeqPattern, keep_all: bool = False
+) -> DataFrame:
+    """Relaxed-contiguity (``followedBy``) batch evaluator.
+
+    Greedy earliest-occurrence chaining: from a start event satisfying
+    step 0, step m resolves to the EARLIEST later event of the key
+    satisfying its predicate. Greedy is complete here — a later choice
+    for step m can only shrink the candidate set for step m+1 — so a
+    start matches iff ANY chain completes within ``within_ms``, which
+    is Flink's followedBy match-existence semantics. A start that does
+    not match times out (relaxed partials never die from irrelevant
+    events).
+
+    Plan shape: one window pass computes, per row, the next-occurrence
+    position of each step (running ``min`` of a (ms, event_id) struct
+    over the FOLLOWING frame — same single shuffle as the strict
+    evaluator), then the chain is resolved with k-2 EQUI-joins on
+    (key, position) — hash joins on unique keys, no range join, no
+    explosion (each position resolves to exactly one row). k=2 needs
+    no join at all.
+    """
+    k = len(pat.steps)
+    w = Window.partitionBy(pat.key).orderBy("ms", "event_id")
+    wf = w.rowsBetween(1, Window.unboundedFollowing)
+    ev = df.select(
+        pat.key,
+        "event_id",
+        F.unix_millis(pat.ts).alias("ms"),
+        *[F.expr(s).alias(f"s{j}") for j, s in enumerate(pat.steps)],
+    )
+    base = ev.select(
+        pat.key, "event_id", "ms", "s0",
+        *[
+            F.min(F.when(F.col(f"s{m}"), F.struct("ms", "event_id")))
+            .over(wf)
+            .alias(f"nxt{m}")
+            for m in range(1, k)
+        ],
+    )
+    if k == 1:
+        via = F.when(F.col("s0"), F.lit("match")).otherwise(F.lit(None))
+        out = base.select(pat.key, "event_id", "ms", via.alias("via"))
+        return out if keep_all else out.filter(F.col("via").isNotNull())
+
+    cur = base.select(
+        pat.key, "event_id", "ms", "s0", F.col("nxt1").alias("_pos")
+    )
+    for m in range(1, k - 1):
+        rhs = base.select(
+            F.col(pat.key).alias("_rk"),
+            F.struct("ms", "event_id").alias("_rpos"),
+            F.col(f"nxt{m + 1}").alias("_follow"),
+        )
+        cur = (
+            cur.join(
+                rhs,
+                (F.col(pat.key) == F.col("_rk"))
+                & (F.col("_pos") == F.col("_rpos")),
+                "left",
+            )
+            .drop("_rk", "_rpos", "_pos")
+            .withColumnRenamed("_follow", "_pos")
+        )
+    match = (
+        F.col("s0")
+        & F.col("_pos").isNotNull()
+        & (F.col("_pos.ms") - F.col("ms") <= pat.within_ms)
+    )
+    via = (
+        F.when(match, F.lit("match"))
+        .when(F.col("s0"), F.lit("timeout"))
+        .otherwise(F.lit(None))
+    )
+    out = cur.select(pat.key, "event_id", "ms", via.alias("via"))
     return out if keep_all else out.filter(F.col("via").isNotNull())
 
 

@@ -58,6 +58,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_spark.plans.graph import CC_SQL_CTES, connected_components
+from flink_spark.plans.pairjoin import pair_self_join
 from flink_spark.registry import query, track_persist
 from flink_spark.sources import load, table_rows
 
@@ -514,13 +515,9 @@ def _emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = emb.select(
         "vec_id", F.explode(_band_keys(F.col("embedding"), bits)).alias("bkey")
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(b, (F.col("a.bkey") == F.col("b.bkey"))
-               & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(F.col("a.vec_id").alias("d1"), F.col("b.vec_id").alias("d2"))
-        .distinct()
-    )
+    # skew-guarded band-key self-join (plans.pairjoin): a dense
+    # semantic cluster cannot collapse into one quadratic bucket task
+    cand = pair_self_join(bands, "vec_id", ["bkey"]).distinct()
     x = v.select(F.col("vec_id").alias("d1"),
                  F.col("embedding").alias("qe"), F.col("nrm").alias("qn"))
     y = v.select(F.col("vec_id").alias("d2"),

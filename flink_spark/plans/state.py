@@ -38,6 +38,20 @@ BROWSE_BUY_PATTERN = SeqPattern(
     within_ms=3_600_000,
 )
 
+# Relaxed-contiguity (Flink followedBy) 3-step funnel: view → click →
+# purchase within 1 h, skipping unrelated events between steps — what
+# strict `next` cannot express (any interleaved event would kill the
+# partial). Beyond the reference's one strict pattern; same evaluator.
+FUNNEL_PATTERN = SeqPattern(
+    steps=(
+        "event_type = 'view'",
+        "event_type = 'click'",
+        "event_type = 'purchase'",
+    ),
+    within_ms=3_600_000,
+    contiguity="followed_by",
+)
+
 
 @query(
     "s_dedup_latest",
@@ -256,5 +270,68 @@ def s_cep_browse_buy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("via") == "match", 1).otherwise(0))
         .cast("long")
         .alias("conv_ct"),
+        F.count(F.lit(1)).alias("event_ct"),
+    )
+
+
+@query(
+    "s_cep_funnel_skip",
+    # the oracle mirrors the greedy earliest-occurrence chain with an
+    # encoded (ms, event_id) position — pos = ms·2^22 + event_id sorts
+    # identically to the tuple for fixture id ranges (the Spark plan
+    # uses structs, which carry no such bound)
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type,
+             epoch_ms(ts) * 4194304 + event_id AS pos
+      FROM events
+    ),
+    base AS (
+      SELECT *,
+             MIN(CASE WHEN event_type = 'click' THEN pos END) OVER wf AS nxt1,
+             MIN(CASE WHEN event_type = 'purchase' THEN pos END) OVER wf AS nxt2
+      FROM ev
+      WINDOW wf AS (PARTITION BY user_id ORDER BY ms, event_id
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    ),
+    chained AS (
+      SELECT s.user_id, s.event_type,
+             COALESCE(s.nxt1 IS NOT NULL AND r.nxt2 IS NOT NULL
+                      AND (r.nxt2 // 4194304) - s.ms <= 3600000,
+                      FALSE) AS is_match
+      FROM base s LEFT JOIN base r
+        ON s.user_id = r.user_id AND s.nxt1 = r.pos
+    )
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'view' AND is_match
+                         THEN 1 ELSE 0 END) AS BIGINT) AS funnel_ct,
+           CAST(SUM(CASE WHEN event_type = 'view' AND NOT is_match
+                         THEN 1 ELSE 0 END) AS BIGINT) AS drop_ct,
+           COUNT(*) AS event_ct
+    FROM chained GROUP BY user_id
+    """,
+    tags=("state", "cep"),
+)
+def s_cep_funnel_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relaxed-contiguity funnel: view ⤳ click ⤳ purchase within 1 h.
+
+    The ``followedBy`` mode the strict evaluator could not express
+    (any interleaved event killed a `next` partial): irrelevant events
+    are skipped, steps chain to the earliest later satisfying event
+    (greedy — complete for match-existence, see ``_followed_by_matches``),
+    and every start either converts (``funnel_ct``) or drops
+    (``drop_ct``). Beyond the reference's single strict pattern
+    (rt/app/dwd/log/DwdTrafficUserJumpDetail.java:79-89); same
+    ``SeqPattern`` declaration surface.
+    """
+    ev = load(spark, sf_dir, "events")
+    em = pattern_matches(ev, FUNNEL_PATTERN, keep_all=True)
+    return em.groupBy("user_id").agg(
+        F.sum(F.when(F.col("via") == "match", 1).otherwise(0))
+        .cast("long")
+        .alias("funnel_ct"),
+        F.sum(F.when(F.col("via") == "timeout", 1).otherwise(0))
+        .cast("long")
+        .alias("drop_ct"),
         F.count(F.lit(1)).alias("event_ct"),
     )

@@ -51,6 +51,7 @@ from flink_spark.functions.text import (
     word_shingles,
 )
 from flink_spark.plans.graph import CC_SQL_CTES, connected_components
+from flink_spark.plans.pairjoin import pair_self_join
 from flink_spark.registry import query, track_persist
 from flink_spark.sources import load, table_rows
 
@@ -993,10 +994,11 @@ def t_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # df-cap join runs once, not three times
     ex2 = track_persist(ex.join(keep, "s").select("doc_id", "s"))
     sizes = ex2.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = ex2.alias("a"), ex2.alias("b")
+    # DF_CAP already bounds per-shingle fan-out; the shared guard is
+    # belt-and-suspenders (g=1 everywhere under the cap — plain join)
     pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        pair_self_join(ex2, "doc_id", ["s"], persist=False)
+        .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
     s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
@@ -1104,13 +1106,10 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sigs.select(
         "doc_id", F.explode(F.array(*_band_keys_spark())).alias("bkey")
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(b, (F.col("a.bkey") == F.col("b.bkey"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .distinct()
-    )
+    # skew-guarded band-key self-join (plans.pairjoin): a boilerplate
+    # page duplicated millions of times lands every copy in one band
+    # bucket — the guard grid-splits it instead of one quadratic task
+    cand = pair_self_join(bands, "doc_id", ["bkey"]).distinct()
     x = sh.select(F.col("doc_id").alias("d1"), F.col("sl").alias("sl1"))
     y = sh.select(F.col("doc_id").alias("d2"), F.col("sl").alias("sl2"))
     shared = F.size(F.array_intersect("sl1", "sl2"))
@@ -1333,13 +1332,11 @@ def t_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk",
         F.expr(f"shiftright(simhash, {cbits} * chunk_idx) & {cmask}"),
     )
-    a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
-        a.join(b, (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-               & (F.col("a.chunk") == F.col("b.chunk"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"),
-                F.col("a.simhash").alias("h1"), F.col("b.simhash").alias("h2"))
+        pair_self_join(chunks, "doc_id", ["chunk_idx", "chunk"],
+                       payload=["simhash"])
+        .select("d1", "d2", F.col("simhash1").alias("h1"),
+                F.col("simhash2").alias("h2"))
         .distinct()
     )
     hamming = F.expr("bit_count(h1 ^ h2)")
@@ -1494,13 +1491,10 @@ def t_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sigs.select(
         "doc_id", F.explode(F.array(*_band_keys_spark())).alias("bkey")
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(b, (F.col("a.bkey") == F.col("b.bkey"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .distinct()
-    )
+    # skew-guarded band-key self-join (plans.pairjoin): a boilerplate
+    # page duplicated millions of times lands every copy in one band
+    # bucket — the guard grid-splits it instead of one quadratic task
+    cand = pair_self_join(bands, "doc_id", ["bkey"]).distinct()
     x = sh2.select(F.col("doc_id").alias("d1"), F.col("sl").alias("sl1"))
     y = sh2.select(F.col("doc_id").alias("d2"), F.col("sl").alias("sl2"))
     shared = F.size(F.array_intersect("sl1", "sl2"))
@@ -1750,13 +1744,10 @@ def t_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sigs.select(
         "doc_id", F.explode(F.array(*_band_keys_spark())).alias("bkey")
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(b, (F.col("a.bkey") == F.col("b.bkey"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .distinct()
-    )
+    # skew-guarded band-key self-join (plans.pairjoin): a boilerplate
+    # page duplicated millions of times lands every copy in one band
+    # bucket — the guard grid-splits it instead of one quadratic task
+    cand = pair_self_join(bands, "doc_id", ["bkey"]).distinct()
     x = sh2.select(F.col("doc_id").alias("d1"), F.col("sl").alias("sl1"))
     y = sh2.select(F.col("doc_id").alias("d2"), F.col("sl").alias("sl2"))
     shared = F.size(F.array_intersect("sl1", "sl2"))

@@ -116,6 +116,8 @@ _SNAPSHOT_FIRST = (
     "e_dup_clusters",
     "t_embedding_neardup",
     "e_ann_lsh_topk",
+    # new this round — needs its first row
+    "s_cep_funnel_skip",
 )
 
 

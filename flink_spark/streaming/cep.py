@@ -64,6 +64,12 @@ def pattern_stream(
     """
     k = len(pat.steps)
     within = pat.within_ms
+    # strict ('next'): a non-matching successor kills the partial, so
+    # ≤ k-1 partials live per key. relaxed ('followed_by'): irrelevant
+    # events are skipped, so every start stays open until it matches
+    # or its within-horizon passes — state is O(starts per horizon),
+    # bounded by the watermark, not by k.
+    strict = pat.contiguity == "next"
 
     def fn(key, pdfs, state):
         import pandas as pd
@@ -111,7 +117,12 @@ def pattern_stream(
                             emit(se, sm, "match")
                         else:
                             nxt.append((se, sm, d + 1))
-                    # else: in time but predicate failed — dead, silent
+                    elif not strict:
+                        # followed_by: an irrelevant event is skipped,
+                        # the partial stays open at the same depth
+                        nxt.append((se, sm, d))
+                    # else (strict): in time but predicate failed —
+                    # dead, silent
                 partials = nxt
                 if not sentinel and flags[0]:
                     if k == 1:

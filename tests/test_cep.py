@@ -174,3 +174,76 @@ def test_pattern_stream_three_step_both_flush_paths(spark, tmp_path):
         (2, 9): "timeout",   # no successor ever: event-time timer
         (3, 11): "match",
     }
+
+
+def test_followed_by_hand_computed(spark):
+    """a ⤳ b ⤳ c (followedBy, within 10 s) — noise between steps must
+    be skipped, not kill the partial; every emission hand-derived."""
+    rows = [
+        # user 1: a .. x .. b .. y .. c — matches THROUGH the noise
+        (1, 1, _t(0), "a"),
+        (1, 2, _t(1), "x"),
+        (1, 3, _t(2), "b"),
+        (1, 4, _t(3), "y"),
+        (1, 5, _t(4), "c"),
+        # user 2: a, b in time, c past the horizon → timeout (start 6)
+        (2, 6, _t(0), "a"),
+        (2, 7, _t(1), "b"),
+        (2, 8, _t(20), "c"),
+        # user 3: a with b but never a c → timeout (start 9)
+        (3, 9, _t(0), "a"),
+        (3, 10, _t(1), "b"),
+        # user 4: two starts share the same greedy b and c — both match
+        (4, 11, _t(0), "a"),
+        (4, 12, _t(1), "a"),
+        (4, 13, _t(2), "b"),
+        (4, 14, _t(3), "c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    pat = SeqPattern(
+        steps=("event_type = 'a'", "event_type = 'b'", "event_type = 'c'"),
+        within_ms=10_000,
+        contiguity="followed_by",
+    )
+    got = {
+        (r.user_id, r.event_id): r.via
+        for r in pattern_matches(df, pat).collect()
+    }
+    assert got == {
+        (1, 1): "match",
+        (2, 6): "timeout",
+        (3, 9): "timeout",
+        (4, 11): "match",
+        (4, 12): "match",
+    }
+
+
+def test_pattern_stream_followed_by_equals_batch(spark, tmp_path):
+    """Streaming relaxed-contiguity state machine ≡ batch greedy
+    evaluator on the funnel pattern, at event-id granularity."""
+    from flink_spark.plans.state import FUNNEL_PATTERN
+
+    users = [
+        r.user_id
+        for r in spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .collect()
+    ]
+    sentinels = tuple(u for u in users if u % 3 == 0)
+    sdf = replay_events(
+        spark, SF_DIR, str(tmp_path / "replay"), slices=5,
+        sentinel_users=sentinels,
+    )
+    out = run_to_memory(pattern_stream(sdf, FUNNEL_PATTERN), "fb_mem")
+    batch = pattern_matches(load(spark, SF_DIR, "events"), FUNNEL_PATTERN)
+
+    cols = ["user_id", "event_id", "ms"]
+    assert _rows(out.filter(F.col("via") == "match").select(*cols)) == _rows(
+        batch.filter(F.col("via") == "match").select(*cols)
+    )
+    assert _rows(out.filter(F.col("via") != "match").select(*cols)) == _rows(
+        batch.filter(F.col("via") == "timeout").select(*cols)
+    )

@@ -267,3 +267,163 @@ def test_seq_pattern_matches_brute_force(rows_raw, steps):
         for r in pattern_matches(df, pat).collect()
     }
     assert got == _py_pattern(rows, list(steps), 10_000)
+
+
+def _py_followed_by(rows, steps, within_ms):
+    """Brute-force relaxed-contiguity reference: greedy earliest-
+    occurrence chaining from every start; match iff the chain completes
+    within the horizon, else timeout (relaxed partials never die)."""
+    out = {}
+    byu: dict = {}
+    for uid, eid, ms, et in rows:
+        byu.setdefault(uid, []).append((ms, eid, et))
+    for uid, seq in byu.items():
+        seq.sort()
+        for i, (ms0, eid0, et0) in enumerate(seq):
+            if et0 != steps[0]:
+                continue
+            pos, last_ms, ok = i, ms0, True
+            for m in range(1, len(steps)):
+                nxt = next(
+                    (j for j in range(pos + 1, len(seq))
+                     if seq[j][2] == steps[m]),
+                    None,
+                )
+                if nxt is None:
+                    ok = False
+                    break
+                pos, last_ms = nxt, seq[nxt][0]
+            out[(uid, eid0)] = (
+                "match" if ok and last_ms - ms0 <= within_ms else "timeout"
+            )
+    return out
+
+
+@given(SEQS, PATTERNS)
+@settings(max_examples=15, deadline=None)
+def test_followed_by_matches_brute_force(rows_raw, steps):
+    from datetime import datetime, timedelta
+
+    from flink_spark.plans.cep import SeqPattern, pattern_matches
+
+    spark = _session()
+    base = datetime(2024, 1, 1)
+    rows = [
+        (uid, eid, sec * 1000, et)
+        for eid, (uid, sec, et) in enumerate(rows_raw)
+    ]
+    df = spark.createDataFrame(
+        [
+            (uid, eid, base + timedelta(milliseconds=ms), et)
+            for uid, eid, ms, et in rows
+        ],
+        "user_id long, event_id long, ts timestamp, event_type string",
+    )
+    pat = SeqPattern(
+        steps=tuple(f"event_type = '{s}'" for s in steps),
+        within_ms=10_000,
+        contiguity="followed_by",
+    )
+    got = {
+        (r.user_id, r.event_id): r.via
+        for r in pattern_matches(df, pat).collect()
+    }
+    assert got == _py_followed_by(rows, list(steps), 10_000)
+
+
+# --- skew-guarded pair join ≡ plain self-join on arbitrary inputs ------
+
+ROWS = st.lists(
+    st.tuples(st.integers(0, 30), st.sampled_from("aaabbc")),
+    min_size=0, max_size=35, unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(ROWS, st.integers(1, 6))
+def test_pair_self_join_grid_equals_bruteforce(rows, cap):
+    """pair_self_join must emit EXACTLY the within-bucket pair set —
+    at any cap, including caps that force multi-way grid splits on
+    every bucket — with payloads following the id ordering."""
+    import itertools
+
+    from flink_spark.plans.pairjoin import pair_self_join
+    from flink_spark.registry import release_persisted
+
+    spark = _session()
+    df = spark.createDataFrame(
+        [(i, k, i * 7) for i, k in rows], "id long, k string, pay long"
+    )
+    got = sorted(
+        (r.d1, r.d2, r.pay1, r.pay2)
+        for r in pair_self_join(df, "id", ["k"], payload=["pay"],
+                                cap=cap).collect()
+    )
+    release_persisted()
+    expect = sorted(
+        (a, b, a * 7, b * 7)
+        for (a, ka), (b, kb) in itertools.combinations(sorted(rows), 2)
+        if ka == kb
+    )
+    assert got == expect
+
+
+def test_adversarial_identical_corpus_is_skew_guarded(tmp_path):
+    """An all-identical-documents corpus (every doc in ONE bucket of
+    every band) must still produce oracle-exact near-dup output with a
+    tiny bucket cap forcing the grid path — the guard changes the
+    physical plan, never the result."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    import duckdb
+
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    from flink_spark.sources import TABLES
+
+    for t in TABLES:
+        if t not in ("documents", "embeddings"):
+            os.symlink(f"{sf}/{t}.parquet", tmp_path / f"{t}.parquet")
+    con.execute(f"""
+        COPY (SELECT CAST(i AS BIGINT) AS doc_id,
+                     'the same boilerplate page repeated verbatim across
+                      the corpus with enough tokens to shingle' AS text,
+                     'src' || (i % 3) AS source
+              FROM range(0, 60) t(i))
+        TO '{tmp_path}/documents.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+        COPY (SELECT CAST(i AS BIGINT) AS vec_id,
+                     (SELECT embedding FROM '{sf}/embeddings.parquet'
+                      WHERE vec_id = 0) AS embedding,
+                     'lab' AS label
+              FROM range(0, 60) t(i))
+        TO '{tmp_path}/embeddings.parquet' (FORMAT PARQUET)
+    """)
+    env = dict(os.environ, FLINK_SPARK_MAX_BUCKET="8")
+    script = _PAIRJOIN_SCRIPT.format(repo=repo, sf_dir=str(tmp_path))
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        env=env, capture_output=True, text=True, timeout=420,
+    )
+    assert "SKEW-GUARD-OK" in out.stdout, out.stderr[-3000:]
+
+
+_PAIRJOIN_SCRIPT = """
+import sys
+sys.path.insert(0, {repo!r})
+from flink_spark.session import get_spark
+from flink_spark.testing import compare, duck_connect
+from flink_spark.registry import all_queries
+spark = get_spark(cpus=4, shuffle_partitions=4)
+con = duck_connect({sf_dir!r})
+qs = all_queries()
+for name in ["t_minhash_lsh_dups", "t_simhash_dups", "t_embedding_neardup",
+             "t_ngram_jaccard_dups"]:
+    errs = compare(spark, con, qs[name], {sf_dir!r})
+    assert not errs, (name, errs[:2])
+print("SKEW-GUARD-OK")
+"""
