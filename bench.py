@@ -46,6 +46,7 @@ HEADLINE = [
     "t_embedding_neardup",
     # round 5
     "s_cep_browse_buy",
+    "s_cep_funnel_skip",
     "j_lru_dim_join",
 ]
 
