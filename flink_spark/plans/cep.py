@@ -183,6 +183,12 @@ def _followed_by_matches(
         out = base.select(pat.key, "event_id", "ms", via.alias("via"))
         return out if keep_all else out.filter(F.col("via").isNotNull())
 
+    if k > 2:
+        # the chain joins re-scan base k-2 times — materialize the
+        # window pass once instead of recomputing it per join level
+        from flink_spark.registry import track_persist
+
+        base = track_persist(base)
     cur = base.select(
         pat.key, "event_id", "ms", "s0", F.col("nxt1").alias("_pos")
     )
