@@ -13,6 +13,8 @@ import io
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from flink_spark.registry import all_queries
 
 from conftest import SF_DIR
@@ -193,3 +195,29 @@ def test_dup_clusters_match_union_find(spark):
         assert r.n_docs >= 2            # singletons never enter the graph
         assert r.keep_doc in members[find(r.cluster_id)]
         assert r.cluster_id == min(members[find(r.cluster_id)])
+
+
+def test_pair_join_guard_keeps_plain_path_when_unskewed(spark):
+    """With no bucket past the cap (the fixture corpora), the skew
+    guard's probe must choose the PLAIN self-join — no grid cells, no
+    per-row replication — and never a cartesian product. The grid
+    path is identifiable by its cell-coordinate join columns (_i/_j);
+    forcing a tiny cap must flip the plan onto them."""
+    from flink_spark.plans.pairjoin import pair_self_join
+    from flink_spark.registry import release_persisted
+    from flink_spark.sources import load
+
+    df = _Q["t_minhash_lsh_dups"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "_i#" not in plan and "_j#" not in plan
+    release_persisted()
+
+    docs = load(spark, SF_DIR, "documents").select(
+        "doc_id", (F.col("doc_id") % 2).alias("k")
+    )
+    forced = pair_self_join(docs, "doc_id", ["k"], cap=5)
+    gplan = _plan(forced)
+    assert "_i#" in gplan and "_j#" in gplan
+    assert "CartesianProduct" not in gplan
+    release_persisted()
