@@ -64,6 +64,7 @@ def foreach_batch_sink(
 
 _BUCKET = "_ub"  # key-hash bucket column of the upsert table
 _MANIFEST = "_MANIFEST.json"
+_CHANGELOG = "_changelog"  # per-epoch retraction-pair dirs (opt-in)
 
 
 def _read_manifest(path: str) -> dict[str, str]:
@@ -133,6 +134,71 @@ def read_upsert_table(
     return spark.read.parquet(*(os.path.join(path, d) for d in man.values()))
 
 
+def read_changelog(spark: SparkSession, path: str) -> DataFrame | None:
+    """All retraction-pair emissions of a ``changelog=True`` upsert table.
+
+    Schema: the table's key+value columns plus ``_op`` (Flink row-kind
+    strings ``+I``/``-U``/``+U``), ``_seq`` (0 = retract, 1 = add —
+    the within-epoch order), and ``_epoch``. Replaying adds in
+    (_epoch, _seq) order per key reconstructs the committed table —
+    the invariant ``test_upsert_changelog_replay`` pins.
+    """
+    cdir = os.path.join(path, _CHANGELOG)
+    if not os.path.isdir(cdir) or not os.listdir(cdir):
+        return None
+    return spark.read.option("recursiveFileLookup", "true").parquet(cdir)
+
+
+def _emit_changelog(
+    path: str, epoch: int, current: DataFrame | None,
+    latest: DataFrame, keys: list[str],
+) -> None:
+    """Write epoch ``epoch``'s retraction pairs (diff of the touched
+    buckets' pre- vs post-merge state): ``+I`` for a new key, ``-U``
+    old row then ``+U`` new row for a changed key, nothing for an
+    untouched key.
+
+    Crash-retry idempotence (the caller emits BEFORE the manifest
+    commit): a retry of a pre-commit crash recomputes the identical
+    diff and overwrites the epoch dir with the same content; a retry
+    that lands AFTER the manifest committed sees an empty diff — in
+    that case an existing epoch dir is the durable record of the
+    already-applied pairs and is KEPT, never clobbered with emptiness.
+    Either way an epoch's pairs appear exactly once."""
+    dst = os.path.join(path, _CHANGELOG, f"e{epoch}")
+    val = [c for c in latest.columns if c not in keys and c != _BUCKET]
+    n = latest.select(*keys, F.struct(*val).alias("_new"))
+    if current is not None:
+        o = current.select(*keys, F.struct(*val).alias("_old"))
+        j = n.join(o, keys, "left")
+    else:
+        j = n.withColumn(
+            "_old", F.lit(None).cast(n.schema["_new"].dataType)
+        )
+    changed = j.filter(~F.col("_old").eqNullSafe(F.col("_new"))).persist()
+    try:
+        if changed.limit(1).count() == 0 and os.path.isdir(dst):
+            return  # post-commit replay: the epoch's pairs already stand
+        adds = changed.select(
+            *keys, F.col("_new").alias("_row"),
+            F.when(F.col("_old").isNull(), F.lit("+I"))
+            .otherwise(F.lit("+U")).alias("_op"),
+            F.lit(1).alias("_seq"),
+        )
+        retracts = changed.filter(F.col("_old").isNotNull()).select(
+            *keys, F.col("_old").alias("_row"),
+            F.lit("-U").alias("_op"), F.lit(0).alias("_seq"),
+        )
+        out = (
+            retracts.unionByName(adds)
+            .withColumn("_epoch", F.lit(epoch))
+            .select(*keys, "_row.*", "_op", "_seq", "_epoch")
+        )
+        out.write.mode("overwrite").parquet(dst)
+    finally:
+        changed.unpersist()
+
+
 def upsert_sink(
     sdf: DataFrame,
     path: str,
@@ -140,6 +206,7 @@ def upsert_sink(
     order_cols: list[str],
     num_buckets: int = 16,
     output_mode: str = "update",
+    changelog: bool = False,
 ):
     """K3 — changelog/upsert table emulation via bucketed latest-row merge.
 
@@ -156,7 +223,14 @@ def upsert_sink(
     upsert-kafka compacts; Spark reaches the same *final table* (the
     property the reference's downstream relies on — SURVEY.md O10/A5)
     with per-batch work proportional to the touched buckets, not the
-    whole table.
+    whole table. ``changelog=True`` additionally emits those pairs for
+    external consumers of the intermediate stream
+    (rt/utils/MyKafkaUtil.java:78-86 semantics): per epoch, ``+I`` for
+    new keys and ``-U`` old/``+U`` new for changed keys, written to a
+    ``_changelog/e{epoch}`` dir (``read_changelog``; a Kafka
+    deployment swaps the parquet write for a ``kafka_payload`` batch
+    send, nothing else changes). Replaying the adds in (_epoch, _seq)
+    order per key reconstructs the table exactly.
 
     The manifest-swap commit is the same protocol a Delta/Iceberg
     ``MERGE INTO`` performs against its transaction log; this parquet
@@ -187,6 +261,7 @@ def upsert_sink(
             _BUCKET, F.pmod(F.xxhash64(*keys), F.lit(num_buckets))
         )
         b.persist()
+        latest = None
         try:
             touched = sorted(r[0] for r in b.select(_BUCKET).distinct().collect())
             if not touched:
@@ -202,6 +277,13 @@ def upsert_sink(
             else:
                 allrows = b
             latest = _latest_per_key(allrows, keys, order_cols)
+            if changelog:
+                # two actions consume `latest` (diff + staging write);
+                # materialize it once. Emit BEFORE the manifest commit
+                # so a crash-retry recomputes the identical diff (see
+                # _emit_changelog).
+                latest = latest.persist()
+                _emit_changelog(path, epoch, current, latest, keys)
             # staging lives INSIDE the table dir but is underscore-named:
             # invisible both to the manifest and to Spark's file index
             staging = os.path.join(path, f"_stage_{epoch}")
@@ -222,6 +304,8 @@ def upsert_sink(
             _gc_unreferenced(path, committed, epoch)
         finally:
             b.unpersist()
+            if changelog and latest is not None:
+                latest.unpersist()
 
     # stream-stream joins only run in append mode; aggregations in update
     return sdf.writeStream.foreachBatch(merge).outputMode(output_mode)
