@@ -246,6 +246,14 @@ def upsert_sink(
         # os.rename/os.replace don't apply — dispatch to the Delta
         # MERGE INTO form, whose transaction log provides the same
         # atomic-pointer commit natively.
+        if changelog:
+            raise ValueError(
+                "changelog emission is a feature of the local manifest "
+                "form; the Delta form gets the same retraction stream "
+                "natively from Change Data Feed — set the table property "
+                "delta.enableChangeDataFeed=true and read table_changes() "
+                "instead of passing changelog=True"
+            )
         if delta_available():
             return upsert_sink_delta(sdf, path, keys, order_cols, output_mode)
         raise ValueError(

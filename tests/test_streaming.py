@@ -688,3 +688,13 @@ def test_upsert_changelog_crash_retry_idempotent(spark, tmp_path):
     run(str(tmp_path / "ckpt_b"))
     second = _rows(read_changelog(spark, table).filter(F.col("_epoch") == 0))
     assert second == first
+
+
+def test_upsert_changelog_rejected_on_scheme_paths(spark, tmp_path):
+    """changelog=True belongs to the manifest form; the Delta/object-
+    store dispatch must refuse it loudly and point at Change Data Feed
+    rather than silently dropping the option."""
+    sdf = replay_events(spark, SF_DIR, str(tmp_path / "replay"), slices=2)
+    with pytest.raises(ValueError, match="Change Data Feed"):
+        upsert_sink(sdf, "s3://bucket/table", keys=["user_id"],
+                    order_cols=["ts"], changelog=True)
