@@ -231,6 +231,12 @@ def pattern_oracle_sql(pat: SeqPattern, *, agg: str, alias: str = "emit_ct") -> 
     """
     if len(pat.steps) != 2:
         raise ValueError("oracle helper covers the 2-step form")
+    if pat.contiguity != "next":
+        raise ValueError(
+            "oracle helper emits strict-contiguity (lead) SQL; followed_by "
+            "patterns need a next-occurrence chain oracle (see "
+            "s_cep_funnel_skip for the hand-written form)"
+        )
     if agg not in ("match", "timeout"):
         raise ValueError(f"agg must be 'match' or 'timeout', got {agg!r}")
     s0, s1 = pat.steps
