@@ -31,6 +31,7 @@ HEADLINE = [
     "s_daily_unique_users",
     "r_config_routing",
     "t_token_stats",
+    "t_vocab_prune",
     "t_exact_dedup",
     "t_minhash_lsh_dups",
     "t_dup_clusters",

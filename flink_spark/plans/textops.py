@@ -186,6 +186,71 @@ def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "t_vocab_prune",
+    oracle=f"""
+    WITH ex AS (
+      SELECT doc_id, source, unnest({_TOKS}) AS w FROM documents
+    ),
+    ex2 AS (SELECT * FROM ex WHERE w <> ''),
+    n(total) AS (SELECT COUNT(*) FROM documents),
+    stop AS (
+      SELECT w FROM (
+        SELECT w, COUNT(DISTINCT doc_id) AS df FROM ex2 GROUP BY w
+      ), n
+      WHERE 2 * df > total
+    )
+    SELECT e.source,
+           COUNT(DISTINCT e.doc_id) AS doc_ct,
+           COUNT(*) AS token_total,
+           CAST(SUM(CASE WHEN s.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS tokens_kept,
+           COUNT(DISTINCT e.w) AS vocab,
+           COUNT(DISTINCT CASE WHEN s.w IS NULL THEN e.w END) AS vocab_kept
+    FROM ex2 e LEFT JOIN stop s ON e.w = s.w
+    GROUP BY e.source
+    """,
+    tags=("textops", "tokens", "vocab"),
+)
+def t_vocab_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-token pruning: drop tokens present in >50% of docs.
+
+    The CCNet/tokenizer-prep stage the catalog lacked: corpus-derived
+    document frequency marks boilerplate tokens (navigation chrome,
+    template words — anything in more than half the documents), and
+    per-source stats audit what pruning would remove. The threshold is
+    integer-exact (``2·df > n_docs``, both engines derive n_docs from
+    the same count — the standard knob mechanism), so the oracle
+    compare is exact.
+
+    Scale shape: one explode pass, a (doc, token)-distinct aggregation
+    for df, and the stoplist — tiny by construction (tokens in >50% of
+    a diverse corpus are few) — broadcasts back onto the token stream
+    as a map-side anti-probe. No shuffle grows with the stoplist.
+    """
+    docs = load(spark, sf_dir, "documents")
+    total = table_rows(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id", "source", F.explode(tokenize("text")).alias("w")
+    ).filter(F.col("w") != "")
+    df_tbl = (
+        ex.select("doc_id", "w").distinct()
+        .groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    )
+    stop = df_tbl.filter(2 * F.col("df") > total).select(
+        "w", F.lit(1).alias("_stop")
+    )
+    tagged = ex.join(F.broadcast(stop), "w", "left")
+    kept = F.col("_stop").isNull()
+    return tagged.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("doc_ct"),
+        F.count(F.lit(1)).alias("token_total"),
+        F.sum(kept.cast("int")).cast("long").alias("tokens_kept"),
+        F.countDistinct("w").alias("vocab"),
+        F.countDistinct(F.when(kept, F.col("w"))).alias("vocab_kept"),
+    )
+
+
 PACK_BUDGET = 512      # tokens per training context (packing target)
 EVAL_SOURCE = "src0"   # the held-out benchmark source (decontamination)
 TRAIN_PCT = 90         # train split share (hash-deterministic)

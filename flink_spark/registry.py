@@ -116,8 +116,9 @@ _SNAPSHOT_FIRST = (
     "e_dup_clusters",
     "t_embedding_neardup",
     "e_ann_lsh_topk",
-    # new this round — needs its first row
+    # new this round — need their first row
     "s_cep_funnel_skip",
+    "t_vocab_prune",
 )
 
 
