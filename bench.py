@@ -32,6 +32,7 @@ HEADLINE = [
     "r_config_routing",
     "t_token_stats",
     "t_vocab_prune",
+    "t_length_percentiles",
     "t_exact_dedup",
     "t_minhash_lsh_dups",
     "t_dup_clusters",

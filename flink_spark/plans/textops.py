@@ -251,6 +251,73 @@ def t_vocab_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "t_length_percentiles",
+    oracle=f"""
+    WITH t AS (SELECT source, len({_TOKS}) AS ntok FROM documents),
+    h AS (SELECT source, ntok, COUNT(*) AS c FROM t GROUP BY source, ntok),
+    r AS (
+      SELECT source, ntok, c,
+             SUM(c) OVER (PARTITION BY source ORDER BY ntok
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(c) OVER (PARTITION BY source) AS n
+      FROM h
+    )
+    SELECT source,
+           CAST(MAX(n) AS BIGINT) AS doc_ct,
+           CAST(MIN(ntok) AS BIGINT) AS min_tokens,
+           CAST(MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN ntok END)
+                AS BIGINT) AS p50_tokens,
+           CAST(MIN(CASE WHEN cum >= (n * 90 + 99) // 100 THEN ntok END)
+                AS BIGINT) AS p90_tokens,
+           CAST(MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN ntok END)
+                AS BIGINT) AS p99_tokens,
+           CAST(MAX(ntok) AS BIGINT) AS max_tokens
+    FROM r GROUP BY source
+    """,
+    tags=("textops", "stats", "percentiles"),
+)
+def t_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source token-length percentiles (p50/p90/p99).
+
+    Corpus-QA staple (length-distribution drift is the first thing a
+    data audit checks). EXACT nearest-rank percentiles — value at rank
+    ⌈n·p/100⌉ — computed the scale-right way: a (source, length)
+    HISTOGRAM plus a cumulative sum over it. The window sorts
+    |distinct lengths| rows per source (bounded by document length,
+    independent of document count), never the documents themselves —
+    unlike a naive per-source rank over all docs, this survives a
+    billion-doc source without a single-partition sort, and unlike
+    ``approx_percentile`` it is oracle-exact.
+    """
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("source", F.size(tokenize("text")).alias("ntok"))
+    h = t.groupBy("source", "ntok").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("source").orderBy("ntok")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("source")
+    r = h.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "n", F.sum("c").over(wn)
+    )
+
+    def pick(p: int):
+        rank = F.expr(f"(n * {p} + 99) div 100")
+        return (
+            F.min(F.when(F.col("cum") >= rank, F.col("ntok"))).cast("long")
+        )
+
+    return r.groupBy("source").agg(
+        F.max("n").cast("long").alias("doc_ct"),
+        F.min("ntok").cast("long").alias("min_tokens"),
+        pick(50).alias("p50_tokens"),
+        pick(90).alias("p90_tokens"),
+        pick(99).alias("p99_tokens"),
+        F.max("ntok").cast("long").alias("max_tokens"),
+    )
+
+
 PACK_BUDGET = 512      # tokens per training context (packing target)
 EVAL_SOURCE = "src0"   # the held-out benchmark source (decontamination)
 TRAIN_PCT = 90         # train split share (hash-deterministic)

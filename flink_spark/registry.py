@@ -119,6 +119,7 @@ _SNAPSHOT_FIRST = (
     # new this round — need their first row
     "s_cep_funnel_skip",
     "t_vocab_prune",
+    "t_length_percentiles",
 )
 
 
