@@ -33,6 +33,7 @@ HEADLINE = [
     "t_token_stats",
     "t_vocab_prune",
     "t_length_percentiles",
+    "t_source_overlap",
     "t_exact_dedup",
     "t_minhash_lsh_dups",
     "t_dup_clusters",

@@ -252,6 +252,84 @@ def t_vocab_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t_source_overlap",
+    oracle=f"""
+    WITH norm AS (SELECT source, {_TOKS} AS t FROM documents),
+    shl AS (
+      SELECT source,
+             list_distinct(list_transform(range(1, len(t) - {SHINGLE_N - 2}),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sl
+      FROM norm WHERE len(t) >= {SHINGLE_N}
+    ),
+    ss AS (SELECT DISTINCT source, s
+           FROM (SELECT source, unnest(sl) AS s FROM shl)),
+    tot AS (SELECT source, COUNT(*) AS tot FROM ss GROUP BY source),
+    pairs AS (
+      SELECT a.source AS src1, b.source AS src2, COUNT(*) AS shared
+      FROM ss a JOIN ss b ON a.s = b.s AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src1, src2,
+           CAST(shared AS BIGINT) AS shared_shingles,
+           CAST(t1.tot AS BIGINT) AS shingles_1,
+           CAST(t2.tot AS BIGINT) AS shingles_2,
+           CAST(shared AS DOUBLE) / LEAST(t1.tot, t2.tot) AS overlap
+    FROM pairs
+    JOIN tot t1 ON src1 = t1.source
+    JOIN tot t2 ON src2 = t2.source
+    """,
+    tags=("textops", "dedup", "lineage"),
+)
+def t_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source shingle-overlap matrix (contamination lineage).
+
+    The audit that catches train/eval leakage BETWEEN sources before
+    it poisons a data mix: for every source pair, how many distinct
+    3-shingles they share, and the overlap coefficient
+    ``shared / min(|A|, |B|)``. Aggregating shingles to SOURCE level
+    first caps the self-join fan-out at |sources| per shingle key —
+    the pair volume is O(|sources|²), independent of corpus size, so
+    the matrix stays cheap at any scale. Integer counts, one exact
+    double division — oracle-exact.
+    """
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("source", tokenize("text").alias("t")).filter(
+        F.size("t") >= SHINGLE_N
+    )
+    ss = track_persist(
+        t.select(
+            "source",
+            F.explode(
+                F.array_distinct(word_shingles(F.col("t"), SHINGLE_N))
+            ).alias("s"),
+        ).distinct()
+    )
+    tot = ss.groupBy("source").agg(F.count(F.lit(1)).alias("tot"))
+    a = ss.select(F.col("source").alias("src1"), "s")
+    b = ss.select(F.col("source").alias("src2"), "s")
+    pairs = (
+        a.join(b, "s")
+        .filter(F.col("src1") < F.col("src2"))
+        .groupBy("src1", "src2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    t1 = tot.select(F.col("source").alias("src1"), F.col("tot").alias("tot1"))
+    t2 = tot.select(F.col("source").alias("src2"), F.col("tot").alias("tot2"))
+    return (
+        pairs.join(t1, "src1")
+        .join(t2, "src2")
+        .select(
+            "src1", "src2",
+            F.col("shared").cast("long").alias("shared_shingles"),
+            F.col("tot1").cast("long").alias("shingles_1"),
+            F.col("tot2").cast("long").alias("shingles_2"),
+            (F.col("shared").cast("double") / F.least("tot1", "tot2"))
+            .alias("overlap"),
+        )
+    )
+
+
+@query(
     "t_length_percentiles",
     oracle=f"""
     WITH t AS (SELECT source, len({_TOKS}) AS ntok FROM documents),

@@ -120,6 +120,7 @@ _SNAPSHOT_FIRST = (
     "s_cep_funnel_skip",
     "t_vocab_prune",
     "t_length_percentiles",
+    "t_source_overlap",
 )
 
 
