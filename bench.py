@@ -34,6 +34,7 @@ HEADLINE = [
     "t_vocab_prune",
     "t_length_percentiles",
     "t_source_overlap",
+    "t_repeated_ngram_coverage",
     "t_exact_dedup",
     "t_minhash_lsh_dups",
     "t_dup_clusters",

@@ -251,6 +251,78 @@ def t_vocab_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+REPEAT_N = 10  # token span length for the repeated-substring signal
+
+
+def _gram_sql(n: int) -> str:
+    """n-token sliding-window grams of token list ``t`` (positional,
+    NOT distinct — the SQL twin of ``word_shingles(t, n)``)."""
+    concat = " || ' ' || ".join(f"t[i+{k}]" for k in range(n))
+    return f"list_transform(range(1, len(t) - {n - 2}), i -> {concat})"
+
+
+@query(
+    "t_repeated_ngram_coverage",
+    oracle=f"""
+    WITH norm AS (SELECT source, {_TOKS} AS t FROM documents),
+    g AS (
+      SELECT source, unnest({_gram_sql(REPEAT_N)}) AS gram
+      FROM norm WHERE len(t) >= {REPEAT_N}
+    ),
+    freq AS (SELECT gram, COUNT(*) AS ct FROM g GROUP BY gram)
+    SELECT source,
+           COUNT(*) AS span_positions,
+           CAST(SUM(CASE WHEN ct > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS repeated_positions,
+           CAST(SUM(CASE WHEN ct > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS repeat_ratio
+    FROM g JOIN freq USING (gram)
+    GROUP BY source
+    """,
+    tags=("textops", "dedup", "substring"),
+)
+def t_repeated_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated {REPEAT_N}-token-span coverage (exact-substring signal).
+
+    The signal behind exact-substring deduplication (the
+    GPT-3/RefinedWeb pass that MinHash misses: long verbatim spans
+    inside otherwise-distinct documents): every {REPEAT_N}-token
+    sliding window is a span position, and a position is REPEATED when
+    its exact token span occurs more than once in the corpus. Per
+    source: span positions, repeated positions, and the repeat ratio —
+    the corpus-health number a dedup pass is judged by. A full
+    substring-dedup would drop the repeated spans; this operator is
+    its audit/planning stage, all integer counts ⇒ oracle-exact.
+
+    Scale shape: positional grams explode ~|tokens| rows; the gram
+    frequency table aggregates them once and joins back on the gram
+    key (both sides hash-partitioned on gram — co-located, no
+    broadcast of a corpus-sized table). Fan-out per gram key equals
+    its occurrence count, which is exactly the quantity being
+    measured; a pathological million-fold span costs a million-row
+    join fan-out, not a quadratic pair join.
+    """
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("source", tokenize("text").alias("t")).filter(
+        F.size("t") >= REPEAT_N
+    )
+    g = t.select(
+        "source", F.explode(word_shingles(F.col("t"), REPEAT_N)).alias("gram")
+    )
+    freq = g.groupBy("gram").agg(F.count(F.lit(1)).alias("ct"))
+    rep = (F.col("ct") > 1).cast("int")
+    return (
+        g.join(freq, "gram")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("span_positions"),
+            F.sum(rep).cast("long").alias("repeated_positions"),
+            (F.sum(rep).cast("double") / F.count(F.lit(1)))
+            .alias("repeat_ratio"),
+        )
+    )
+
+
 @query(
     "t_source_overlap",
     oracle=f"""

@@ -121,6 +121,7 @@ _SNAPSHOT_FIRST = (
     "t_vocab_prune",
     "t_length_percentiles",
     "t_source_overlap",
+    "t_repeated_ngram_coverage",
 )
 
 
