@@ -25,6 +25,7 @@ HEADLINE = [
     "ads_category_fullouter",
     "ads_gmv_topk_brand",
     "ads_keyword_score",
+    "ads_rollup_matrix",
     "w_tumble_10s_keyed",
     "w_keyword_tumble",
     "s_dedup_latest",

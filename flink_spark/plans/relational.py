@@ -883,6 +883,51 @@ def ads_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ads_rollup_matrix",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+             o_orderpriority AS prio,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT yr, prio,
+           CAST(GROUPING(yr) * 2 + GROUPING(prio) AS BIGINT) AS lvl,
+           COUNT(*) AS line_ct,
+           CAST(SUM(price) AS DOUBLE) AS revenue
+    FROM b GROUP BY ROLLUP (yr, prio)
+    """,
+    tags=("ads", "agg", "rollup"),
+)
+def ads_rollup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity revenue in ONE pass: GROUP BY ROLLUP.
+
+    The reference's ADS layer recomputes each granularity with its own
+    job (per-(year,priority), per-year, grand total —
+    pub22/mapper/TradeStatsMapper.java's family of near-identical
+    rollup queries); ``ROLLUP`` produces all three levels from a
+    single scan and a single shuffle, with ``grouping_id`` labeling
+    the level — the idiomatic engine form of A8 re-aggregation at any
+    scale. Money sums go through decimal(18,2): exact, order-
+    independent arithmetic, so the multi-level totals tie out
+    bit-for-bit against the oracle (and against each other — the
+    grand total IS the sum of the per-year rows).
+    """
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    b = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.col("o_orderpriority").alias("prio"),
+        dec2("l_extendedprice").alias("price"),
+    )
+    return b.rollup("yr", "prio").agg(
+        F.grouping_id().cast("long").alias("lvl"),
+        F.count(F.lit(1)).alias("line_ct"),
+        F.sum("price").cast("double").alias("revenue"),
+    )
+
+
+@query(
     "ads_topk_users",
     oracle="""
     SELECT user_id,

@@ -122,6 +122,7 @@ _SNAPSHOT_FIRST = (
     "t_length_percentiles",
     "t_source_overlap",
     "t_repeated_ngram_coverage",
+    "ads_rollup_matrix",
 )
 
 
