@@ -53,6 +53,10 @@ HEADLINE = [
     "s_cep_browse_buy",
     "s_cep_funnel_skip",
     "j_lru_dim_join",
+    # round 6
+    "w_sessionize",
+    "w_hop_windows",
+    "w_cumulate_windows",
 ]
 
 

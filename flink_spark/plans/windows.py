@@ -222,3 +222,182 @@ def w_agg_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("pv"),
     )
     return out.select(_stamp(out)[0], "event_type", "user_ct", "pv")
+
+
+@query(
+    "w_sessionize",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us, CAST(value AS DECIMAL(18,2)) AS v
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, us, v,
+             CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                    OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                       >= 60000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e
+    ),
+    s AS (
+      SELECT user_id, us, v,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM m
+    )
+    SELECT strftime(make_timestamp(MIN(us)), '%Y-%m-%d %H:%M:%S') AS stt,
+           strftime(make_timestamp(MAX(us) + 60000000),
+                    '%Y-%m-%d %H:%M:%S') AS edt,
+           user_id,
+           COUNT(*) AS ev_ct,
+           CAST(SUM(v) AS DOUBLE) AS amount
+    FROM s GROUP BY user_id, sid
+    """,
+    tags=("window", "session"),
+)
+def w_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 60 s inactivity gap.
+
+    The Flink window family the reference never uses but every
+    clickstream pipeline eventually needs (Flink
+    ``EventTimeSessionWindows.withGap``): consecutive events of one
+    user merge into a session while the gap stays under 60 s; a
+    quieter-than-60 s pause closes it. ``F.session_window`` is the
+    native Spark form — merge condition strictly ``gap < 60 s``,
+    window end = last event + gap — and the oracle reproduces exactly
+    that with a lag()/cumulative-sum session id at full microsecond
+    precision (``epoch_us`` ≡ ``unix_micros``; a ms-truncated mirror
+    could mis-split a session whose gap straddles 60 s by <1 ms).
+
+    Scale shape: one hash shuffle on ``user_id`` + an in-partition
+    sort — identical cost to any keyed window; sessions never cross
+    keys, so there is no global ordering step. The streaming form
+    (``streaming/jobs.py::sessionize_stream``) shares this batch
+    formulation through stream≡batch equivalence tests.
+    """
+    ev = load(spark, sf_dir, "events")
+    out = ev.groupBy(F.session_window("ts", "60 seconds"), "user_id").agg(
+        F.count(F.lit(1)).alias("ev_ct"), dsum("value", "amount")
+    )
+    return out.select(
+        F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+        F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss").alias("edt"),
+        "user_id",
+        "ev_ct",
+        "amount",
+    )
+
+
+# HOP/CUMULATE mirrors: each event lands in a deterministic set of
+# epoch-aligned windows; the oracles rebuild that set with unnest()
+# over integer offsets — pure integer bucket arithmetic on epoch_ms.
+_HOP_STT = (
+    "strftime(make_timestamp(((epoch_ms(ts)//10000)*10000 - i*10000) * 1000),"
+    " '%Y-%m-%d %H:%M:%S')"
+)
+
+
+@query(
+    "w_hop_windows",
+    oracle=f"""
+    WITH hops AS (
+      SELECT ts, event_type, value, unnest([0, 1, 2]) AS i FROM events
+    )
+    SELECT {_HOP_STT} AS stt, event_type,
+           COUNT(*) AS pv,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS amount
+    FROM hops
+    GROUP BY 1, 2
+    """,
+    tags=("window", "hop"),
+)
+def w_hop_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (HOP) windows: 30 s length, 10 s slide, keyed counts.
+
+    Flink's ``HOP(..., INTERVAL '10' SECOND, INTERVAL '30' SECOND)``
+    TVF — each event contributes to length/slide = 3 overlapping
+    epoch-aligned windows. Spark's ``window(ts, '30 seconds',
+    '10 seconds')`` expands the same 3 assignments inside codegen
+    (no self-join, no UDF); the oracle unnests offsets [0,1,2] and
+    floors each to its window start. Fan-out is the fixed factor 3 —
+    at 100 TB the shuffle carries 3× rows, which is the price of HOP
+    semantics in ANY engine; partial aggregation still collapses
+    map-side before the exchange.
+    """
+    ev = load(spark, sf_dir, "events")
+    out = ev.groupBy(
+        F.window("ts", "30 seconds", "10 seconds"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("pv"), dsum("value", "amount"))
+    return out.select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+        "event_type",
+        "pv",
+        "amount",
+    )
+
+
+@query(
+    "w_cumulate_windows",
+    oracle="""
+    WITH steps AS (
+      SELECT ts, user_id, unnest([1, 2, 3, 4]) AS k FROM events
+    ),
+    w AS (
+      SELECT (epoch_ms(ts)//60000)*60000 AS start_ms,
+             (epoch_ms(ts)//60000)*60000 + k*15000 AS end_ms,
+             epoch_ms(ts) AS ms, user_id
+      FROM steps
+    )
+    SELECT strftime(make_timestamp(start_ms*1000), '%Y-%m-%d %H:%M:%S') AS stt,
+           strftime(make_timestamp(end_ms*1000), '%Y-%m-%d %H:%M:%S') AS edt,
+           COUNT(*) AS pv,
+           COUNT(DISTINCT user_id) AS uv
+    FROM w
+    WHERE ms < end_ms
+    GROUP BY 1, 2
+    """,
+    tags=("window", "cumulate"),
+)
+def w_cumulate_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUMULATE windows: 60 s cycle emitting expanding 15/30/45/60 s totals.
+
+    Flink's ``CUMULATE(..., INTERVAL '15' SECOND, INTERVAL '1' MINUTE)``
+    TVF — the "running totals within the hour" dashboard primitive.
+    An event at t belongs to every window [cycle_start, cycle_start +
+    k·15 s) whose end exceeds t (k = 1..4). Spark has no native
+    cumulate, but the assignment set is a pure expression: explode a
+    4-element step array and filter ``ts < end`` — stays in codegen,
+    fan-out ≤ 4 (3 expected under uniform arrival), partial agg
+    collapses map-side exactly as HOP does. Exact-distinct uv is the
+    expensive honest form; swap for approx_count_distinct when the
+    dashboard tolerates ~2% error.
+    """
+    ev = load(spark, sf_dir, "events")
+    ms = F.unix_millis("ts")
+    start_ms = ms - ms % F.lit(60000)  # integer floor — no double rounding
+    stepped = ev.select(
+        ms.alias("ms"),
+        start_ms.alias("start_ms"),
+        "user_id",
+        F.explode(F.array(*[F.lit(k) for k in (1, 2, 3, 4)])).alias("k"),
+    )
+    w = stepped.select(
+        "ms",
+        "start_ms",
+        (F.col("start_ms") + F.col("k") * 15000).alias("end_ms"),
+        "user_id",
+    ).filter(F.col("ms") < F.col("end_ms"))
+    out = w.groupBy("start_ms", "end_ms").agg(
+        F.count(F.lit(1)).alias("pv"),
+        F.countDistinct("user_id").alias("uv"),
+    )
+    return out.select(
+        F.date_format(F.timestamp_millis("start_ms"), "yyyy-MM-dd HH:mm:ss").alias(
+            "stt"
+        ),
+        F.date_format(F.timestamp_millis("end_ms"), "yyyy-MM-dd HH:mm:ss").alias(
+            "edt"
+        ),
+        "pv",
+        "uv",
+    )

@@ -123,6 +123,9 @@ _SNAPSHOT_FIRST = (
     "t_source_overlap",
     "t_repeated_ngram_coverage",
     "ads_rollup_matrix",
+    "w_sessionize",
+    "w_hop_windows",
+    "w_cumulate_windows",
 )
 
 

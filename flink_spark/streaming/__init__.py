@@ -26,6 +26,7 @@ from flink_spark.streaming.jobs import (  # noqa: F401
     keyword_tumble_stream,
     left_outer_interval_join_stream,
     run_to_memory,
+    sessionize_stream,
     tumble_stream,
 )
 from flink_spark.streaming.sinks import (  # noqa: F401

@@ -46,6 +46,36 @@ def tumble_stream(
     )
 
 
+def sessionize_stream(
+    sdf: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "60 seconds",
+    watermark: str = "2 seconds",
+) -> DataFrame:
+    """Per-user session windows with an inactivity gap (streaming form).
+
+    Streaming form of ``w_sessionize`` — Flink's
+    ``EventTimeSessionWindows.withGap`` as Spark's native
+    ``session_window``: the state store keeps one open session per
+    user, merges events arriving within ``gap``, and finalizes the
+    session once the watermark passes its end (identical final table
+    to the batch form; asserted in tests). Spark requires a watermark
+    for streaming session windows — it is what bounds the merge state.
+    """
+    out = (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("ev_ct"), dsum("value", "amount"))
+    )
+    return out.select(
+        F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+        F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss").alias("edt"),
+        "user_id",
+        "ev_ct",
+        "amount",
+    )
+
+
 def keyword_tumble_stream(
     sdf: DataFrame,
     docs: DataFrame,

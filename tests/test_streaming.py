@@ -40,6 +40,26 @@ def test_tumble_stream_equals_batch(spark, tmp_path):
     assert _rows(out) == _rows(batch)
 
 
+def test_sessionize_stream_equals_batch(spark, tmp_path):
+    """Session windows: the streaming session_window aggregation
+    converges to w_sessionize's batch table (append mode — a far-future
+    sentinel advances the watermark past every real session's end; the
+    sentinel's own session never finalizes, so it never appears)."""
+    from flink_spark.streaming import sessionize_stream
+
+    sdf = replay_events(
+        spark,
+        SF_DIR,
+        str(tmp_path / "replay"),
+        slices=5,
+        sentinel_users=(0,),
+        sentinel_delay_s=300,
+    )
+    out = run_to_memory(sessionize_stream(sdf), "sess_mem")
+    batch = _Q["w_sessionize"].fn(spark, SF_DIR)
+    assert _rows(out) == _rows(batch)
+
+
 def test_keyword_tumble_stream_equals_batch(spark, tmp_path):
     """A3+F1 streaming: the tokenize→explode→window job converges to
     w_keyword_tumble's batch table."""
