@@ -57,6 +57,8 @@ HEADLINE = [
     "w_sessionize",
     "w_hop_windows",
     "w_cumulate_windows",
+    "j_asof_nearest",
+    "j_range_band",
 ]
 
 

@@ -1130,3 +1130,116 @@ def j_lru_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("order_ct"),
         dsum("o_totalprice", "spend"),
     )
+
+
+# --------------------------------------------------------------------------
+# As-of join (nearest prior event) + band range join — the two classic
+# non-equi join shapes Spark has no keyword for
+# --------------------------------------------------------------------------
+
+@query(
+    "j_asof_nearest",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS tag
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    w AS (
+      SELECT user_id, event_id, us, tag,
+             MAX(CASE WHEN tag = 0 THEN us END) OVER (
+               PARTITION BY user_id ORDER BY us, tag
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_us
+      FROM tagged
+    )
+    SELECT event_id, user_id, us AS purchase_us, view_us,
+           us - view_us AS lag_us
+    FROM w WHERE tag = 1 AND view_us IS NOT NULL
+    """,
+    tags=("join", "asof"),
+)
+def j_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest prior view.
+
+    The time-series join (DuckDB ``ASOF JOIN``, kdb ``aj``, Flink
+    temporal join on an append stream) that Spark's optimizer would
+    otherwise plan as a per-key all-pairs join + max — quadratic in a
+    power user's event count. The scalable formulation is a MERGE
+    along time: union-tag both sides, one hash shuffle on ``user_id``,
+    one in-partition sort, and a running ``max(view time)`` window —
+    O(n log n) per key, no join node at all. Ties (a view at the exact
+    purchase microsecond) sort before the purchase (tag 0 < 1), so
+    "at-or-before" includes them — the same rule as DuckDB's
+    ``ASOF JOIN ... ON l.ts >= r.ts``; the window-SQL oracle pins that
+    tie semantics explicitly rather than trusting dialect defaults.
+    Microsecond precision end-to-end (``unix_micros`` ≡ ``epoch_us``).
+    """
+    ev = load(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("view", "purchase")).select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        (F.col("event_type") == "purchase").cast("int").alias("tag"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    view_us = F.max(F.when(F.col("tag") == 0, F.col("us"))).over(w)
+    return (
+        tagged.withColumn("view_us", view_us)
+        .filter((F.col("tag") == 1) & F.col("view_us").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.col("us").alias("purchase_us"),
+            "view_us",
+            (F.col("us") - F.col("view_us")).alias("lag_us"),
+        )
+    )
+
+
+# band edges mirrored literally in the oracle VALUES list
+QUANTITY_BANDS = ((0, 10, "low"), (10, 25, "mid"), (25, 51, "high"))
+_BANDS_SQL = ", ".join(f"({lo}, {hi}, '{b}')" for lo, hi, b in QUANTITY_BANDS)
+
+
+@query(
+    "j_range_band",
+    oracle=f"""
+    WITH bands(lo, hi, band) AS (VALUES {_BANDS_SQL})
+    SELECT band,
+           COUNT(*) AS line_ct,
+           CAST(SUM({REV_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
+    GROUP BY band
+    """,
+    tags=("join", "range"),
+)
+def j_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band (range) join: every lineitem priced into its quantity band.
+
+    The non-equi join Spark has no hash strategy for: the ONLY
+    scalable plan is broadcast-nested-loop with the tiny band table as
+    the broadcast side — the fact table is never shuffled and the
+    inner loop is |bands| comparisons inside codegen. An explicit
+    ``F.broadcast`` pins that choice so the optimizer can never pick a
+    cartesian with the fact on the wrong side. Bands are
+    half-open ``[lo, hi)`` so every quantity lands in exactly one band
+    (overlap or gap would silently duplicate or drop rows — the
+    classic band-join bug the disjointness makes structurally
+    impossible here).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        list(QUANTITY_BANDS), "lo int, hi int, band string"
+    )
+    joined = li.join(
+        F.broadcast(bands),
+        (li.l_quantity >= F.col("lo")) & (li.l_quantity < F.col("hi")),
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("line_ct"),
+        F.sum(rev_col()).cast("double").alias("revenue"),
+    )

@@ -126,6 +126,8 @@ _SNAPSHOT_FIRST = (
     "w_sessionize",
     "w_hop_windows",
     "w_cumulate_windows",
+    "j_asof_nearest",
+    "j_range_band",
 )
 
 

@@ -103,6 +103,28 @@ def test_no_cartesian_or_nested_loop_joins(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_asof_join_is_merge_not_join(spark):
+    """The as-of join must compile to sort+window along time — one
+    shuffle on user_id and NO join node (the naive per-key all-pairs
+    join is quadratic in a power user's event count)."""
+    plan = _plan(_Q["j_asof_nearest"].fn(spark, SF_DIR))
+    assert "Join" not in plan, plan
+    assert "Window" in plan
+    # formatted mode prints tree + detail: one "(n) Exchange" node
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_range_band_join_broadcasts_bands(spark):
+    """The band join's only scalable plan: tiny band table broadcast,
+    fact side never shuffled (no Exchange above the lineitem scan)."""
+    plan = _plan(_Q["j_range_band"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_wide_order_5way_plan(spark):
     """The composed 5-table DWD join: dic broadcast, date predicate
     pushed to the orders scan, no cartesian degradation."""
