@@ -59,6 +59,8 @@ HEADLINE = [
     "w_cumulate_windows",
     "j_asof_nearest",
     "j_range_band",
+    "t_chunk_dedup",
+    "t_distinctive_terms",
 ]
 
 

@@ -2170,3 +2170,161 @@ def t_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("kept_tokens", zero).cast("long").alias("kept_tokens"),
         F.coalesce("n_contexts", zero).cast("long").alias("n_contexts"),
     )
+
+
+# --------------------------------------------------------------------------
+# Chunk-level exact dedup + distinctive-terms ranking
+# --------------------------------------------------------------------------
+
+CHUNK_N = 10  # tokens per non-overlapping chunk (CCNet-style paragraphs)
+
+
+@query(
+    "t_chunk_dedup",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+    c AS (
+      SELECT doc_id, source,
+             unnest(list_transform(range(0, len(t)//{CHUNK_N}),
+                    i -> array_to_string(
+                           array_slice(t, i*{CHUNK_N}+1, i*{CHUNK_N}+{CHUNK_N}),
+                           ' '))) AS chunk
+      FROM norm WHERE len(t) >= {CHUNK_N}
+    ),
+    freq AS (SELECT chunk, COUNT(*) AS ct FROM c GROUP BY chunk),
+    d AS (
+      SELECT doc_id, source, COUNT(*) AS chunks,
+             SUM(CASE WHEN ct > 1 THEN 1 ELSE 0 END) AS dups
+      FROM c JOIN freq USING (chunk) GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(SUM(chunks) AS BIGINT) AS chunk_ct,
+           CAST(SUM(dups) AS BIGINT) AS dup_chunk_ct,
+           CAST(SUM(dups) AS DOUBLE) / SUM(chunks) AS dup_ratio,
+           CAST(SUM(CASE WHEN 2*dups > chunks THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_mostly_dup
+    FROM d GROUP BY source
+    """,
+    tags=("textops", "dedup", "chunk"),
+)
+def t_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup audit (CCNet paragraph-dedup analog).
+
+    CCNet deduplicates at PARAGRAPH granularity: a document survives
+    but its boilerplate paragraphs are dropped wherever their exact
+    text recurs in the corpus. The fixture corpus has no newlines, so
+    the paragraph stand-in is non-overlapping {CHUNK_N}-token chunks —
+    unlike ``t_repeated_ngram_coverage``'s sliding spans, each token
+    belongs to exactly ONE chunk, so the dup ratio here is the actual
+    fraction of text a chunk-dedup pass would delete. Per source:
+    chunk volume, duplicated-chunk volume, the deletion ratio, and
+    docs that are >50% duplicated chunks (whole-doc removal
+    candidates, the integer-exact ``2·dups > chunks`` rule).
+
+    Scale shape: explode is |tokens|/{CHUNK_N} rows (10× cheaper than
+    the sliding-gram table); frequency joins back co-partitioned on
+    the chunk key; per-gram fan-out equals its duplication count —
+    the quantity being measured — never all-pairs.
+    """
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "source", tokenize("text").alias("t")).filter(
+        F.size("t") >= CHUNK_N
+    )
+    # size/10 through double is exact (sizes ≪ 2^53); guarded >= 1 above
+    idx = F.sequence(
+        F.lit(0), (F.size("t") / F.lit(CHUNK_N)).cast("int") - 1
+    )
+    chunks = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.slice(F.col("t"), i * CHUNK_N + 1, F.lit(CHUNK_N))
+        ),
+    )
+    c = t.select("doc_id", "source", F.explode(chunks).alias("chunk"))
+    freq = c.groupBy("chunk").agg(F.count(F.lit(1)).alias("ct"))
+    dup = (F.col("ct") > 1).cast("int")
+    d = (
+        c.join(freq, "chunk")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("chunks"),
+            F.sum(dup).alias("dups"),
+        )
+    )
+    return d.groupBy("source").agg(
+        F.sum("chunks").cast("long").alias("chunk_ct"),
+        F.sum("dups").cast("long").alias("dup_chunk_ct"),
+        (F.sum("dups").cast("double") / F.sum("chunks")).alias("dup_ratio"),
+        F.sum((2 * F.col("dups") > F.col("chunks")).cast("int"))
+        .cast("long")
+        .alias("docs_mostly_dup"),
+    )
+
+
+RARE_DF_DIVISOR = 20  # a term is "rare" when df <= n_docs/20 (5% of docs)
+TOP_TERMS = 5
+
+
+@query(
+    "t_distinctive_terms",
+    oracle=f"""
+    WITH ex AS (
+      SELECT doc_id, source, unnest({_TOKS}) AS w FROM documents
+    ),
+    ex2 AS (SELECT * FROM ex WHERE w <> ''),
+    n(total) AS (SELECT COUNT(*) FROM documents),
+    dfreq AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM ex2 GROUP BY w),
+    tf AS (SELECT source, w, COUNT(*) AS tf FROM ex2 GROUP BY source, w),
+    r AS (
+      SELECT source, w, tf, df,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY tf DESC, w) AS rn
+      FROM tf JOIN dfreq USING (w), n
+      WHERE {RARE_DF_DIVISOR} * df <= total
+    )
+    SELECT source, w AS term, tf, CAST(df AS BIGINT) AS df, rn
+    FROM r WHERE rn <= {TOP_TERMS}
+    """,
+    tags=("textops", "tokens", "tfidf"),
+)
+def t_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive terms per source — TF-IDF made integer-exact.
+
+    The "what is this source about" / topic-drift audit: float TF-IDF
+    scores hash-compare poorly across engines, but its decision
+    structure survives integers exactly — restrict to RARE terms
+    (corpus df ≤ n_docs/{RARE_DF_DIVISOR}, the IDF gate as an
+    integer-exact threshold on the same corpus-derived count the
+    standard knob mechanism uses) and rank by raw term frequency
+    within the source (the TF factor), ties broken lexically so the
+    top-{TOP_TERMS} cut is a total order.
+
+    Scale shape: tf aggregates the token stream once per (source,
+    term); df aggregates a (doc, term)-distinct projection of the
+    same exploded pass. The tf⋈df join runs on term-hashed
+    partitions of two AGGREGATED tables (≪ token stream), and the
+    final rank is one window per source partition — no global sort.
+    """
+    docs = load(spark, sf_dir, "documents")
+    total = table_rows(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id", "source", F.explode(tokenize("text")).alias("w")
+    ).filter(F.col("w") != "")
+    dfreq = (
+        ex.select("doc_id", "w").distinct()
+        .groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    )
+    tf = ex.groupBy("source", "w").agg(F.count(F.lit(1)).alias("tf"))
+    rare = tf.join(dfreq, "w").filter(RARE_DF_DIVISOR * F.col("df") <= total)
+    w = Window.partitionBy("source").orderBy(F.desc("tf"), "w")
+    return (
+        rare.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_TERMS)
+        .select(
+            "source",
+            F.col("w").alias("term"),
+            "tf",
+            F.col("df").cast("long").alias("df"),
+            "rn",
+        )
+    )

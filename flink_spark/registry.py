@@ -128,6 +128,8 @@ _SNAPSHOT_FIRST = (
     "w_cumulate_windows",
     "j_asof_nearest",
     "j_range_band",
+    "t_chunk_dedup",
+    "t_distinctive_terms",
 )
 
 
