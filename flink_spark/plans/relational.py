@@ -1243,3 +1243,56 @@ def j_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("line_ct"),
         F.sum(rev_col()).cast("double").alias("revenue"),
     )
+
+
+@query(
+    "j_semi_anti_customers",
+    oracle="""
+    WITH flags AS (
+      SELECT c_custkey, c_nationkey,
+             EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+                 AS has_o
+      FROM customer c
+    )
+    SELECT n_name,
+           CAST(SUM(CASE WHEN has_o THEN 1 ELSE 0 END) AS BIGINT)
+               AS with_orders,
+           CAST(SUM(CASE WHEN NOT has_o THEN 1 ELSE 0 END) AS BIGINT)
+               AS without_orders
+    FROM flags JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    tags=("join", "semi", "anti"),
+)
+def j_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI / LEFT ANTI joins: customers with and without orders.
+
+    The existence-join pair (SQL ``EXISTS`` / ``NOT EXISTS``) as
+    Spark's dedicated join types. The load-bearing property at scale:
+    a semi join emits each customer AT MOST ONCE no matter how many
+    orders match — an inner join + distinct would first explode a
+    power customer into |orders| rows and shuffle them all; semi/anti
+    short-circuit at the first probe hit (and the build side carries
+    only the join key). Both halves share one shuffle shape (hash on
+    custkey); the nation spine joins broadcast.
+    """
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    ok = load(spark, sf_dir, "orders").select("o_custkey")
+    semi = cust.join(ok, cust.c_custkey == ok.o_custkey, "left_semi")
+    anti = cust.join(ok, cust.c_custkey == ok.o_custkey, "left_anti")
+    a = semi.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("with_orders")
+    )
+    b = anti.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("without_orders")
+    )
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    out = a.join(b, "c_nationkey", "full_outer").join(
+        F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    zero = F.lit(0).cast("long")
+    return out.select(
+        "n_name",
+        F.coalesce("with_orders", zero).alias("with_orders"),
+        F.coalesce("without_orders", zero).alias("without_orders"),
+    )

@@ -970,3 +970,86 @@ def e_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", F.col("rnk").cast("long").alias("rnk"),
                 "cosine")
     )
+
+
+# --------------------------------------------------------------------------
+# Per-label centroid statistics (cluster-compactness audit)
+# --------------------------------------------------------------------------
+
+@query(
+    "e_centroid_stats",
+    oracle=f"""
+    WITH pe AS (
+      SELECT label, i AS idx, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, range(1, {DIM + 1}) t(i)
+    ),
+    comp AS (
+      SELECT label, idx,
+             CAST(SUM(CAST(x AS DECIMAL(32,12))) AS DOUBLE) / COUNT(*) AS m
+      FROM pe GROUP BY label, idx
+    ),
+    cn AS (
+      SELECT label,
+             sqrt(CAST(SUM(CAST(m*m AS DECIMAL(38,18))) AS DOUBLE))
+                 AS centroid_norm
+      FROM comp GROUP BY label
+    ),
+    vn AS (
+      SELECT label, COUNT(*) AS vec_ct,
+             CAST(SUM(CAST({_norm_sql('embedding')} AS DECIMAL(32,12)))
+                  AS DOUBLE) / COUNT(*) AS avg_norm
+      FROM embeddings GROUP BY label
+    )
+    SELECT label, vec_ct, centroid_norm, avg_norm
+    FROM vn JOIN cn USING (label)
+    """,
+    tags=("similarity", "stats", "centroid"),
+)
+def e_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid norm + mean vector norm (cluster audit).
+
+    The compactness numbers an embedding-space health check reads:
+    ``centroid_norm / avg_norm`` near 1 means a tight, coherent
+    cluster; near 0 means the label's vectors cancel — mislabeled or
+    incoherent data. Also the building block of IVF training audits
+    (``e_ann_ivf_topk`` assigns to exactly these centroids).
+
+    Order-insensitivity: every cross-ROW float sum goes through exact
+    decimal (the ``dsum`` discipline — partitioning cannot change the
+    result), while per-vector folds run in array order, which both
+    engines execute identically (``F.aggregate`` ≡ ``list_reduce``).
+    The elementwise mean matrix is |labels|×{DIM} rows — never wider
+    than a broadcast even at a billion vectors, because the explode
+    aggregates map-side per (label, idx) before the shuffle.
+    """
+    from pyspark.sql.types import DecimalType
+
+    v = load(spark, sf_dir, "embeddings")
+    pe = v.select(
+        "label", F.posexplode("embedding").alias("idx", "xf")
+    ).select("label", "idx", F.col("xf").cast("double").alias("x"))
+    comp = pe.groupBy("label", "idx").agg(
+        (
+            F.sum(F.col("x").cast(DecimalType(32, 12))).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    cn = comp.groupBy("label").agg(
+        F.sqrt(
+            F.sum((F.col("m") * F.col("m")).cast(DecimalType(38, 18))).cast(
+                "double"
+            )
+        ).alias("centroid_norm")
+    )
+    vn = v.groupBy("label").agg(
+        F.count(F.lit(1)).alias("vec_ct"),
+        (
+            F.sum(_norm(F.col("embedding")).cast(DecimalType(32, 12))).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("avg_norm"),
+    )
+    return vn.join(cn, "label").select(
+        "label", "vec_ct", "centroid_norm", "avg_norm"
+    )

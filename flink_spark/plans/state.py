@@ -335,3 +335,53 @@ def s_cep_funnel_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("drop_ct"),
         F.count(F.lit(1)).alias("event_ct"),
     )
+
+
+@query(
+    "s_retention_cohorts",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id, epoch_ms(ts)//86400000 AS day FROM events
+    ),
+    f AS (SELECT user_id, MIN(day) AS cohort FROM d GROUP BY user_id)
+    SELECT strftime(make_timestamp(cohort*86400000000), '%Y-%m-%d')
+               AS cohort_day,
+           CAST(day - cohort AS BIGINT) AS day_offset,
+           COUNT(*) AS active_users
+    FROM d JOIN f USING (user_id)
+    GROUP BY cohort, day - cohort
+    """,
+    tags=("state", "cohort"),
+)
+def s_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users active N days after their first day.
+
+    The growth-dashboard staple built from the same first-touch state
+    as ``s_new_vs_returning`` (rt/app/dwd/log/BaseLogApp.java:71-108
+    keeps exactly this per-user first-visit date in ValueState): group
+    users by their first active day (the cohort), then count how many
+    of each cohort return at each day offset. Day indexing is pure
+    integer epoch-day math (``epoch_ms // 86 400 000``) — no date
+    functions, no timezone edge, identical in both engines.
+
+    Scale shape: the (user, day)-distinct projection and the first-day
+    aggregate hash-partition on user_id, so the cohort join is
+    co-located; the final matrix is |days|² rows at most — tiny at any
+    corpus size. No window functions, no global sort.
+    """
+    ev = load(spark, sf_dir, "events")
+    ms = F.unix_millis("ts")
+    day = ((ms - ms % F.lit(86400000)) / F.lit(86400000)).cast("long")
+    d = ev.select("user_id", day.alias("day")).distinct()
+    f = d.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    j = d.join(f, "user_id")
+    out = j.groupBy(
+        "cohort", (F.col("day") - F.col("cohort")).alias("day_offset")
+    ).agg(F.count(F.lit(1)).alias("active_users"))
+    return out.select(
+        F.date_format(
+            F.timestamp_millis(F.col("cohort") * 86400000), "yyyy-MM-dd"
+        ).alias("cohort_day"),
+        F.col("day_offset").cast("long").alias("day_offset"),
+        "active_users",
+    )

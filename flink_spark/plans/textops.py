@@ -2328,3 +2328,55 @@ def t_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
+
+
+@query(
+    "t_cross_source_dedup",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, source, md5({_NORM}) AS fp FROM documents
+    ),
+    r AS (
+      SELECT source,
+             ROW_NUMBER() OVER (PARTITION BY fp ORDER BY source, doc_id)
+                 AS rn
+      FROM fp
+    )
+    SELECT source,
+           COUNT(*) AS docs_total,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_kept,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_ceded
+    FROM r GROUP BY source
+    """,
+    tags=("textops", "dedup", "lineage"),
+)
+def t_cross_source_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority-ordered cross-source exact dedup accounting.
+
+    When the same document text arrives from several crawl sources, a
+    data mix must keep exactly ONE copy — and WHICH source cedes its
+    duplicates changes the mixture weights downstream. Policy here:
+    the lexically-first source wins (a stand-in for any total priority
+    order — substituting a real priority map changes only the ORDER BY).
+    Per source: docs owned, docs kept after cross-source dedup, and
+    docs ceded to a higher-priority source holding the same content
+    fingerprint. ``SUM(kept) + SUM(ceded) = COUNT(*)`` by construction.
+
+    Scale shape: one md5 per doc, one hash shuffle on the fingerprint,
+    and a per-fingerprint window whose partition size equals the
+    duplication count being measured. Contrast ``t_exact_dedup``
+    (canonical-per-fingerprint view): this is the per-SOURCE ledger a
+    mixture rebalance consumes.
+    """
+    docs = load(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", "source", fingerprint("text").alias("fp"))
+    w = Window.partitionBy("fp").orderBy("source", "doc_id")
+    r = fp.withColumn("rn", F.row_number().over(w))
+    kept = (F.col("rn") == 1).cast("int")
+    return r.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs_total"),
+        F.sum(kept).cast("long").alias("docs_kept"),
+        F.sum(1 - kept).cast("long").alias("docs_ceded"),
+    )

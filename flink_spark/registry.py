@@ -130,6 +130,10 @@ _SNAPSHOT_FIRST = (
     "j_range_band",
     "t_chunk_dedup",
     "t_distinctive_terms",
+    "j_semi_anti_customers",
+    "s_retention_cohorts",
+    "t_cross_source_dedup",
+    "e_centroid_stats",
 )
 
 

@@ -125,6 +125,16 @@ def test_range_band_join_broadcasts_bands(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_semi_anti_join_operators(spark):
+    """The existence joins must compile to real semi/anti join nodes
+    (LeftSemi/LeftAnti) — never an inner join + distinct, which would
+    explode a power customer into |orders| shuffled rows first."""
+    plan = _plan(_Q["j_semi_anti_customers"].fn(spark, SF_DIR))
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
 def test_wide_order_5way_plan(spark):
     """The composed 5-table DWD join: dic broadcast, date predicate
     pushed to the orders scan, no cartesian degradation."""
