@@ -45,6 +45,7 @@ from flink_spark.streaming.sources import (  # noqa: F401
 )
 from flink_spark.streaming.cep import pattern_stream  # noqa: F401
 from flink_spark.streaming.state import (  # noqa: F401
+    asof_stream,
     cep_jump_stream,
     daily_unique_stream,
     is_new_correction_stream,

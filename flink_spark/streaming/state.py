@@ -208,3 +208,69 @@ def cep_jump_stream(
 
     pat = SeqPattern(steps=("true", "true"), within_ms=gap_ms)
     return pattern_stream(sdf, pat, watermark).filter(F.col("via") != "match")
+
+
+_ASOF_OUT = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("purchase_us", T.LongType()),
+        T.StructField("view_us", T.LongType()),
+        T.StructField("lag_us", T.LongType()),
+    ]
+)
+_ASOF_STATE = T.StructType([T.StructField("view_us", T.LongType())])
+
+
+def asof_stream(sdf: DataFrame, watermark: str = "2 seconds") -> DataFrame:
+    """Streaming as-of join: purchases enriched with the latest prior view.
+
+    The streaming form of ``j_asof_nearest``: keyed ValueState holds
+    ONE number per user — the latest view timestamp seen so far (the
+    as-of "build side" collapses to a running max, which is why this
+    join streams with O(1) state while a generic stream-stream join
+    would buffer the whole view history). A purchase emits immediately
+    with the stored timestamp; a view only advances the state. Ties
+    (view at the exact purchase microsecond) count as prior — same
+    rule as the batch window sort (tag 0 before 1).
+    """
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            return
+        last = state.get[0] if state.exists else None
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["us", "tag", "event_id"])
+            for r in pdf.itertuples(index=False):
+                if r.tag == 0:
+                    if last is None or r.us > last:
+                        last = r.us
+                elif last is not None:
+                    out.append((r.event_id, key[0], r.us, last, r.us - last))
+        state.update((last,))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "event_id", "user_id", "purchase_us", "view_us", "lag_us"
+                ],
+            )
+
+    ev = sdf.filter(F.col("event_type").isin("view", "purchase")).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.unix_micros("ts").alias("us"),
+        (F.col("event_type") == "purchase").cast("int").alias("tag"),
+    )
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, _ASOF_OUT, _ASOF_STATE, "append", GroupStateTimeout.NoTimeout
+        )
+    )

@@ -40,6 +40,17 @@ def test_tumble_stream_equals_batch(spark, tmp_path):
     assert _rows(out) == _rows(batch)
 
 
+def test_asof_stream_equals_batch(spark, tmp_path):
+    """Streaming as-of join (O(1) running-max state per user) converges
+    to j_asof_nearest's batch table."""
+    from flink_spark.streaming import asof_stream
+
+    sdf = replay_events(spark, SF_DIR, str(tmp_path / "replay"), slices=5)
+    out = run_to_memory(asof_stream(sdf), "asof_mem")
+    batch = _Q["j_asof_nearest"].fn(spark, SF_DIR)
+    assert _rows(out) == _rows(batch)
+
+
 def test_sessionize_stream_equals_batch(spark, tmp_path):
     """Session windows: the streaming session_window aggregation
     converges to w_sessionize's batch table (append mode — a far-future
