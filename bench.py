@@ -65,6 +65,9 @@ HEADLINE = [
     "s_retention_cohorts",
     "t_cross_source_dedup",
     "e_centroid_stats",
+    "w_topn_per_window",
+    "p_pivot_event_matrix",
+    "a_approx_sketch_daily",
 ]
 
 

@@ -1296,3 +1296,80 @@ def j_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("with_orders", zero).alias("with_orders"),
         F.coalesce("without_orders", zero).alias("without_orders"),
     )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "p_pivot_event_matrix",
+    oracle=f"""
+    SELECT strftime(ts, '%Y-%m-%d') AS date_id,
+           {", ".join(
+               f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) "
+               f"AS BIGINT) AS {t}" for t in EVENT_TYPES)}
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("projection", "pivot"),
+)
+def p_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: long event stream reshaped to a day × event-type matrix.
+
+    The wide-dashboard reshape (Spark ``groupBy().pivot()``, SQL
+    PIVOT): one row per day, one column per event type. The pivot
+    VALUES are pinned explicitly — with an unpinned pivot Spark first
+    runs a distinct scan to discover the columns (an extra job) and
+    the output schema becomes data-dependent, which breaks both the
+    oracle contract and any downstream consumer compiled against the
+    schema. Pinned, this is a single scan + one hash aggregation with
+    map-side partials; a brand-new event type lands NOWHERE (the
+    honest failure: schema stays stable, the row is dropped from the
+    matrix — add the column deliberately, as the reference does with
+    its hand-enumerated metric columns).
+    """
+    ev = load(spark, sf_dir, "events")
+    out = (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("date_id"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+    )
+    zero = F.lit(0).cast("long")
+    return out.select(
+        "date_id",
+        *[F.coalesce(F.col(t), zero).alias(t) for t in EVENT_TYPES],
+    )
+
+
+@query(
+    "a_approx_sketch_daily",
+    oracle=None,  # sketch results are estimator-specific by design:
+    # DuckDB's approx_count_distinct and Spark's HLL++ share the
+    # algorithm family but not register layouts, so cross-engine value
+    # equality is undefined. The driver records the rows-only check;
+    # the ACCURACY contract (≤5% relative error vs the exact
+    # aggregates) is pinned in tests/test_plans.py.
+    tags=("sketch", "approx", "rows-only"),
+)
+def a_approx_sketch_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily HLL distinct-user and quantile-sketch value percentiles.
+
+    The sketch surface every 100 TB dashboard eventually needs:
+    ``approx_count_distinct`` (HyperLogLog++) and
+    ``approx_percentile`` replace their exact forms when the exact
+    two-stage distinct (``w_agg_distinct_users``) or a full sort
+    become the dominant shuffle. Both sketches are MERGEABLE — partial
+    sketches combine associatively across partitions and days, which
+    is what makes them the scalable form: state is O(kB) per group
+    regardless of cardinality. Exact twins in the catalog
+    (``s_daily_unique_users``, ``t_length_percentiles``) remain the
+    correctness oracles of record.
+    """
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("date_id")
+    ).agg(
+        F.approx_count_distinct("user_id").alias("uv_approx"),
+        F.percentile_approx("value", 0.5).alias("value_p50_approx"),
+        F.count(F.lit(1)).alias("pv"),
+    )

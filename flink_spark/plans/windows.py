@@ -401,3 +401,54 @@ def w_cumulate_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pv",
         "uv",
     )
+
+
+TOPN_PER_WINDOW = 3
+
+
+@query(
+    "w_topn_per_window",
+    oracle=f"""
+    WITH agg AS (
+      SELECT {_STT} AS stt, user_id, COUNT(*) AS pv,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS amount
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY stt
+                                   ORDER BY amount DESC, user_id) AS rnk
+      FROM agg
+    )
+    SELECT stt, user_id, pv, amount, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= {TOPN_PER_WINDOW}
+    """,
+    tags=("window", "topn"),
+)
+def w_topn_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed Top-N: the {TOPN_PER_WINDOW} biggest spenders per 10 s window.
+
+    Flink SQL's canonical "TopN on a window" job (the hot-items
+    pattern: window TVF → ROW_NUMBER over the window key → rn <= N).
+    Spark's shape is identical — windowed aggregate, then one
+    ``row_number`` partitioned by the window bucket. The rank reads a
+    decimal-exact ``amount``, so ordering is partition-independent;
+    ties break on user_id, making the cut a total order. At scale the
+    rank shuffle carries the AGGREGATED (window, user) rows, never raw
+    events, and each window's partition holds only that window's
+    users — no global sort anywhere.
+    """
+    ev = load(spark, sf_dir, "events")
+    agg = _windowed(ev, "user_id").agg(
+        F.count(F.lit(1)).alias("pv"), dsum("value", "amount")
+    )
+    agg = agg.select(_stamp(agg)[0], "user_id", "pv", "amount")
+    from pyspark.sql import Window as W
+
+    r = F.row_number().over(
+        W.partitionBy("stt").orderBy(F.desc("amount"), "user_id")
+    )
+    return (
+        agg.withColumn("rnk", r)
+        .filter(F.col("rnk") <= TOPN_PER_WINDOW)
+        .select("stt", "user_id", "pv", "amount", F.col("rnk").cast("long").alias("rnk"))
+    )

@@ -134,6 +134,9 @@ _SNAPSHOT_FIRST = (
     "s_retention_cohorts",
     "t_cross_source_dedup",
     "e_centroid_stats",
+    "w_topn_per_window",
+    "p_pivot_event_matrix",
+    "a_approx_sketch_daily",
 )
 
 

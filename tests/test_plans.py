@@ -253,3 +253,32 @@ def test_pair_join_guard_keeps_plain_path_when_unskewed(spark):
     assert "_i#" in gplan and "_j#" in gplan
     assert "CartesianProduct" not in gplan
     release_persisted()
+
+
+def test_approx_sketches_within_tolerance(spark):
+    """a_approx_sketch_daily has no cross-engine oracle (sketch
+    layouts differ); its contract is accuracy: HLL distinct within 5%
+    of exact, median sketch within the value span's 5%."""
+    rows = {
+        r["date_id"]: r
+        for r in _Q["a_approx_sketch_daily"].fn(spark, SF_DIR).collect()
+    }
+    from flink_spark.sources import load
+
+    exact = (
+        load(spark, SF_DIR, "events")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("date_id"))
+        .agg(
+            F.countDistinct("user_id").alias("uv"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.max("value").alias("hi"),
+            F.min("value").alias("lo"),
+        )
+        .collect()
+    )
+    assert rows and len(exact) == len(rows)
+    for e in exact:
+        a = rows[e["date_id"]]
+        assert abs(a["uv_approx"] - e["uv"]) <= max(2, 0.05 * e["uv"]), e
+        span = e["hi"] - e["lo"]
+        assert abs(a["value_p50_approx"] - e["p50"]) <= 0.05 * span, e
