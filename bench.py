@@ -68,6 +68,7 @@ HEADLINE = [
     "w_topn_per_window",
     "p_pivot_event_matrix",
     "a_approx_sketch_daily",
+    "t_unigram_lm_score",
 ]
 
 

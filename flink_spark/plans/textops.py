@@ -2380,3 +2380,89 @@ def t_cross_source_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(kept).cast("long").alias("docs_kept"),
         F.sum(1 - kept).cast("long").alias("docs_ceded"),
     )
+
+
+# unigram-LM quality scoring: flag docs whose average token logprob
+# under the corpus unigram model falls below this (natural-log) floor.
+LM_LOGPROB_FLOOR = -6.5
+
+
+@query(
+    "t_unigram_lm_score",
+    oracle=f"""
+    WITH ex AS (
+      SELECT doc_id, source, unnest({_TOKS}) AS w FROM documents
+    ),
+    ex2 AS (SELECT * FROM ex WHERE w <> ''),
+    n(total) AS (SELECT COUNT(*) FROM ex2),
+    cnt AS (SELECT w, COUNT(*) AS c FROM ex2 GROUP BY w),
+    tok AS (
+      SELECT doc_id, source,
+             CAST(round(ln(CAST(c AS DOUBLE)) - ln(CAST(total AS DOUBLE)), 9)
+                  AS DECIMAL(24,9)) AS lp
+      FROM ex2 JOIN cnt USING (w), n
+    ),
+    d AS (
+      SELECT doc_id, source,
+             CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS avg_lp
+      FROM tok GROUP BY doc_id, source
+    )
+    SELECT source,
+           COUNT(*) AS doc_ct,
+           CAST(SUM(CAST(avg_lp AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+               AS mean_doc_logprob,
+           CAST(SUM(CASE WHEN avg_lp < {LM_LOGPROB_FLOOR} THEN 1 ELSE 0 END)
+                AS BIGINT) AS flagged_docs
+    FROM d GROUP BY source
+    """,
+    tags=("textops", "quality", "lm"),
+)
+def t_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality scoring (the CCNet LM-filter shape).
+
+    CCNet/fastText-style corpus filtering scores each document under a
+    language model and drops the tail; the self-contained form is the
+    corpus's OWN unigram model: per-token logprob ``ln(count/total)``,
+    per-doc average, per-source mean and below-floor count. Documents
+    of rare/garbled vocabulary score low; boilerplate scores high —
+    the decision signal is the RANKING, which a swapped-in external LM
+    would refine but not reshape.
+
+    Float discipline: ``ln`` outputs can differ by 1 ulp between
+    libm implementations, so each token logprob is rounded to 9
+    decimals (transcendental outputs never land on a half-way point)
+    and every cross-row sum runs in exact decimal — bit-identical
+    regardless of partitioning, in both engines.
+
+    Scale shape: token counts are one hash aggregation; the
+    token→count join is co-partitioned on the token key (the count
+    table is corpus-vocabulary-sized — too big to assume broadcast,
+    exactly how a real LM scorer shards its table); per-doc and
+    per-source reductions are ordinary partial aggregations.
+    """
+    docs = load(spark, sf_dir, "documents")
+    from pyspark.sql.types import DecimalType
+
+    ex = docs.select(
+        "doc_id", "source", F.explode(tokenize("text")).alias("w")
+    ).filter(F.col("w") != "")
+    ex = track_persist(ex)  # counts + scoring read the same explode
+    total = ex.count()
+    cnt = ex.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    lp = F.round(
+        F.log(F.col("c").cast("double")) - F.log(F.lit(float(total))), 9
+    ).cast(DecimalType(24, 9))
+    tok = ex.join(cnt, "w").select("doc_id", "source", lp.alias("lp"))
+    d = tok.groupBy("doc_id", "source").agg(
+        (F.sum("lp").cast("double") / F.count(F.lit(1))).alias("avg_lp")
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("doc_ct"),
+        (
+            F.sum(F.col("avg_lp").cast(DecimalType(28, 12))).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_doc_logprob"),
+        F.sum((F.col("avg_lp") < LM_LOGPROB_FLOOR).cast("int"))
+        .cast("long")
+        .alias("flagged_docs"),
+    )

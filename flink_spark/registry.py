@@ -137,6 +137,7 @@ _SNAPSHOT_FIRST = (
     "w_topn_per_window",
     "p_pivot_event_matrix",
     "a_approx_sketch_daily",
+    "t_unigram_lm_score",
 )
 
 
