@@ -23,18 +23,26 @@ def tumble_stream(
     *keys: str,
     ts_col: str = "ts",
     duration: str = "10 seconds",
+    slide: str | None = None,
     watermark: str = "2 seconds",
 ) -> DataFrame:
-    """Keyed tumbling event-time window: count + exact sum (A1/A3/W1/W3).
+    """Keyed tumbling/HOP event-time window: count + exact sum
+    (A1/A3/W1/W3; with ``slide`` set, the streaming form of
+    ``w_hop_windows`` — Flink HOP).
 
     Streaming form of ``w_tumble_10s_keyed`` — identical final table
     (stream-batch equivalence asserted in tests). State is bounded by
     the watermark: windows older than (max event time - watermark)
-    finalize and evict, the Spark analog of Flink window GC.
+    finalize and evict, the Spark analog of Flink window GC. A sliding
+    window multiplies live state by duration/slide overlapping windows
+    — the same constant factor as its shuffle fan-out.
     """
+    win = (
+        F.window(ts_col, duration, slide) if slide else F.window(ts_col, duration)
+    )
     out = (
         sdf.withWatermark(ts_col, watermark)
-        .groupBy(F.window(ts_col, duration), *keys)
+        .groupBy(win, *keys)
         .agg(F.count(F.lit(1)).alias("pv"), dsum("value", "amount"))
     )
     return out.select(

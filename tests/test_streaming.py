@@ -40,6 +40,21 @@ def test_tumble_stream_equals_batch(spark, tmp_path):
     assert _rows(out) == _rows(batch)
 
 
+def test_hop_stream_equals_batch(spark, tmp_path):
+    """HOP (sliding) windows stream: tumble_stream with a slide
+    converges to w_hop_windows' batch table."""
+    sdf = replay_events(spark, SF_DIR, str(tmp_path / "replay"), slices=5)
+    out = run_to_memory(
+        tumble_stream(
+            sdf, "event_type", duration="30 seconds", slide="10 seconds"
+        ),
+        "hop_mem",
+        output_mode="complete",
+    ).select("stt", "event_type", "pv", "amount")
+    batch = _Q["w_hop_windows"].fn(spark, SF_DIR)
+    assert _rows(out) == _rows(batch)
+
+
 def test_asof_stream_equals_batch(spark, tmp_path):
     """Streaming as-of join (O(1) running-max state per user) converges
     to j_asof_nearest's batch table."""
