@@ -309,6 +309,22 @@ OPERATOR_COVERAGE: dict[str, tuple[str, tuple[str, ...]]] = {
     "REST": ("serving.py: publisher controller routes → catalog queries, Sugar envelope", ("tests/test_serving.py::test_province_map_endpoint_matches_query",)),
     "DEDUP-STREAM": ("streaming/dedup.py: incremental exact + MinHash-LSH dedup vs survivor store (epoch-idempotent)", ("tests/test_streaming_dedup.py::test_neardup_stream_matches_simulation",)),
     "DEDUP-CLUSTER": ("plans/graph.py: connected components shared by text + embedding dup clustering", ("t_dup_clusters", "e_dup_clusters")),
+    # --- engine extensions beyond the reference surface (round 6) ---
+    "WIN-SESSION": ("session_window batch + streaming (60 s gap)", ("w_sessionize", "tests/test_streaming.py::test_sessionize_stream_equals_batch")),
+    "WIN-HOP": ("sliding windows, batch + streaming slide", ("w_hop_windows", "tests/test_streaming.py::test_hop_stream_equals_batch")),
+    "WIN-CUMULATE": ("Flink CUMULATE as explode+filter expression", ("w_cumulate_windows",)),
+    "WIN-TOPN": ("windowed Top-N (hot items)", ("w_topn_per_window",)),
+    "JOIN-ASOF": ("as-of join: merge formulation batch, O(1)-state streaming", ("j_asof_nearest", "tests/test_streaming.py::test_asof_stream_equals_batch")),
+    "JOIN-RANGE": ("band range join (broadcast NLJ pinned)", ("j_range_band",)),
+    "JOIN-SEMI-ANTI": ("existence joins as LeftSemi/LeftAnti nodes", ("j_semi_anti_customers",)),
+    "PIVOT": ("groupBy().pivot() with pinned values", ("p_pivot_event_matrix",)),
+    "SKETCH": ("HLL distinct + quantile sketch (mergeable), accuracy-tested", ("a_approx_sketch_daily", "tests/test_plans.py::test_approx_sketches_within_tolerance")),
+    "COHORT": ("retention cohort matrix, integer epoch-day math", ("s_retention_cohorts",)),
+    "DEDUP-CHUNK": ("CCNet paragraph-granularity exact dedup audit", ("t_chunk_dedup",)),
+    "DEDUP-XSOURCE": ("priority-ordered cross-source dedup ledger", ("t_cross_source_dedup",)),
+    "LM-FILTER": ("unigram-LM quality scoring (CCNet filter shape)", ("t_unigram_lm_score",)),
+    "TFIDF": ("distinctive terms, integer-exact TF-IDF structure", ("t_distinctive_terms",)),
+    "CENTROID": ("per-label centroid compactness audit", ("e_centroid_stats",)),
 }
 
 
