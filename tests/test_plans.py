@@ -95,6 +95,11 @@ def test_no_cartesian_or_nested_loop_joins(spark):
         "t_embedding_neardup",
         "t_corpus_pipeline",
         "e_ann_lsh_topk",
+        "t_chunk_dedup",
+        "t_distinctive_terms",
+        "t_unigram_lm_score",
+        "t_cross_source_dedup",
+        "s_retention_cohorts",
     ]:
         plan = _plan(_Q[name].fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
