@@ -69,6 +69,7 @@ HEADLINE = [
     "p_pivot_event_matrix",
     "a_approx_sketch_daily",
     "t_unigram_lm_score",
+    "t_winnow_fingerprints",
 ]
 
 

@@ -138,6 +138,7 @@ _SNAPSHOT_FIRST = (
     "p_pivot_event_matrix",
     "a_approx_sketch_daily",
     "t_unigram_lm_score",
+    "t_winnow_fingerprints",
 )
 
 
