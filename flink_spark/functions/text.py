@@ -159,3 +159,17 @@ def word_shingles(tokens: Column, n: int = 3) -> Column:
 def fingerprint(c: Column | str) -> Column:
     """md5 fingerprint of normalized text (content-defined identity)."""
     return F.md5(normalize_text(c).cast("binary"))
+
+
+def md5_long(c: Column, start: int = 1, hex_chars: int = 8) -> Column:
+    """``hex_chars`` hex digits of md5 starting at ``start``, as a long.
+
+    The one integer-hash primitive behind rolling fingerprints,
+    MinHash double hashing, SimHash token hashes, and winnowing gram
+    hashes. DuckDB twin: ``CAST(concat('0x', substr(md5(x), start,
+    n)) AS BIGINT)`` — keep both spellings in lock-step; ≤ 15 hex
+    chars stays inside int64.
+    """
+    return F.conv(F.substring(F.md5(c.cast("binary")), start, hex_chars), 16, 10).cast(
+        "long"
+    )

@@ -1324,9 +1324,11 @@ def p_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle contract and any downstream consumer compiled against the
     schema. Pinned, this is a single scan + one hash aggregation with
     map-side partials; a brand-new event type lands NOWHERE (the
-    honest failure: schema stays stable, the row is dropped from the
-    matrix — add the column deliberately, as the reference does with
-    its hand-enumerated metric columns).
+    honest failure: schema and day rows stay stable but the new
+    type's events are silently uncounted — audit row sums against the
+    event count, as ``tests/test_invariants.py`` does, and add the
+    column deliberately, as the reference does with its
+    hand-enumerated metric columns).
     """
     ev = load(spark, sf_dir, "events")
     out = (

@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 
 from flink_spark.functions.text import (
     fingerprint,
+    md5_long,
     norm_sql,
     normalize_text,
     tokenize,
@@ -867,11 +868,10 @@ def t_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     of md5 so the polynomial stays under 2^63 between mod steps.
     """
     docs = load(spark, sf_dir, "documents")
-    tok_hash = lambda t: F.conv(F.substring(F.md5(t.cast("binary")), 1, 8), 16, 10).cast("long")  # noqa: E731
     fp = F.aggregate(
         tokenize("text"),
         F.lit(0).cast("long"),
-        lambda h, t: (h * ROLL_BASE + tok_hash(t)) % ROLL_MOD,
+        lambda h, t: (h * ROLL_BASE + md5_long(t)) % ROLL_MOD,
     )
     return docs.select("doc_id", fp.alias("fp")).groupBy("fp").agg(
         F.count(F.lit(1)).cast("long").alias("dup_ct"),
@@ -1312,11 +1312,10 @@ def _minhash_cols_spark() -> list:
 
 
 def _hashed_shingles_spark(ex):
-    m = F.md5(F.col("s").cast("binary"))
     return ex.select(
         "doc_id",
-        F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("h1"),
-        F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("h2"),
+        md5_long(F.col("s")).alias("h1"),
+        md5_long(F.col("s"), start=9).alias("h2"),
     )
 
 
@@ -1594,8 +1593,7 @@ def t_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     cmask = (1 << cbits) - 1
     toks = docs.select("doc_id", F.explode(tokenize("text")).alias("w")).select(
         "doc_id",
-        F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, bits // 4),
-               16, 10).cast("long").alias("v"),
+        md5_long(F.col("w"), hex_chars=bits // 4).alias("v"),
     )
     sums = toks.groupBy("doc_id").agg(
         *[F.expr(t.replace(" AS b", " as b")).alias(f"b{i}")
@@ -2531,22 +2529,28 @@ def t_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select("doc_id", "source", tokenize("text").alias("t")).filter(
         F.size("t") >= WINNOW_K + WINNOW_W - 1
     )
-    gram_hash = lambda g: F.conv(  # noqa: E731
-        F.substring(F.md5(g.cast("binary")), 1, 8), 16, 10
-    ).cast("long")
     h = t.select(
         "doc_id",
         "source",
-        F.transform(word_shingles(F.col("t"), WINNOW_K), gram_hash).alias("h"),
+        F.transform(
+            word_shingles(F.col("t"), WINNOW_K), lambda g: md5_long(g)
+        ).alias("h"),
     )
     wins = F.transform(
         F.sequence(F.lit(0), F.size("h") - WINNOW_W),
         lambda i: F.array_min(F.slice(F.col("h"), i + 1, F.lit(WINNOW_W))),
     )
-    sel = h.select(
-        "source",
-        F.size("h").alias("n_g"),
-        F.array_distinct(wins).alias("fps"),
+    # persisted for two reasons: ps and dis both read it, and the
+    # barrier keeps Catalyst from inlining the nested higher-order
+    # winnow expression under the explode — that inlining sends the
+    # optimizer/codegen into a ~90 s data-size-INDEPENDENT stall
+    # (measured; 0.6 s with the barrier)
+    sel = track_persist(
+        h.select(
+            "source",
+            F.size("h").alias("n_g"),
+            F.array_distinct(wins).alias("fps"),
+        )
     )
     ps = sel.groupBy("source").agg(
         F.count(F.lit(1)).alias("doc_ct"),

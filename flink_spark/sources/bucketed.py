@@ -35,11 +35,20 @@ def write_bucketed(
 ) -> None:
     """Persist ``df`` as a bucketed (and optionally sorted) table.
 
-    Sorting within buckets additionally removes the per-query Sort
-    under SortMergeJoin, leaving a pure merge — the cheapest possible
-    repeated-join plan.
+    Sorting within buckets can additionally remove the per-query Sort
+    under SortMergeJoin — but Spark only trusts a bucket's sort order
+    when the bucket is ONE file (each writer task sorts its own
+    output, so a multi-file bucket is merely piecewise-sorted). The
+    ``repartition(buckets, key)`` below aligns writer partitions with
+    bucket ids (both use the same hash), making every bucket a single
+    file; without it ``sortBy`` still writes valid buckets but every
+    join re-sorts, silently costing the thing it was supposed to buy.
     """
-    w = df.write.mode("overwrite").bucketBy(buckets, key)
+    w = (
+        df.repartition(buckets, key)
+        .write.mode("overwrite")
+        .bucketBy(buckets, key)
+    )
     if sort:
         w = w.sortBy(key)
     w.format("parquet").saveAsTable(table)

@@ -219,20 +219,40 @@ _ASOF_OUT = T.StructType(
         T.StructField("lag_us", T.LongType()),
     ]
 )
-_ASOF_STATE = T.StructType([T.StructField("view_us", T.LongType())])
+_ASOF_STATE = T.StructType(
+    [
+        T.StructField("max_old", T.LongType()),
+        T.StructField("recent", T.ArrayType(T.LongType())),
+    ]
+)
 
 
-def asof_stream(sdf: DataFrame, watermark: str = "2 seconds") -> DataFrame:
+def asof_stream(
+    sdf: DataFrame,
+    watermark: str = "2 seconds",
+    disorder_us: int = 2_000_000,
+) -> DataFrame:
     """Streaming as-of join: purchases enriched with the latest prior view.
 
-    The streaming form of ``j_asof_nearest``: keyed ValueState holds
-    ONE number per user — the latest view timestamp seen so far (the
-    as-of "build side" collapses to a running max, which is why this
-    join streams with O(1) state while a generic stream-stream join
-    would buffer the whole view history). A purchase emits immediately
-    with the stored timestamp; a view only advances the state. Ties
-    (view at the exact purchase microsecond) count as prior — same
-    rule as the batch window sort (tag 0 before 1).
+    The streaming form of ``j_asof_nearest``. Per-user state is a
+    collapsed running max of views older than the disorder horizon
+    plus a small buffer of views inside it — NOT the whole view
+    history a generic stream-stream join would keep. The buffer is
+    what makes bounded out-of-order arrival correct: a purchase that
+    arrives late (but inside the watermark, so Spark admits it) may
+    need a view timestamp SMALLER than the newest one seen; the
+    buffer still holds every view within ``disorder_us`` of the
+    user's max event time, and anything older is ≤ the late
+    purchase's timestamp (the watermark guarantees ``p.us ≥
+    global_max − delay ≥ user_max − disorder``), so the collapsed max
+    is a valid candidate. ``disorder_us`` must therefore be ≥ the
+    watermark delay — the default matches the default watermark.
+
+    Within a batch, chunks are concatenated and sorted before
+    processing (Arrow may deliver one group as several chunks in
+    shuffle order). Ties (view at the exact purchase microsecond)
+    count as prior — same rule as the batch window sort (tag 0
+    before 1).
     """
 
     def fn(key, pdfs, state):
@@ -241,17 +261,38 @@ def asof_stream(sdf: DataFrame, watermark: str = "2 seconds") -> DataFrame:
         if state.hasTimedOut:  # pragma: no cover - no timeout configured
             state.remove()
             return
-        last = state.get[0] if state.exists else None
+        max_old, recent = (
+            (state.get[0], list(state.get[1])) if state.exists else (None, [])
+        )
+        chunks = [pdf for pdf in pdfs]
+        if not chunks:  # pragma: no cover - NoTimeout keys always carry data
+            return
+        pdf = (
+            pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        ).sort_values(["us", "tag", "event_id"])
         out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["us", "tag", "event_id"])
-            for r in pdf.itertuples(index=False):
-                if r.tag == 0:
-                    if last is None or r.us > last:
-                        last = r.us
-                elif last is not None:
-                    out.append((r.event_id, key[0], r.us, last, r.us - last))
-        state.update((last,))
+        for r in pdf.itertuples(index=False):
+            if r.tag == 0:
+                recent.append(r.us)
+            else:
+                # late purchase: pick the newest view at-or-before it —
+                # the buffer covers everything the horizon hasn't
+                # collapsed; max_old is ≤ any admissible purchase time
+                cands = [v for v in recent if v <= r.us]
+                if max_old is not None:
+                    cands.append(max_old)
+                if cands:
+                    best = max(cands)
+                    out.append((r.event_id, key[0], r.us, best, r.us - best))
+        hi = max(recent, default=max_old)
+        if hi is not None:
+            floor = hi - disorder_us
+            older = [v for v in recent if v < floor]
+            if older:
+                fold = max(older)
+                max_old = fold if max_old is None else max(max_old, fold)
+                recent = [v for v in recent if v >= floor]
+        state.update((max_old, recent))
         if out:
             yield pd.DataFrame(
                 out,

@@ -55,13 +55,32 @@ def no_broadcast(spark):
     spark.conf.set(key, old)
 
 
-def test_bucketed_join_is_shuffle_free(spark, bucketed_tables, no_broadcast):
+@pytest.fixture()
+def sorted_bucket_scan(spark):
+    """Spark ≥3 ignores sortBy order at scan time by default
+    (SPARK-28632: a multi-file bucket is only piecewise-sorted, so
+    trusting it was unsafe). write_bucketed writes ONE file per bucket,
+    which is exactly the regime where the legacy conf is sound — and
+    the sort-free merge it buys is the point of sortBy."""
+    key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "true")
+    yield
+    spark.conf.set(key, old)
+
+
+def test_bucketed_join_is_shuffle_free(
+    spark, bucketed_tables, no_broadcast, sorted_bucket_scan
+):
     df = bucketed_join(spark, "b_orders", "b_lineitem", "o_orderkey")
     plan = _plan(df)
     assert "SortMergeJoin" in plan, plan
     assert "Exchange" not in plan, plan
-    # sorted buckets: merge join needs no per-query sort either
-    assert "(1) Sort" not in plan
+    # sorted single-file buckets: the merge join needs no per-query
+    # Sort node either (Spark only trusts one-file buckets' order)
+    import re
+
+    assert not re.findall(r"\(\d+\) Sort\b(?!MergeJoin)", plan), plan
     # and the result matches the plain (shuffled) join
     plain = load(spark, SF_DIR, "orders").select("o_orderkey").join(
         load(spark, SF_DIR, "lineitem").withColumnRenamed(

@@ -55,6 +55,60 @@ def test_hop_stream_equals_batch(spark, tmp_path):
     assert _rows(out) == _rows(batch)
 
 
+def test_asof_stream_handles_out_of_order_purchase(spark, tmp_path):
+    """A purchase arriving late (inside the watermark) after a NEWER
+    view must still match the latest view at-or-before its own time —
+    the case a naive running-max state gets wrong (negative lag)."""
+    import os
+
+    import pandas as pd
+
+    from flink_spark.streaming import asof_stream
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+
+    def ev(eid, sec, typ):
+        return {
+            "event_id": eid,
+            "ts": base + pd.Timedelta(seconds=sec),
+            "user_id": 1,
+            "event_type": typ,
+            "value": 1.0,
+            "props": "{}",
+        }
+
+    slices = [
+        # batch 1: old view, then a much newer view (horizon collapses
+        # the old one into max_old)
+        [ev(1, 10, "view"), ev(2, 100, "view")],
+        # batch 2: purchase at t=99 — late vs the t=100 view but inside
+        # the 2 s watermark; its answer is the t=10 view, NOT t=100
+        [ev(3, 99, "purchase")],
+    ]
+    d = str(tmp_path / "ooo")
+    os.makedirs(d)
+    for i, rows in enumerate(slices):
+        pd.DataFrame(rows).to_parquet(
+            f"{d}/{i:04d}.parquet", index=False, coerce_timestamps="us"
+        )
+    from flink_spark.sources import load
+
+    schema = load(spark, SF_DIR, "events").schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = run_to_memory(asof_stream(sdf), "asof_ooo_mem").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["event_id"] == 3
+    assert r["view_us"] == int(
+        (base + pd.Timedelta(seconds=10)).timestamp() * 1_000_000
+    )
+    assert r["lag_us"] == 89_000_000
+
+
 def test_asof_stream_equals_batch(spark, tmp_path):
     """Streaming as-of join (O(1) running-max state per user) converges
     to j_asof_nearest's batch table."""
