@@ -70,6 +70,7 @@ HEADLINE = [
     "a_approx_sketch_daily",
     "t_unigram_lm_score",
     "t_winnow_fingerprints",
+    "s_abandoned_browse",
 ]
 
 

@@ -385,3 +385,81 @@ def s_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day_offset").cast("long").alias("day_offset"),
         "active_users",
     )
+
+
+ABANDON_WINDOW_MS = 300_000  # browse abandoned if no purchase within 5 min
+
+
+@query(
+    "s_abandoned_browse",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS ms,
+             strftime(ts, '%Y-%m-%d') AS date_id
+      FROM events WHERE event_type = 'view'
+    ),
+    flag AS (
+      SELECT date_id,
+             CASE WHEN NOT EXISTS (
+               SELECT 1 FROM events p
+               WHERE p.event_type = 'purchase'
+                 AND p.user_id = v.user_id
+                 AND epoch_ms(p.ts) > v.ms
+                 AND epoch_ms(p.ts) <= v.ms + {ABANDON_WINDOW_MS}
+             ) THEN 1 ELSE 0 END AS abandoned
+      FROM v
+    )
+    SELECT date_id,
+           COUNT(*) AS views,
+           CAST(SUM(abandoned) AS BIGINT) AS abandoned_views,
+           CAST(SUM(abandoned) AS DOUBLE) / COUNT(*) AS abandon_rate
+    FROM flag GROUP BY date_id
+    """,
+    tags=("cep", "anti", "negative-pattern"),
+)
+def s_abandoned_browse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative CEP pattern (Flink ``notFollowedBy``): browse-abandonment.
+
+    The pattern family the SeqPattern evaluator deliberately does not
+    model (absence, not sequence): a view is ABANDONED when the same
+    user makes NO purchase in the 5 minutes after it. Flink expresses
+    this as ``begin("view").notFollowedBy("purchase").within(5 min)``;
+    the Spark shape is a LEFT ANTI interval join — equi-key on
+    user_id, range predicate on the time bound, so it hash-partitions
+    like any interval join and never degrades to all-pairs. Reported
+    as the per-day abandonment funnel (views, abandoned views, rate —
+    exact integer ratio).
+
+    Absence semantics need a closed horizon: a view is decidable only
+    once the window has passed, which in streaming is exactly the CEP
+    timeout side (``streaming/cep.py``) — the batch form here is the
+    oracle truth the timeout side converges to.
+    """
+    ev = load(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.unix_millis("ts").alias("ms"),
+        F.date_format("ts", "yyyy-MM-dd").alias("date_id"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.unix_millis("ts").alias("p_ms")
+    )
+    abandoned = v.join(
+        p,
+        (v.user_id == p.p_user)
+        & (p.p_ms > v.ms)
+        & (p.p_ms <= v.ms + ABANDON_WINDOW_MS),
+        "left_anti",
+    )
+    a = abandoned.groupBy("date_id").agg(
+        F.count(F.lit(1)).alias("abandoned_views")
+    )
+    t = v.groupBy("date_id").agg(F.count(F.lit(1)).alias("views"))
+    out = t.join(a, "date_id", "left")
+    ab = F.coalesce("abandoned_views", F.lit(0)).cast("long")
+    return out.select(
+        "date_id",
+        "views",
+        ab.alias("abandoned_views"),
+        (ab.cast("double") / F.col("views")).alias("abandon_rate"),
+    )

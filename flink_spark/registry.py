@@ -139,6 +139,7 @@ _SNAPSHOT_FIRST = (
     "a_approx_sketch_daily",
     "t_unigram_lm_score",
     "t_winnow_fingerprints",
+    "s_abandoned_browse",
 )
 
 
