@@ -314,7 +314,7 @@ OPERATOR_COVERAGE: dict[str, tuple[str, tuple[str, ...]]] = {
     "WIN-HOP": ("sliding windows, batch + streaming slide", ("w_hop_windows", "tests/test_streaming.py::test_hop_stream_equals_batch")),
     "WIN-CUMULATE": ("Flink CUMULATE as explode+filter expression", ("w_cumulate_windows",)),
     "WIN-TOPN": ("windowed Top-N (hot items)", ("w_topn_per_window",)),
-    "JOIN-ASOF": ("as-of join: merge formulation batch, O(1)-state streaming", ("j_asof_nearest", "tests/test_streaming.py::test_asof_stream_equals_batch")),
+    "JOIN-ASOF": ("as-of join: merge formulation batch; finalize-on-watermark streaming (disorder-horizon-bounded state)", ("j_asof_nearest", "tests/test_streaming.py::test_asof_stream_equals_batch", "tests/test_streaming.py::test_asof_stream_disorder_matches_bruteforce")),
     "JOIN-RANGE": ("band range join (broadcast NLJ pinned)", ("j_range_band",)),
     "JOIN-SEMI-ANTI": ("existence joins as LeftSemi/LeftAnti nodes", ("j_semi_anti_customers",)),
     "PIVOT": ("groupBy().pivot() with pinned values", ("p_pivot_event_matrix",)),

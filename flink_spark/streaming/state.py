@@ -223,76 +223,104 @@ _ASOF_STATE = T.StructType(
     [
         T.StructField("max_old", T.LongType()),
         T.StructField("recent", T.ArrayType(T.LongType())),
+        T.StructField("pend_id", T.ArrayType(T.LongType())),
+        T.StructField("pend_us", T.ArrayType(T.LongType())),
     ]
 )
 
 
-def asof_stream(
-    sdf: DataFrame,
-    watermark: str = "2 seconds",
-    disorder_us: int = 2_000_000,
-) -> DataFrame:
+def asof_stream(sdf: DataFrame, watermark: str = "2 seconds") -> DataFrame:
     """Streaming as-of join: purchases enriched with the latest prior view.
 
-    The streaming form of ``j_asof_nearest``. Per-user state is a
-    collapsed running max of views older than the disorder horizon
-    plus a small buffer of views inside it — NOT the whole view
-    history a generic stream-stream join would keep. The buffer is
-    what makes bounded out-of-order arrival correct: a purchase that
-    arrives late (but inside the watermark, so Spark admits it) may
-    need a view timestamp SMALLER than the newest one seen; the
-    buffer still holds every view within ``disorder_us`` of the
-    user's max event time, and anything older is ≤ the late
-    purchase's timestamp (the watermark guarantees ``p.us ≥
-    global_max − delay ≥ user_max − disorder``), so the collapsed max
-    is a valid candidate. ``disorder_us`` must therefore be ≥ the
-    watermark delay — the default matches the default watermark.
+    The streaming form of ``j_asof_nearest``, correct under bounded
+    out-of-order ARRIVAL (anything the watermark admits): a purchase
+    is only decidable once no earlier-timestamped view can still
+    arrive, so purchases BUFFER in keyed state until the watermark
+    passes their event time (the same finalize-on-watermark contract
+    as Flink's event-time joins and this repo's CEP timers), then
+    resolve against the view history and emit. Purchases that are
+    already older than the current watermark resolve in the arrival
+    batch — in an in-order stream everything takes that fast path.
 
-    Within a batch, chunks are concatenated and sorted before
-    processing (Arrow may deliver one group as several chunks in
-    shuffle order). Ties (view at the exact purchase microsecond)
-    count as prior — same rule as the batch window sort (tag 0
-    before 1).
+    The view history is NOT kept in full: views older than the
+    watermark collapse into one running max (any still-pending or
+    future purchase has event time ≥ the watermark, so the collapsed
+    max is always an at-or-before candidate for it); only views
+    inside the disorder horizon stay materialized. State per key is
+    O(views-in-horizon + undecided purchases), both bounded by the
+    watermark delay — not by stream length.
+
+    Ties (view at the exact purchase microsecond) count as prior —
+    same rule as the batch window sort (tag 0 before 1). Sentinel
+    ``__flush__`` rows advance the watermark but are neither matched
+    nor emitted.
     """
 
     def fn(key, pdfs, state):
         import pandas as pd
 
-        if state.hasTimedOut:  # pragma: no cover - no timeout configured
-            state.remove()
-            return
-        max_old, recent = (
-            (state.get[0], list(state.get[1])) if state.exists else (None, [])
-        )
-        chunks = [pdf for pdf in pdfs]
-        if not chunks:  # pragma: no cover - NoTimeout keys always carry data
-            return
-        pdf = (
-            pd.concat(chunks) if len(chunks) > 1 else chunks[0]
-        ).sort_values(["us", "tag", "event_id"])
+        max_old, recent, pend = (None, [], [])
+        if state.exists:
+            mo, rec, pids, pus = state.get
+            max_old, recent = mo, list(rec)
+            pend = list(zip(pids, pus))
         out = []
-        for r in pdf.itertuples(index=False):
-            if r.tag == 0:
-                recent.append(r.us)
+        # watermark in ms (Spark reports ms; event times here are us)
+        wm_us = state.getCurrentWatermarkMs() * 1000
+
+        def resolve(eid, pus):
+            cands = [v for v in recent if v <= pus]
+            if max_old is not None and max_old <= pus:
+                cands.append(max_old)
+            if cands:
+                best = max(cands)
+                out.append((eid, key[0], pus, best, pus - best))
+
+        if not state.hasTimedOut:
+            chunks = [pdf for pdf in pdfs]
+            if chunks:
+                pdf = (
+                    pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+                ).sort_values(["us", "tag", "event_id"])
+                for r in pdf.itertuples(index=False):
+                    if r.tag == 0:
+                        recent.append(r.us)
+                    elif r.tag == 1:
+                        pend.append((r.event_id, r.us))
+                    # tag 2 = sentinel: watermark fuel only
+
+        # decidable purchases: no view with time < wm can arrive now,
+        # and a pending purchase has us < wm ⇒ every candidate view
+        # already arrived
+        still = []
+        for eid, pus in sorted(pend, key=lambda p: (p[1], p[0])):
+            if pus < wm_us:
+                resolve(eid, pus)
             else:
-                # late purchase: pick the newest view at-or-before it —
-                # the buffer covers everything the horizon hasn't
-                # collapsed; max_old is ≤ any admissible purchase time
-                cands = [v for v in recent if v <= r.us]
-                if max_old is not None:
-                    cands.append(max_old)
-                if cands:
-                    best = max(cands)
-                    out.append((r.event_id, key[0], r.us, best, r.us - best))
-        hi = max(recent, default=max_old)
-        if hi is not None:
-            floor = hi - disorder_us
-            older = [v for v in recent if v < floor]
-            if older:
-                fold = max(older)
-                max_old = fold if max_old is None else max(max_old, fold)
-                recent = [v for v in recent if v >= floor]
-        state.update((max_old, recent))
+                still.append((eid, pus))
+        pend = still
+
+        # collapse views the watermark has sealed: every undecided or
+        # future purchase has event time ≥ wm, so a single max suffices
+        old = [v for v in recent if v < wm_us]
+        if old:
+            fold = max(old)
+            max_old = fold if max_old is None else max(max_old, fold)
+            recent = [v for v in recent if v >= wm_us]
+
+        if max_old is None and not recent and not pend:
+            if state.exists:  # pragma: no cover - nothing ever stored
+                state.remove()
+        else:
+            state.update(
+                (max_old, recent, [p[0] for p in pend], [p[1] for p in pend])
+            )
+            if pend:
+                # wake when the watermark passes the oldest purchase
+                horizon_ms = min(p[1] for p in pend) // 1000 + 1
+                state.setTimeoutTimestamp(
+                    max(horizon_ms, wm_us // 1000 + 1)
+                )
         if out:
             yield pd.DataFrame(
                 out,
@@ -301,17 +329,20 @@ def asof_stream(
                 ],
             )
 
-    ev = sdf.filter(F.col("event_type").isin("view", "purchase")).select(
-        "user_id",
-        "event_id",
-        "ts",
-        F.unix_micros("ts").alias("us"),
-        (F.col("event_type") == "purchase").cast("int").alias("tag"),
-    )
-    return (
-        ev.withWatermark("ts", watermark)
-        .groupBy("user_id")
-        .applyInPandasWithState(
-            fn, _ASOF_OUT, _ASOF_STATE, "append", GroupStateTimeout.NoTimeout
+    ev = (
+        sdf.withWatermark("ts", watermark)
+        .filter(F.col("event_type").isin("view", "purchase", "__flush__"))
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.unix_micros("ts").alias("us"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .when(F.col("event_type") == "view", 0)
+            .otherwise(2)
+            .alias("tag"),
         )
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        fn, _ASOF_OUT, _ASOF_STATE, "append", GroupStateTimeout.EventTimeTimeout
     )

@@ -78,12 +78,15 @@ def test_asof_stream_handles_out_of_order_purchase(spark, tmp_path):
         }
 
     slices = [
-        # batch 1: old view, then a much newer view (horizon collapses
-        # the old one into max_old)
+        # batch 1: old view, then a much newer view (the watermark
+        # collapses the old one into max_old)
         [ev(1, 10, "view"), ev(2, 100, "view")],
         # batch 2: purchase at t=99 — late vs the t=100 view but inside
         # the 2 s watermark; its answer is the t=10 view, NOT t=100
         [ev(3, 99, "purchase")],
+        # flush: advances the watermark past the pending purchase so
+        # its event-time timer fires and it finalizes
+        [ev(-1, 400, "__flush__")],
     ]
     d = str(tmp_path / "ooo")
     os.makedirs(d)
@@ -109,12 +112,102 @@ def test_asof_stream_handles_out_of_order_purchase(spark, tmp_path):
     assert r["lag_us"] == 89_000_000
 
 
+def test_asof_stream_disorder_matches_bruteforce(spark, tmp_path):
+    """Deterministic pseudo-random event sequence with bounded (≤2 s)
+    arrival disorder across many micro-batches: the streaming as-of
+    output must equal the brute-force answer (max view at-or-before
+    each purchase) computed in pandas."""
+    import hashlib
+    import os
+
+    import pandas as pd
+
+    from flink_spark.streaming import asof_stream
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+
+    def h(i, salt):
+        return int.from_bytes(
+            hashlib.md5(f"{salt}|{i}".encode()).digest()[:4], "big"
+        )
+
+    rows = []
+    for i in range(200):
+        sec = h(i, "t") % 600  # event time within a 10-minute span
+        rows.append(
+            {
+                "event_id": i,
+                "ts": base + pd.Timedelta(seconds=sec),
+                "user_id": h(i, "u") % 5,
+                "event_type": "view" if h(i, "k") % 3 else "purchase",
+                "value": 1.0,
+                # arrival order: event time skewed by up to 2 s (the
+                # watermark bound) — deterministic md5-derived jitter
+                "arrival": sec + (h(i, "j") % 3) - 2,
+            }
+        )
+    pdf = pd.DataFrame(rows).sort_values(["arrival", "event_id"])
+    d = str(tmp_path / "disorder")
+    os.makedirs(d)
+    per = 20
+    for s in range(10):
+        part = pdf.iloc[s * per:(s + 1) * per].drop(columns=["arrival"])
+        part.to_parquet(f"{d}/{s:04d}.parquet", index=False,
+                        coerce_timestamps="us")
+    # flush slice: advances the watermark so every pending purchase's
+    # event-time timer fires and finalizes
+    pd.DataFrame(
+        [{
+            "event_id": -1,
+            "ts": base + pd.Timedelta(seconds=1200),
+            "user_id": 0,
+            "event_type": "__flush__",
+            "value": 0.0,
+        }]
+    ).to_parquet(f"{d}/0010.parquet", index=False, coerce_timestamps="us")
+    from flink_spark.sources import load
+
+    schema = load(spark, SF_DIR, "events").schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    got = sorted(
+        (r["event_id"], r["view_us"])
+        for r in run_to_memory(asof_stream(sdf), "asof_dis_mem").collect()
+    )
+    # brute force on event time (arrival order is irrelevant to truth)
+    us = {r["event_id"]: int(r["ts"].timestamp() * 1_000_000) for r in rows}
+    want = []
+    for r in rows:
+        if r["event_type"] != "purchase":
+            continue
+        views = [
+            us[v["event_id"]]
+            for v in rows
+            if v["event_type"] == "view"
+            and v["user_id"] == r["user_id"]
+            and us[v["event_id"]] <= us[r["event_id"]]
+        ]
+        if views:
+            want.append((r["event_id"], max(views)))
+    assert got == sorted(want)
+
+
 def test_asof_stream_equals_batch(spark, tmp_path):
     """Streaming as-of join (O(1) running-max state per user) converges
     to j_asof_nearest's batch table."""
     from flink_spark.streaming import asof_stream
 
-    sdf = replay_events(spark, SF_DIR, str(tmp_path / "replay"), slices=5)
+    sdf = replay_events(
+        spark,
+        SF_DIR,
+        str(tmp_path / "replay"),
+        slices=5,
+        sentinel_users=(0,),
+        sentinel_delay_s=300,
+    )
     out = run_to_memory(asof_stream(sdf), "asof_mem")
     batch = _Q["j_asof_nearest"].fn(spark, SF_DIR)
     assert _rows(out) == _rows(batch)
