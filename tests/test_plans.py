@@ -100,6 +100,7 @@ def test_no_cartesian_or_nested_loop_joins(spark):
         "t_unigram_lm_score",
         "t_cross_source_dedup",
         "s_retention_cohorts",
+        "s_abandoned_browse",
     ]:
         plan = _plan(_Q[name].fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
