@@ -71,6 +71,9 @@ HEADLINE = [
     "t_unigram_lm_score",
     "t_winnow_fingerprints",
     "s_abandoned_browse",
+    "t_quality_mixture_reweight",
+    "t_pii_redact",
+    "e_semantic_dedup",
 ]
 
 

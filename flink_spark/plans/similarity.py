@@ -1053,3 +1053,118 @@ def e_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vn.join(cn, "label").select(
         "label", "vec_ct", "centroid_norm", "avg_norm"
     )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup: cluster-assigned semantic deduplication
+# --------------------------------------------------------------------------
+
+# within-cell cosine above this => semantic duplicates (same constant
+# as the LSH near-dup family so the two paths are comparable)
+SEMDEDUP_THRESHOLD = COSDUP_THRESHOLD
+
+# argmax cell by struct argsort — probes=1 of the IVF probing rule, so
+# assignment is bit-identical to e_ann_ivf_topk's topc[1]
+_ASSIGN_SQL = (
+    "list_transform(list_slice(list_sort("
+    "list_transform(range(1, cells + 1), j -> {'nv': -d[j], 'i': j})),"
+    " 1, 1), x -> x.i)[1]"
+)
+
+
+@query(
+    "e_semantic_dedup",
+    oracle=f"""
+    WITH {_IVF_CELLS_CTE},
+    scored AS (
+      SELECT vec_id, embedding, {_norm_sql('embedding')} AS nrm,
+             {_cell_scores_sql('embedding')} AS d, cells
+      FROM embeddings, nc
+    ),
+    assign AS (
+      SELECT vec_id, embedding, nrm, {_ASSIGN_SQL} AS cell FROM scored
+    ),
+    dup AS (
+      SELECT DISTINCT y.vec_id
+      FROM assign x JOIN assign y ON x.cell = y.cell AND x.vec_id < y.vec_id
+      WHERE {_EMB_COSINE_SQL} >= {SEMDEDUP_THRESHOLD}
+    )
+    SELECT CAST(cell AS BIGINT) AS cell,
+           COUNT(*) AS vec_ct,
+           CAST(SUM(CASE WHEN dup.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS dropped_ct,
+           CAST(COUNT(*) - SUM(CASE WHEN dup.vec_id IS NOT NULL THEN 1
+                                    ELSE 0 END) AS BIGINT) AS kept_ct,
+           CAST(SUM(CASE WHEN dup.vec_id IS NOT NULL THEN a.vec_id ELSE 0 END)
+                AS BIGINT) AS dropped_id_sum
+    FROM assign a LEFT JOIN dup ON a.vec_id = dup.vec_id
+    GROUP BY cell
+    """,
+    tags=("similarity", "dedup", "semdedup", "clustering"),
+)
+def e_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: within-cluster cosine dedup (Abbas et al. 2023).
+
+    The cluster-then-dedup recipe for semantic deduplication at scale:
+    instead of a global near-neighbor search, assign every vector to a
+    coarse cluster, compare pairs ONLY within a cluster, and keep one
+    representative per duplicate group (here: a vector is dropped iff
+    a same-cell neighbor with a SMALLER vec_id sits above the cosine
+    threshold — the hash-free deterministic form of SemDeDup's greedy
+    keep-first rule). Output audits each cell: population, dropped /
+    kept counts, and ``dropped_id_sum`` pinning the exact dropped set.
+
+    Reuses the IVF coarse quantizer (``e_ann_ivf_topk``): cells =
+    argmax over ``ivf_cells_for(n)`` md5-derived directions, so cell
+    count tracks √n and expected cell size is √n — the within-cell
+    pair volume is n^1.5-ish rather than n², and the per-cell join
+    runs through the skew-guarded ``pair_self_join`` (a dense semantic
+    cluster grid-splits instead of becoming one quadratic task; with
+    trained k-means centroids the same dataflow applies unchanged).
+    This complements ``t_embedding_neardup``: LSH banding finds pairs
+    ACROSS the space at a recall target; SemDeDup trades global recall
+    for a hard per-cluster cost bound — production pipelines run
+    exactly this shape at billions of vectors.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    n_cells = _active_ivf_cells(spark, sf_dir)
+    scored = emb.select(
+        "vec_id", "embedding",
+        _norm(F.col("embedding")).alias("nrm"),
+        _cell_scores_spark(F.col("embedding"), n_cells).alias("d"),
+    )
+    assign = scored.select(
+        "vec_id", "embedding", "nrm",
+        F.expr(
+            f"transform(slice(array_sort(transform(sequence(1, {n_cells}), "
+            "j -> struct(-element_at(d, j) AS nv, j AS i))), 1, 1), "
+            "x -> x.i)[0]"
+        ).alias("cell"),
+    )
+    assign = track_persist(assign)
+    pairs = pair_self_join(
+        assign, "vec_id", ["cell"], payload=["embedding", "nrm"],
+        persist=False,
+    )
+    cos = _dot(F.col("embedding1"), F.col("embedding2")) / (
+        F.col("nrm1") * F.col("nrm2")
+    )
+    dup = (
+        pairs.filter(cos >= SEMDEDUP_THRESHOLD)
+        .select(F.col("d2").alias("vec_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(1))
+    )
+    flagged = assign.select("vec_id", "cell").join(dup, "vec_id", "left")
+    dropped = F.col("_dropped").isNotNull()
+    return flagged.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("vec_ct"),
+        F.sum(dropped.cast("int")).cast("long").alias("dropped_ct"),
+        (F.count(F.lit(1)) - F.sum(dropped.cast("int"))).cast("long")
+        .alias("kept_ct"),
+        F.sum(F.when(dropped, F.col("vec_id")).otherwise(0)).cast("long")
+        .alias("dropped_id_sum"),
+    ).select(
+        F.col("cell").cast("long").alias("cell"),
+        "vec_ct", "dropped_ct", "kept_ct", "dropped_id_sum",
+    )

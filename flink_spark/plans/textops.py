@@ -1629,8 +1629,8 @@ def t_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Flagship composition: end-to-end corpus curation pipeline
 # --------------------------------------------------------------------------
 
-def _quality_pass_sql() -> str:
-    """Quality gate shared with t_quality_score (score >= 2 of 3)."""
+def _quality_score_sql() -> str:
+    """0-3 heuristic score; SQL twin of the t_quality_score expression."""
     n_tok = f"len({_TOKS})"
     stop = f"len(list_filter({_TOKS}, x -> x IN {_STOP_LIST}))"
     alpha = f"length(replace({_NORM}, ' ', ''))"
@@ -1639,8 +1639,13 @@ def _quality_pass_sql() -> str:
         f" + CASE WHEN CAST({stop} AS DOUBLE) / {n_tok} BETWEEN 0.02 AND 0.5"
         f"        THEN 1 ELSE 0 END"
         f" + CASE WHEN CAST({alpha} AS DOUBLE) / {n_tok} BETWEEN 3 AND 8"
-        f"        THEN 1 ELSE 0 END) >= 2"
+        f"        THEN 1 ELSE 0 END)"
     )
+
+
+def _quality_pass_sql() -> str:
+    """Quality gate shared with t_quality_score (score >= 2 of 3)."""
+    return f"{_quality_score_sql()} >= 2"
 
 
 @query(
@@ -2573,4 +2578,191 @@ def t_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             "density"
         ),
         "fp_distinct",
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality-bucket mixture reweighting (DCLM/FineWeb-style sampling)
+# --------------------------------------------------------------------------
+
+# keep-rate per quality score (0-3): high-quality kept whole, the
+# low-quality tail sampled down hard — the shape of a quality-aware
+# data mix (classifier-bucket resampling a la DCLM / FineWeb-Edu).
+QMIX_PCT = (5, 25, 60, 100)  # index = quality score
+_QMIX_CASE = (
+    "CASE score "
+    + " ".join(f"WHEN {s} THEN {p}" for s, p in enumerate(QMIX_PCT))
+    + " END"
+)
+
+
+def _quality_score_spark():
+    """Spark twin of :func:`_quality_score_sql` (see t_quality_score)."""
+    toks = tokenize("text")
+    n_tok = F.size(toks)
+    stop_ratio = (
+        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double")
+        / n_tok
+    )
+    avg_len = (
+        F.length(F.regexp_replace(normalize_text("text"), " ", "")).cast(
+            "double"
+        )
+        / n_tok
+    )
+    return (
+        F.when(n_tok.between(20, 200), 1).otherwise(0)
+        + F.when(stop_ratio.between(0.02, 0.5), 1).otherwise(0)
+        + F.when(avg_len.between(3, 8), 1).otherwise(0)
+    )
+
+
+@query(
+    "t_quality_mixture_reweight",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source, {_quality_score_sql()} AS score
+      FROM documents
+    ),
+    tagged AS (
+      SELECT doc_id, source, score, {_QMIX_CASE} AS pct,
+             CAST(concat('0x', substr(md5('qmix:' || CAST(doc_id AS VARCHAR)),
+                         1, 4)) AS BIGINT) % 100 AS bucket
+      FROM scored
+    )
+    SELECT source, CAST(score AS BIGINT) AS quality_score,
+           CAST(MAX(pct) AS BIGINT) AS keep_pct,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN bucket < pct THEN 1 ELSE 0 END) AS BIGINT)
+             AS kept,
+           CAST(SUM(CASE WHEN bucket < pct THEN doc_id ELSE 0 END) AS BIGINT)
+             AS kept_id_sum
+    FROM tagged GROUP BY source, score
+    """,
+    tags=("textops", "mixture", "quality", "sampling"),
+)
+def t_quality_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-bucket resampling: per-score keep rates, hash-deterministic.
+
+    The quality-aware half of data-mix control (``t_source_mixture``
+    balances SOURCES; this balances QUALITY STRATA — the
+    classifier-bucket resampling of DCLM / FineWeb-Edu pipelines):
+    each document's 0-3 heuristic score (the ``t_quality_score``
+    expression) picks a keep percentage ({QMIX_PCT}), and membership
+    is md5('qmix:'||doc_id) mod 100 < pct — a pure function of the
+    key, independent of the train/val and source-mixture hashes (each
+    selection uses its own salt), stable under reshuffles and
+    backfills. ``kept_id_sum`` pins the exact kept set.
+
+    Shape: fully map-side scoring + one small aggregate — no window,
+    no join; the 100 TB plan is a single scan. (Rate-by-hash rather
+    than rank-to-quota: quotas need a per-stratum sort; rates don't,
+    and a mix spec in rates is how production pipelines state it.)
+    """
+    docs = load(spark, sf_dir, "documents")
+    score = _quality_score_spark()
+    pct = F.element_at(
+        F.array(*[F.lit(p) for p in QMIX_PCT]), score + 1
+    )
+    bucket = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit("qmix:"), F.col("doc_id").cast("string")).cast(
+                    "binary"
+                )
+            ),
+            1, 4,
+        ),
+        16, 10,
+    ).cast("long") % 100
+    tagged = docs.select(
+        "source", "doc_id",
+        score.alias("score"), pct.alias("pct"), bucket.alias("bucket"),
+    )
+    kept = F.col("bucket") < F.col("pct")
+    return tagged.groupBy("source", "score").agg(
+        F.max("pct").cast("long").alias("keep_pct"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept.cast("int")).cast("long").alias("kept"),
+        F.sum(F.when(kept, F.col("doc_id")).otherwise(0)).cast("long")
+        .alias("kept_id_sum"),
+    ).select(
+        "source", F.col("score").cast("long").alias("quality_score"),
+        "keep_pct", "n_docs", "kept", "kept_id_sum",
+    )
+
+
+# --------------------------------------------------------------------------
+# PII / sensitive-pattern redaction over log payloads
+# --------------------------------------------------------------------------
+
+# Pattern classes a log-scrubbing pass removes before payloads reach a
+# training corpus. Plain character classes only — identical semantics
+# in Java regex (Spark) and RE2 (DuckDB).
+PII_NUM_PAT = "[0-9]+"
+PII_EMAIL_PAT = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+
+
+@query(
+    "t_pii_redact",
+    oracle=f"""
+    WITH r AS (
+      SELECT event_type, props,
+             len(regexp_extract_all(props, '{PII_NUM_PAT}')) AS num_runs,
+             length(props)
+               - length(regexp_replace(props, '{PII_NUM_PAT}', '', 'g'))
+               AS redacted_chars,
+             len(regexp_extract_all(props, '{PII_EMAIL_PAT}')) AS email_hits,
+             regexp_replace(props, '{PII_NUM_PAT}', '<NUM>', 'g') AS shape
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(num_runs) AS BIGINT) AS num_runs,
+           CAST(SUM(redacted_chars) AS BIGINT) AS redacted_chars,
+           CAST(SUM(email_hits) AS BIGINT) AS email_hits,
+           COUNT(DISTINCT shape) AS distinct_shapes
+    FROM r GROUP BY event_type
+    """,
+    tags=("textops", "pii", "redaction"),
+)
+def t_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-pattern scrub audit over event payloads (log sanitization).
+
+    The scrubbing pass a pipeline runs before raw logs may enter a
+    corpus: match pattern classes (numeric identifiers, emails),
+    count and mask them, and audit how far masking collapses payload
+    variety (``distinct_shapes`` = distinct payloads AFTER masking —
+    the figure that tells you the redacted corpus is template-shaped,
+    i.e. the scrub caught the identifying parts). The fixture's
+    payloads carry numeric ids (live signal); the email class matches
+    zero here but exercises the same compare, demonstrating the
+    multi-class machinery.
+
+    All pattern work is JVM-side ``regexp_count``/``regexp_replace``
+    inside codegen (patterns restricted to plain character classes so
+    Java regex and RE2 agree); one scan, one small aggregate — the
+    100 TB plan. Redacted char volume is measured as length delta
+    (exact integers), never float.
+    """
+    ev = load(spark, sf_dir, "events")
+    num = F.lit(PII_NUM_PAT)
+    r = ev.select(
+        "event_type",
+        F.regexp_count(F.col("props"), num).alias("num_runs"),
+        (
+            F.length("props")
+            - F.length(F.regexp_replace(F.col("props"), PII_NUM_PAT, ""))
+        ).alias("redacted_chars"),
+        F.regexp_count(F.col("props"), F.lit(PII_EMAIL_PAT)).alias(
+            "email_hits"
+        ),
+        F.regexp_replace(F.col("props"), PII_NUM_PAT, "<NUM>").alias("shape"),
+    )
+    return r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("num_runs").cast("long").alias("num_runs"),
+        F.sum("redacted_chars").cast("long").alias("redacted_chars"),
+        F.sum("email_hits").cast("long").alias("email_hits"),
+        F.countDistinct("shape").alias("distinct_shapes"),
     )

@@ -116,3 +116,55 @@ def test_unigram_lm_scores_are_negative_logprobs(spark):
     from flink_spark.registry import release_persisted
 
     release_persisted()
+
+
+def test_semantic_dedup_accounting(spark):
+    """Every cell: kept + dropped == population; totals cover the
+    corpus exactly once; the dropped set never includes a cell's
+    minimum vec_id (the keep-first rule always keeps the head)."""
+    out = _Q["e_semantic_dedup"].fn(spark, SF_DIR)
+    rows = out.collect()
+    from flink_spark.registry import release_persisted
+
+    release_persisted()
+    assert all(r["kept_ct"] + r["dropped_ct"] == r["vec_ct"] for r in rows)
+    assert all(r["kept_ct"] >= 1 for r in rows)  # head survives
+    assert sum(r["vec_ct"] for r in rows) == table_rows(
+        spark, SF_DIR, "embeddings"
+    )
+
+
+def test_quality_mixture_reweight_bounds(spark):
+    """Keep counts within quota bounds and pct drawn from QMIX_PCT."""
+    from flink_spark.plans.textops import QMIX_PCT
+
+    out = _Q["t_quality_mixture_reweight"].fn(spark, SF_DIR).collect()
+    assert sum(r["n_docs"] for r in out) == table_rows(
+        spark, SF_DIR, "documents"
+    )
+    for r in out:
+        assert r["keep_pct"] == QMIX_PCT[r["quality_score"]]
+        assert 0 <= r["kept"] <= r["n_docs"]
+        if r["keep_pct"] == 100:
+            assert r["kept"] == r["n_docs"]  # rate 100 keeps everything
+
+
+def test_pii_redact_masks_digits(spark):
+    """Each digit run redacts >= 1 char; masking can only collapse
+    payload variety, never exceed the event count."""
+    out = _Q["t_pii_redact"].fn(spark, SF_DIR).collect()
+    assert sum(r["num_runs"] for r in out) > 0  # live signal on fixture
+    for r in out:
+        assert r["redacted_chars"] >= r["num_runs"]
+        assert 1 <= r["distinct_shapes"] <= r["n_events"]
+        assert r["email_hits"] == 0  # fixture carries no emails
+
+
+def test_mixture_and_pii_plans_are_scan_plus_agg(spark):
+    """The reweight and redact plans must be one scan + aggregation —
+    no join, no window, no global sort (the fully map-side shape that
+    makes them free at 100 TB)."""
+    for name in ("t_quality_mixture_reweight", "t_pii_redact"):
+        plan = _Q[name].fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        for node in ("Join", "Window", "CartesianProduct"):
+            assert node not in plan, (name, node)

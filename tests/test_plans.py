@@ -101,6 +101,7 @@ def test_no_cartesian_or_nested_loop_joins(spark):
         "t_cross_source_dedup",
         "s_retention_cohorts",
         "s_abandoned_browse",
+        "e_semantic_dedup",
     ]:
         plan = _plan(_Q[name].fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
