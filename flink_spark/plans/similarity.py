@@ -56,6 +56,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from flink_spark.plans.graph import CC_SQL_CTES, connected_components
 from flink_spark.plans.pairjoin import pair_self_join
@@ -871,8 +872,57 @@ def _cell_scores_sql(a: str) -> str:
     )
 
 
-def _cell_scores_spark(a, cells: int):
-    return F.array(*[_proj(a, _centroid(k)) for k in range(cells)])
+def _with_cell_scores(df: DataFrame, spark: SparkSession, cells: int) -> DataFrame:
+    """Add ``d`` = per-cell projection scores of ``embedding``.
+
+    Arrow-batched ``mapInPandas`` against the full centroid matrix —
+    the one dense-linear-algebra kernel in the catalog (scores =
+    E · Cᵀ, the IVF assignment step), and the place where JVM
+    expressions stop being the right tool once the cell count tracks
+    √n (``ivf_cells_for``): one inlined projection expression per
+    cell puts cells × DIM literal nodes into the plan (measured:
+    18.7 s at sf0.1's 142 cells, mostly driver-side analysis/codegen
+    — cost growing with the CORPUS but paid on the DRIVER), and a
+    single higher-order ``transform``+``aggregate`` expression is
+    worse (interpreted per element: n × cells × DIM lambda calls).
+    The kernel travels as a plain numpy matrix inside the task
+    closure (the Spark shape for a trained quantizer is the same
+    kernel with the centroids read from a table first).
+
+    Bit-exactness with the DuckDB oracle is preserved by running the
+    matmul as a SEQUENTIAL per-dimension accumulation (``acc += E[:,
+    i] * C[:, i]``): every element of ``acc`` experiences the exact
+    left-fold add order of ``_dot``/``list_reduce`` in IEEE double,
+    so assignment and probing stay hash-identical — numpy's own
+    ``@``/``dot`` would pairwise-sum and drift ulps. float32 →
+    float64 widening is exact, matching ``CAST(e[i] AS DOUBLE)``.
+    """
+    import numpy as np
+
+    cents = np.array(
+        [[float(s) for s in _centroid(k)] for k in range(cells)]
+    )  # (cells, DIM)
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("d", T.ArrayType(T.DoubleType()))]
+    )
+
+    def fn(batches):
+        import numpy as np
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            acc = np.zeros((n, cents.shape[0]))
+            for i in range(cents.shape[1]):
+                acc = acc + E[:, i : i + 1] * cents[:, i]
+            pdf = pdf.copy()
+            pdf["d"] = list(acc)
+            yield pdf
+
+    return df.mapInPandas(fn, out_schema)
 
 
 @query(
@@ -933,10 +983,11 @@ def e_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load(spark, sf_dir, "embeddings")
     n_cells = _active_ivf_cells(spark, sf_dir)
-    scored = emb.select(
-        "vec_id", "embedding",
-        _norm(F.col("embedding")).alias("nrm"),
-        _cell_scores_spark(F.col("embedding"), n_cells).alias("d"),
+    scored = _with_cell_scores(
+        emb.select(
+            "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+        ),
+        spark, n_cells,
     )
     probed = scored.withColumn(
         "topc",
@@ -1128,10 +1179,11 @@ def e_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load(spark, sf_dir, "embeddings")
     n_cells = _active_ivf_cells(spark, sf_dir)
-    scored = emb.select(
-        "vec_id", "embedding",
-        _norm(F.col("embedding")).alias("nrm"),
-        _cell_scores_spark(F.col("embedding"), n_cells).alias("d"),
+    scored = _with_cell_scores(
+        emb.select(
+            "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+        ),
+        spark, n_cells,
     )
     assign = scored.select(
         "vec_id", "embedding", "nrm",

@@ -60,11 +60,13 @@ def test_ann_scores_are_true_and_ranked(spark, exact, name):
 
 
 @pytest.mark.parametrize("name,floor", [
-    # banded SRP (4 bands) measures ~0.44 on the near-orthogonal
-    # fixture — roughly double the single-band design it replaced;
-    # the floor stays conservative to absorb knob-rule drift.
-    ("e_ann_lsh_topk", 0.20),
-    ("e_ann_ivf_topk", 0.10),
+    # banded SRP (4 bands) measures 0.44 on the near-orthogonal
+    # fixture at BOTH sf0.001 and sf0.01 — roughly double the
+    # single-band design it replaced (~0.2). The floor sits at 0.30:
+    # above anything the single-band design could reach (a banding
+    # regression fails), with headroom for knob-rule drift.
+    ("e_ann_lsh_topk", 0.30),
+    ("e_ann_ivf_topk", 0.15),
 ])
 def test_ann_recall_floor(spark, exact, name, floor):
     ann = _Q[name].fn(spark, SF_DIR).collect()
