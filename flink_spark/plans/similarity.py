@@ -59,7 +59,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from flink_spark.plans.graph import CC_SQL_CTES, connected_components
-from flink_spark.plans.pairjoin import pair_self_join
+from flink_spark.plans.pairjoin import MAX_BUCKET, pair_self_join
 from flink_spark.registry import query, track_persist
 from flink_spark.sources import load, table_rows
 
@@ -509,28 +509,101 @@ _EMB_PAIRS_CTES = f"""{_LSH_BITS_CTE},
 def _emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified banded-LSH cosine near-dup pairs (d1 < d2, cosine) --
     the Spark twin of ``_EMB_PAIRS_CTES``; algorithm notes on
-    ``t_embedding_neardup``."""
+    ``t_embedding_neardup``.
+
+    Hybrid physical strategy, same result either way:
+
+    - **No oversized bucket** (md5-uniform band keys -- the common
+      case): ``applyInPandas`` PER BAND-BUCKET, pairwise cosines in a
+      blocked numpy kernel, only pairs >= threshold emitted, distinct
+      across bands. Embeddings cross the shuffle once per band (4n
+      rows), never per candidate pair -- the pair-materializing join
+      moved candidates x 2 x vector-width bytes and paid an
+      interpreted per-element fold on every pair (measured 56.6 s at
+      the 100x corpus vs 3.4 s for this form).
+    - **Oversized bucket detected** (adversarial/Zipfian corpus): the
+      skew-guarded grid pair join (``plans.pairjoin``) bounds any one
+      task at ~cap^2 comparisons, with the pair-cosine numpy kernel
+      replacing the interpreted fold. Slower per pair, but no
+      straggler task -- the insurance path.
+
+    The probe is one scalar action over the persisted band table
+    (exactly ``pair_self_join``'s own probe). Cosines are
+    bit-identical on both paths (same sequential fold), so the oracle
+    never changes; the all-identical-corpus property test pins the
+    fallback path end-to-end.
+    """
     bits = _active_lsh_bits(spark, sf_dir)
     emb = load(spark, sf_dir, "embeddings")
-    v = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
-    bands = emb.select(
-        "vec_id", F.explode(_band_keys(F.col("embedding"), bits)).alias("bkey")
+    bands_v = track_persist(
+        emb.select(
+            "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"),
+            F.explode(_band_keys(F.col("embedding"), bits)).alias("bkey"),
+        )
     )
-    # skew-guarded band-key self-join (plans.pairjoin): a dense
-    # semantic cluster cannot collapse into one quadratic bucket task
-    cand = pair_self_join(bands, "vec_id", ["bkey"]).distinct()
-    x = v.select(F.col("vec_id").alias("d1"),
-                 F.col("embedding").alias("qe"), F.col("nrm").alias("qn"))
-    y = v.select(F.col("vec_id").alias("d2"),
-                 F.col("embedding").alias("ne"), F.col("nrm").alias("nn"))
+    oversized = (
+        bands_v.groupBy("bkey").agg(F.count(F.lit(1)).alias("_m"))
+        .filter(F.col("_m") > MAX_BUCKET).limit(1).count() > 0
+    )
+    if not oversized:
+        thresh = COSDUP_THRESHOLD
+        out_schema = T.StructType([
+            T.StructField("d1", T.LongType()),
+            T.StructField("d2", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ])
+
+        def bucket_pairs(pdf):
+            import numpy as np
+            import pandas as pd
+
+            pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+            m = len(pdf)
+            if m < 2:
+                return pd.DataFrame(
+                    {"d1": [], "d2": [], "cosine": []}
+                ).astype({"d1": "int64", "d2": "int64", "cosine": "float64"})
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            nrm = pdf["nrm"].to_numpy()
+            ids = pdf["vec_id"].to_numpy()
+            cols = np.arange(m)
+            o1, o2, oc = [], [], []
+            B = 4096  # Gram rows per block: memory O(B*m), not O(m^2)
+            for r0 in range(0, m, B):
+                r1 = min(r0 + B, m)
+                acc = np.zeros((r1 - r0, m))
+                for i in range(E.shape[1]):
+                    acc = acc + E[r0:r1, i : i + 1] * E[:, i]
+                cos = acc / (nrm[r0:r1, None] * nrm[None, :])
+                later = cols[None, :] > np.arange(r0, r1)[:, None]
+                r, c = np.nonzero((cos >= thresh) & later)
+                o1.append(ids[r + r0]); o2.append(ids[c]); oc.append(cos[r, c])
+            return pd.DataFrame({
+                "d1": np.concatenate(o1), "d2": np.concatenate(o2),
+                "cosine": np.concatenate(oc),
+            })
+
+        return (
+            bands_v.groupBy("bkey")
+            .applyInPandas(bucket_pairs, out_schema)
+            .distinct()
+        )
+    cand = pair_self_join(
+        bands_v.select("vec_id", "bkey"), "vec_id", ["bkey"], persist=False
+    ).distinct()
+    x = bands_v.select(
+        F.col("vec_id").alias("d1"), F.col("embedding").alias("embedding1"),
+        F.col("nrm").alias("nrm1"),
+    ).dropDuplicates(["d1"])
+    y = bands_v.select(
+        F.col("vec_id").alias("d2"), F.col("embedding").alias("embedding2"),
+        F.col("nrm").alias("nrm2"),
+    ).dropDuplicates(["d2"])
     # no explicit broadcast: at corpus scale the vector table is the
     # big side and candidates the small one -- AQE picks the build side.
-    return (
-        cand.join(x, "d1")
-        .join(y, "d2")
-        .select("d1", "d2", _cosine_spark().alias("cosine"))
-        .filter(F.col("cosine") >= COSDUP_THRESHOLD)
-    )
+    return _pair_cosines_pandas(
+        cand.join(x, "d1").join(y, "d2")
+    ).filter(F.col("cosine") >= COSDUP_THRESHOLD)
 
 
 @query(
@@ -872,30 +945,45 @@ def _cell_scores_sql(a: str) -> str:
     )
 
 
-def _with_cell_scores(df: DataFrame, spark: SparkSession, cells: int) -> DataFrame:
-    """Add ``d`` = per-cell projection scores of ``embedding``.
+def _with_probe_cells(
+    df: DataFrame, spark: SparkSession, cells: int, probes: int
+) -> DataFrame:
+    """Add ``topc`` = the ``probes`` best cell indices (1-based, score
+    descending, first-index tiebreak) of ``embedding``.
 
     Arrow-batched ``mapInPandas`` against the full centroid matrix —
     the one dense-linear-algebra kernel in the catalog (scores =
     E · Cᵀ, the IVF assignment step), and the place where JVM
     expressions stop being the right tool once the cell count tracks
-    √n (``ivf_cells_for``): one inlined projection expression per
-    cell puts cells × DIM literal nodes into the plan (measured:
-    18.7 s at sf0.1's 142 cells, mostly driver-side analysis/codegen
-    — cost growing with the CORPUS but paid on the DRIVER), and a
-    single higher-order ``transform``+``aggregate`` expression is
-    worse (interpreted per element: n × cells × DIM lambda calls).
-    The kernel travels as a plain numpy matrix inside the task
-    closure (the Spark shape for a trained quantizer is the same
-    kernel with the centroids read from a table first).
+    √n (``ivf_cells_for``). Measured at sf0.1 (142 cells) / the 100×
+    corpus (200k vectors, 448 cells):
 
-    Bit-exactness with the DuckDB oracle is preserved by running the
-    matmul as a SEQUENTIAL per-dimension accumulation (``acc += E[:,
-    i] * C[:, i]``): every element of ``acc`` experiences the exact
-    left-fold add order of ``_dot``/``list_reduce`` in IEEE double,
-    so assignment and probing stay hash-identical — numpy's own
-    ``@``/``dot`` would pairwise-sum and drift ulps. float32 →
-    float64 widening is exact, matching ``CAST(e[i] AS DOUBLE)``.
+    - one inlined projection expression PER CELL plants cells × DIM
+      literal nodes in the plan; analysis/codegen cost lands on the
+      DRIVER and grows with the corpus — 18.7 s at sf0.1, unusable
+      at 10×;
+    - one higher-order ``transform``+``aggregate`` expression is
+      interpreted per ELEMENT (n × cells × DIM lambda calls) — ~21 s
+      at sf0.1;
+    - the numpy kernel emitting full score arrays still paid ~16 s
+      at 100× shipping cells-wide Arrow columns back and
+      struct-argsorting them in an interpreted JVM expression.
+
+    Hence this form: the matrix rides in the task closure (a trained
+    quantizer would read it from a table into the same closure), the
+    argsort happens INSIDE the kernel, and only ``probes`` small ints
+    leave it.
+
+    Bit-exactness with the DuckDB oracle: the matmul runs as a
+    SEQUENTIAL per-dimension accumulation (``acc += E[:, i] * C[:,
+    i]``) so every score experiences the exact left-fold add order of
+    ``_dot``/``list_reduce`` in IEEE double (numpy's own ``@``/``dot``
+    would pairwise-sum and drift ulps); float32 → float64 widening is
+    exact, matching ``CAST(e[i] AS DOUBLE)``; ``np.argsort`` is
+    comparison-only over those bit-exact scores, and ``kind='stable'``
+    gives the same first-index tiebreak as the oracle's
+    ``(-score, index)`` struct sort. Assignment and probing stay
+    hash-identical at any scale (verified at sf0.001/sf0.01).
     """
     import numpy as np
 
@@ -904,7 +992,7 @@ def _with_cell_scores(df: DataFrame, spark: SparkSession, cells: int) -> DataFra
     )  # (cells, DIM)
     out_schema = T.StructType(
         list(df.schema.fields)
-        + [T.StructField("d", T.ArrayType(T.DoubleType()))]
+        + [T.StructField("topc", T.ArrayType(T.IntegerType()))]
     )
 
     def fn(batches):
@@ -918,11 +1006,54 @@ def _with_cell_scores(df: DataFrame, spark: SparkSession, cells: int) -> DataFra
             acc = np.zeros((n, cents.shape[0]))
             for i in range(cents.shape[1]):
                 acc = acc + E[:, i : i + 1] * cents[:, i]
+            order = np.argsort(-acc, axis=1, kind="stable")[:, :probes] + 1
             pdf = pdf.copy()
-            pdf["d"] = list(acc)
+            pdf["topc"] = list(order.astype(np.int32))
             yield pdf
 
     return df.mapInPandas(fn, out_schema)
+
+
+def _pair_cosines_pandas(pairs: DataFrame) -> DataFrame:
+    """Add ``cosine`` = cos(embedding1, embedding2) to a pair frame.
+
+    The candidate-verification hot loop: within-bucket/within-cell
+    pair volume grows ~n^1.5 (SemDeDup) so the per-pair fold is the
+    cost center at scale — and ``F.aggregate``/``zip_with`` lambdas
+    are interpreted per ELEMENT (measured: 44.6M pairs × 64 dims ≈
+    40 s of the 100×-corpus SemDeDup run). Same sequential-fold numpy
+    kernel: ``acc += A[:, i] * B[:, i]`` reproduces the ``_dot`` /
+    ``list_reduce`` left-fold bit-exactly, and the final divide by
+    ``nrm1*nrm2`` is a single IEEE op in both engines. Input needs
+    columns embedding1/embedding2/nrm1/nrm2; they are consumed (the
+    output drops them — downstream wants ids + cosine).
+    """
+    keep = [
+        f for f in pairs.schema.fields
+        if f.name not in ("embedding1", "embedding2", "nrm1", "nrm2")
+    ]
+    out_schema = T.StructType(keep + [T.StructField("cosine", T.DoubleType())])
+    keep_names = [f.name for f in keep]
+
+    def fn(batches):
+        import numpy as np
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            A = np.stack(pdf["embedding1"].to_numpy()).astype(np.float64)
+            B = np.stack(pdf["embedding2"].to_numpy()).astype(np.float64)
+            acc = np.zeros(n)
+            for i in range(A.shape[1]):
+                acc = acc + A[:, i] * B[:, i]
+            out = pdf[keep_names].copy()
+            out["cosine"] = acc / (
+                pdf["nrm1"].to_numpy() * pdf["nrm2"].to_numpy()
+            )
+            yield out
+
+    return pairs.mapInPandas(fn, out_schema)
 
 
 @query(
@@ -983,19 +1114,11 @@ def e_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load(spark, sf_dir, "embeddings")
     n_cells = _active_ivf_cells(spark, sf_dir)
-    scored = _with_cell_scores(
+    probed = _with_probe_cells(
         emb.select(
             "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
         ),
-        spark, n_cells,
-    )
-    probed = scored.withColumn(
-        "topc",
-        F.expr(
-            f"transform(slice(array_sort(transform(sequence(1, {n_cells}), "
-            f"j -> struct(-element_at(d, j) AS nv, j AS i))), "
-            f"1, {IVF_PROBES}), x -> x.i)"
-        ),
+        spark, n_cells, IVF_PROBES,
     )
     q = (
         probed.filter(F.col("vec_id") < N_QUERIES)
@@ -1167,11 +1290,22 @@ def e_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reuses the IVF coarse quantizer (``e_ann_ivf_topk``): cells =
     argmax over ``ivf_cells_for(n)`` md5-derived directions, so cell
-    count tracks √n and expected cell size is √n — the within-cell
-    pair volume is n^1.5-ish rather than n², and the per-cell join
-    runs through the skew-guarded ``pair_self_join`` (a dense semantic
-    cluster grid-splits instead of becoming one quadratic task; with
-    trained k-means centroids the same dataflow applies unchanged).
+    count tracks √n and expected cell size is √n. The within-cell
+    pairwise pass runs as ``applyInPandas`` PER CELL — the dataflow
+    that makes SemDeDup shippable: embeddings cross the shuffle ONCE
+    (n rows grouped by cell), never per pair. The earlier
+    pair-materializing formulation (skew-guarded self-join carrying
+    both embeddings on every candidate row) moved n^1.5 × vector-width
+    bytes through the shuffle — measured 33 s at the 100× corpus
+    against 3.5 s for this form. Inside the kernel the Gram block is
+    computed row-blocked (memory stays O(block × cell), never
+    O(cell²) for big cells) with the same sequential per-dimension
+    fold as ``_with_probe_cells``, so every cosine is bit-identical
+    to the oracle's pair join. Wall-clock of one cell concentrates in
+    one task — with cells ≈ √n that is √n-sized work; a trained
+    quantizer with capped cell sizes (or a pairjoin-style sub-split)
+    bounds it under adversarial clustering.
+
     This complements ``t_embedding_neardup``: LSH banding finds pairs
     ACROSS the space at a recall target; SemDeDup trades global recall
     for a hard per-cluster cost bound — production pipelines run
@@ -1179,44 +1313,51 @@ def e_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load(spark, sf_dir, "embeddings")
     n_cells = _active_ivf_cells(spark, sf_dir)
-    scored = _with_cell_scores(
+    assign = _with_probe_cells(
         emb.select(
             "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
         ),
-        spark, n_cells,
-    )
-    assign = scored.select(
-        "vec_id", "embedding", "nrm",
-        F.expr(
-            f"transform(slice(array_sort(transform(sequence(1, {n_cells}), "
-            "j -> struct(-element_at(d, j) AS nv, j AS i))), 1, 1), "
-            "x -> x.i)[0]"
-        ).alias("cell"),
-    )
-    assign = track_persist(assign)
-    pairs = pair_self_join(
-        assign, "vec_id", ["cell"], payload=["embedding", "nrm"],
-        persist=False,
-    )
-    cos = _dot(F.col("embedding1"), F.col("embedding2")) / (
-        F.col("nrm1") * F.col("nrm2")
-    )
-    dup = (
-        pairs.filter(cos >= SEMDEDUP_THRESHOLD)
-        .select(F.col("d2").alias("vec_id"))
-        .distinct()
-        .withColumn("_dropped", F.lit(1))
-    )
-    flagged = assign.select("vec_id", "cell").join(dup, "vec_id", "left")
-    dropped = F.col("_dropped").isNotNull()
-    return flagged.groupBy("cell").agg(
-        F.count(F.lit(1)).alias("vec_ct"),
-        F.sum(dropped.cast("int")).cast("long").alias("dropped_ct"),
-        (F.count(F.lit(1)) - F.sum(dropped.cast("int"))).cast("long")
-        .alias("kept_ct"),
-        F.sum(F.when(dropped, F.col("vec_id")).otherwise(0)).cast("long")
-        .alias("dropped_id_sum"),
+        spark, n_cells, 1,
     ).select(
-        F.col("cell").cast("long").alias("cell"),
-        "vec_ct", "dropped_ct", "kept_ct", "dropped_id_sum",
+        "vec_id", "embedding", "nrm",
+        F.element_at("topc", 1).alias("cell"),
     )
+    thresh = SEMDEDUP_THRESHOLD
+    out_schema = T.StructType([
+        T.StructField("cell", T.LongType()),
+        T.StructField("vec_ct", T.LongType()),
+        T.StructField("dropped_ct", T.LongType()),
+        T.StructField("kept_ct", T.LongType()),
+        T.StructField("dropped_id_sum", T.LongType()),
+    ])
+
+    def dedup_cell(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        m = len(pdf)
+        E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        nrm = pdf["nrm"].to_numpy()
+        ids = pdf["vec_id"].to_numpy()
+        dropped = np.zeros(m, dtype=bool)
+        cols = np.arange(m)
+        B = 4096  # Gram rows per block: memory O(B*m), not O(m^2)
+        for r0 in range(0, m, B):
+            r1 = min(r0 + B, m)
+            acc = np.zeros((r1 - r0, m))
+            for i in range(E.shape[1]):
+                acc = acc + E[r0:r1, i : i + 1] * E[:, i]
+            cos = acc / (nrm[r0:r1, None] * nrm[None, :])
+            # j dropped iff some i < j (vec_id order) has cos >= thresh
+            later = cols[None, :] > np.arange(r0, r1)[:, None]
+            dropped |= ((cos >= thresh) & later).any(axis=0)
+        return pd.DataFrame({
+            "cell": [int(pdf["cell"].iloc[0])],
+            "vec_ct": [m],
+            "dropped_ct": [int(dropped.sum())],
+            "kept_ct": [m - int(dropped.sum())],
+            "dropped_id_sum": [int(ids[dropped].sum())],
+        })
+
+    return assign.groupBy("cell").applyInPandas(dedup_cell, out_schema)
