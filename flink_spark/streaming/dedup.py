@@ -60,6 +60,7 @@ _EMPTY_SCHEMA = {
     "bands": "doc_id bigint, bkey string",
     "shingles": "doc_id bigint, sl array<string>",
     "kept": "doc_id bigint, fp string",
+    "vecs": "vec_id bigint, cell int, embedding array<float>, nrm double",
 }
 
 
@@ -209,10 +210,11 @@ def neardup_dedup_batch(
 
 def doc_stream(
     spark: SparkSession, docs: DataFrame, out_dir: str, slices: int = 3,
-    start_slice: int = 0,
+    start_slice: int = 0, order_col: str = "doc_id",
 ) -> DataFrame:
-    """Replay a documents table as a doc_id-ordered file stream (one
-    parquet file per micro-batch; test harness, like ``replay_events``).
+    """Replay a table as a key-ordered file stream (one parquet file
+    per micro-batch; test harness, like ``replay_events``). Works for
+    any keyed table — ``order_col="vec_id"`` replays embeddings.
 
     ``start_slice`` appends new slices after an earlier replay into the
     same directory — with the SAME checkpoint, a restarted stream picks
@@ -225,7 +227,7 @@ def doc_stream(
     if n > 2_000_000:
         raise ValueError("doc_stream is a test harness; use Kafka/files at scale")
     per = (n + slices - 1) // slices
-    ordered = docs.orderBy("doc_id").collect()
+    ordered = docs.orderBy(order_col).collect()
     for i in range(slices):
         chunk = ordered[i * per:(i + 1) * per]
         if chunk:
@@ -310,3 +312,151 @@ def compact_store(spark: SparkSession, store_dir: str) -> None:
             shutil.rmtree(
                 os.path.join(path, f"base-{mark['base']}"), ignore_errors=True
             )
+
+
+# --------------------------------------------------------------------------
+# Incremental SEMANTIC dedup: an embedding stream against a survivor store
+# --------------------------------------------------------------------------
+
+def _sem_config(store_dir: str, cells: int | None) -> int:
+    """Pin the cell geometry for the store's lifetime.
+
+    Cell assignment is a function of the quantizer; if a restarted
+    stream silently changed the cell count, old survivors and new
+    arrivals would land in incomparable cells and dups would slip
+    through. First run writes ``_SEM_CONFIG`` (atomic tmp+replace);
+    every later run must match it or pass ``cells=None`` to adopt it.
+    """
+    os.makedirs(store_dir, exist_ok=True)
+    path = os.path.join(store_dir, "_SEM_CONFIG")
+    if os.path.exists(path):
+        with open(path, encoding="utf-8") as fh:
+            got = json.load(fh)["cells"]
+        if cells is not None and cells != got:
+            raise ValueError(
+                f"store was built with cells={got}, asked for {cells}; "
+                "cell geometry is immutable for a store's lifetime"
+            )
+        return got
+    if cells is None:
+        raise ValueError("cells is required when creating a new store")
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump({"cells": cells}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, path)
+    return cells
+
+
+def semantic_dedup_batch(
+    batch: DataFrame, epoch_id: int, store_dir: str
+) -> None:
+    """foreachBatch body: incremental SemDeDup against the survivor store.
+
+    The embedding twin of ``neardup_dedup_batch`` and the streaming
+    form of ``plans.similarity.e_semantic_dedup``: arriving vectors are
+    assigned to the same md5-derived quantizer cells, and a new vector
+    is accepted iff no ALREADY-ACCEPTED vector in its cell sits at or
+    above the cosine threshold — stored survivors first (earlier
+    batches win), then earlier-accepted members of the same batch in
+    vec_id order. This is the greedy keep-first chain of SemDeDup run
+    incrementally; as in the other incremental modes, dropped vectors
+    never gatekeep (a vector similar only to dropped vectors is kept —
+    the survivor-store contract, which the batch query's any-smaller-id
+    rule does not share; the stream≡simulation test pins THESE
+    semantics).
+
+    Dataflow per batch: assignment via the ``_with_probe_cells`` numpy
+    kernel, then ONE ``applyInPandas`` per touched cell over
+    batch ∪ (store rows in touched cells) — the store is key-join
+    pruned to touched cells and vectors cross the shuffle once, the
+    same verify-where-the-vectors-are shape as the batch operator
+    (SCALING.md). Survivor vectors append to ``epoch=N`` (idempotent
+    overwrite — crash-retried batches rewrite their own epoch and
+    dedup against ``before_epoch`` state, like the text modes).
+    """
+    from flink_spark.plans.similarity import (
+        SEMDEDUP_THRESHOLD,
+        _norm,
+        _with_probe_cells,
+    )
+
+    spark = batch.sparkSession
+    cells = _sem_config(store_dir, None)
+    new = _with_probe_cells(
+        batch.select(
+            "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+        ),
+        spark, cells, 1,
+    ).select(
+        "vec_id", F.element_at("topc", 1).alias("cell"), "embedding", "nrm",
+    ).persist()
+    new.count()
+
+    touched = new.select("cell").distinct()
+    old = (
+        _store(spark, store_dir, "vecs", before_epoch=epoch_id)
+        .join(touched, "cell")
+    )
+    pool = (
+        new.withColumn("is_new", F.lit(1))
+        .unionByName(old.withColumn("is_new", F.lit(0)))
+    )
+    thresh = SEMDEDUP_THRESHOLD
+
+    def keep_new(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(["is_new", "vec_id"]).reset_index(drop=True)
+        E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        nrm = pdf["nrm"].to_numpy()
+        ids = pdf["vec_id"].to_numpy()
+        is_new = pdf["is_new"].to_numpy().astype(bool)
+        m = len(pdf)
+        kept = ~is_new  # stored rows are survivors by definition
+        for j in range(m):
+            if not is_new[j]:
+                continue
+            idx = np.nonzero(kept[:j])[0]
+            if idx.size:
+                acc = np.zeros(idx.size)
+                for i in range(E.shape[1]):
+                    acc = acc + E[idx, i] * E[j, i]
+                if (acc / (nrm[idx] * nrm[j]) >= thresh).any():
+                    continue  # similar to an accepted vector: dropped
+            kept[j] = True
+        return pd.DataFrame({"vec_id": ids[is_new & kept]})
+
+    kept_ids = pool.groupBy("cell").applyInPandas(
+        keep_new, "vec_id bigint"
+    )
+    _write(new.join(kept_ids, "vec_id"), store_dir, "vecs", epoch_id)
+    new.unpersist()
+
+
+def run_semantic_dedup_stream(
+    sdf: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    cells: int | None = None,
+):
+    """Wire an embedding stream into the incremental semantic-dedup store.
+
+    ``cells`` pins the quantizer geometry on first run (a production
+    deployment would size it like ``ivf_cells_for`` against the
+    expected corpus); restarts adopt the stored value.
+    """
+    _sem_config(store_dir, cells)
+    return (
+        sdf.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(lambda df, eid: semantic_dedup_batch(df, eid, store_dir))
+        .start()
+    )
+
+
+def kept_vectors(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The accepted-vector survivor set accumulated so far."""
+    return _store(spark, store_dir, "vecs")
