@@ -946,7 +946,8 @@ def _cell_scores_sql(a: str) -> str:
 
 
 def _with_probe_cells(
-    df: DataFrame, spark: SparkSession, cells: int, probes: int
+    df: DataFrame, spark: SparkSession, cells: int, probes: int,
+    cents=None,
 ) -> DataFrame:
     """Add ``topc`` = the ``probes`` best cell indices (1-based, score
     descending, first-index tiebreak) of ``embedding``.
@@ -969,10 +970,12 @@ def _with_probe_cells(
       at 100× shipping cells-wide Arrow columns back and
       struct-argsorting them in an interpreted JVM expression.
 
-    Hence this form: the matrix rides in the task closure (a trained
-    quantizer would read it from a table into the same closure), the
-    argsort happens INSIDE the kernel, and only ``probes`` small ints
-    leave it.
+    Hence this form: the matrix rides in the task closure, the argsort
+    happens INSIDE the kernel, and only ``probes`` small ints leave
+    it. ``cents`` overrides the md5 directions with an explicit
+    (cells × DIM) matrix — a TRAINED quantizer (``ivf_train``) drops
+    in without changing the dataflow, exactly as the IVF docstrings
+    promise.
 
     Bit-exactness with the DuckDB oracle: the matmul runs as a
     SEQUENTIAL per-dimension accumulation (``acc += E[:, i] * C[:,
@@ -987,9 +990,13 @@ def _with_probe_cells(
     """
     import numpy as np
 
-    cents = np.array(
-        [[float(s) for s in _centroid(k)] for k in range(cells)]
-    )  # (cells, DIM)
+    if cents is None:
+        cents = np.array(
+            [[float(s) for s in _centroid(k)] for k in range(cells)]
+        )  # (cells, DIM)
+    else:
+        cents = np.asarray(cents, dtype=np.float64)
+        assert cents.shape == (cells, DIM), cents.shape
     out_schema = T.StructType(
         list(df.schema.fields)
         + [T.StructField("topc", T.ArrayType(T.IntegerType()))]
@@ -1361,3 +1368,114 @@ def e_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         })
 
     return assign.groupBy("cell").applyInPandas(dedup_cell, out_schema)
+
+
+# --------------------------------------------------------------------------
+# IVF quantizer training: distributed spherical k-means (Lloyd)
+# --------------------------------------------------------------------------
+
+def ivf_train(
+    spark: SparkSession, sf_dir: str, cells: int | None = None,
+    iters: int = 2,
+):
+    """Train the IVF coarse quantizer: ``iters`` Lloyd rounds of
+    spherical k-means over the corpus, seeded by the md5 directions.
+
+    Returns a (cells × DIM) float64 numpy matrix of UNIT-norm
+    centroids ready to pass as ``_with_probe_cells(..., cents=...)``
+    — the "trained quantizer drops in without changing the dataflow"
+    path every IVF docstring promises, now runnable. Each round is
+    the canonical distributed k-means shape (what ``spark.ml``'s
+    KMeans also does): one assignment pass (the probe kernel, scores
+    = E·Cᵀ), one map-side-combined groupBy computing per-cell mean
+    vectors, and a driver collect of the means matrix — cells × DIM
+    doubles, ≤ 2 MB at the 4096-cell cap, NEVER the vectors
+    themselves. Means are re-normalized to unit length (spherical
+    k-means: argmax dot against unit centroids ≡ argmax cosine);
+    cells that attract no vectors keep their previous direction
+    (normalized), the standard empty-cluster rule.
+
+    Training is an engine feature, not a catalog query: trained
+    centroids are data, so the DuckDB oracles keep using the
+    md5-derived directions both engines can generate independently.
+    ``tests/test_ann_recall.py`` pins the training contract instead —
+    monotone quantization improvement and an end-to-end assignment
+    through the same kernel.
+    """
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings")
+    if cells is None:
+        cells = _active_ivf_cells(spark, sf_dir)
+    cents = np.array(
+        [[float(s) for s in _centroid(k)] for k in range(cells)]
+    )
+    cents = cents / np.sqrt((cents * cents).sum(axis=1))[:, None]
+    base = emb.select("vec_id", "embedding")
+    for _ in range(iters):
+        assigned = _with_probe_cells(
+            base, spark, cells, 1, cents=cents
+        ).select(
+            F.element_at("topc", 1).alias("cell"),
+            F.col("embedding"),
+        )
+        pe = assigned.select(
+            "cell", F.posexplode("embedding").alias("idx", "x")
+        )
+        means = (
+            pe.groupBy("cell", "idx")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("idx", "m"))
+                ).alias("ms")
+            )
+            .select("cell", F.transform("ms", lambda s: s["m"]).alias("mv"))
+            .collect()
+        )
+        nxt = cents.copy()
+        for r in means:
+            v = np.array(r["mv"], dtype=np.float64)
+            nn = float(np.sqrt((v * v).sum()))
+            if nn > 0:
+                nxt[r["cell"] - 1] = v / nn
+        cents = nxt
+    return cents
+
+
+def quantization_objective(
+    spark: SparkSession, sf_dir: str, cents, cells: int
+) -> float:
+    """Mean cosine of every vector to its assigned centroid — the
+    spherical k-means objective ``ivf_train`` ascends (used by the
+    training test; one assignment pass + one aggregate)."""
+    emb = load(spark, sf_dir, "embeddings")
+    assigned = _with_probe_cells(
+        emb.select("vec_id", "embedding",
+                   _norm(F.col("embedding")).alias("nrm")),
+        spark, cells, 1, cents=cents,
+    ).select("embedding", "nrm", F.element_at("topc", 1).alias("cell"))
+    import numpy as np
+
+    C = np.asarray(cents, dtype=np.float64)
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cc = C[pdf["cell"].to_numpy() - 1]
+            acc = np.zeros(len(pdf))
+            for i in range(E.shape[1]):
+                acc = acc + E[:, i] * cc[:, i]
+            cos = acc / pdf["nrm"].to_numpy()  # unit centroids
+            yield pd.DataFrame({"s": [float(cos.sum())], "n": [len(pdf)]})
+
+    parts = assigned.mapInPandas(fn, "s double, n long").agg(
+        F.sum("s").alias("s"), F.sum("n").alias("n")
+    ).collect()[0]
+    return parts["s"] / parts["n"]

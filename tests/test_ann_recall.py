@@ -82,3 +82,43 @@ def test_ann_recall_floor(spark, exact, name, floor):
     ]
     mean = sum(recalls) / len(recalls)
     assert mean >= floor, f"{name}: mean recall {mean:.3f} < {floor}"
+
+
+def test_ivf_training_improves_quantization(spark):
+    """Trained centroids must strictly beat the md5 seed directions on
+    the spherical-k-means objective (mean cosine to assigned
+    centroid), and assignment through the SAME probe kernel must
+    cover every vector — the trained-quantizer-drops-in contract."""
+    import numpy as np
+
+    from flink_spark.plans.similarity import (
+        _centroid,
+        _with_probe_cells,
+        _norm,
+        DIM,
+        ivf_train,
+        quantization_objective,
+    )
+    from flink_spark.sources import load
+    from pyspark.sql import functions as F
+
+    cells = 8
+    seed = np.array([[float(s) for s in _centroid(k)] for k in range(cells)])
+    seed = seed / np.sqrt((seed * seed).sum(axis=1))[:, None]
+    base = quantization_objective(spark, SF_DIR, seed, cells)
+    trained = ivf_train(spark, SF_DIR, cells=cells, iters=2)
+    after = quantization_objective(spark, SF_DIR, trained, cells)
+    assert after > base, (base, after)
+    # unit centroids
+    norms = np.sqrt((trained * trained).sum(axis=1))
+    assert np.allclose(norms[norms > 0], 1.0)
+
+    emb = load(spark, SF_DIR, "embeddings")
+    assigned = _with_probe_cells(
+        emb.select("vec_id", "embedding",
+                   _norm(F.col("embedding")).alias("nrm")),
+        spark, cells, 1, cents=trained,
+    ).select(F.element_at("topc", 1).alias("cell"))
+    counts = {r["cell"] for r in assigned.distinct().collect()}
+    assert counts <= set(range(1, cells + 1))
+    assert assigned.count() == emb.count()

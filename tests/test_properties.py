@@ -8,8 +8,10 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
 from hypothesis import given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 # alphabet includes Han chars from the basic CJK block (U+4E00–U+9FFF),
 # where the pure-python reference's explicit range equals Java's
@@ -427,3 +429,98 @@ for name in ["t_minhash_lsh_dups", "t_simhash_dups", "t_embedding_neardup",
     assert not errs, (name, errs[:2])
 print("SKEW-GUARD-OK")
 """
+
+
+# --- numpy kernels ≡ the JVM/SQL sequential fold, bit for bit ----------
+
+# nonzero-norm float32 vectors (a zero vector has no cosine; ANSI mode
+# raises on the JVM reference and the corpus contract excludes them)
+VECS = st.lists(
+    st.lists(
+        st.floats(-8, 8, allow_nan=False, width=32).map(
+            lambda x: float(np.float32(x))
+        ),
+        min_size=64, max_size=64,
+    ).filter(lambda v: any(abs(x) > 1e-3 for x in v)),
+    min_size=2, max_size=12,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(VECS, st.integers(3, 9))
+def test_probe_cells_kernel_matches_jvm_fold(vecs, cells):
+    """``_with_probe_cells`` (numpy sequential accumulation + stable
+    argsort) must pick EXACTLY the cells the JVM expression fold picks
+    — same left-fold float semantics, same first-index tiebreak — on
+    arbitrary float32 vectors, at any cell count. This is the
+    bit-exactness contract every oracle in the IVF/SemDeDup family
+    rests on."""
+    from flink_spark.plans.similarity import (
+        _centroid,
+        _norm,
+        _proj,
+        _with_probe_cells,
+    )
+
+    spark = _session()
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r.vec_id: tuple(r.topc)
+        for r in _with_probe_cells(
+            df.select("vec_id", "embedding",
+                      _norm(F.col("embedding")).alias("nrm")),
+            spark, cells, 2,
+        ).collect()
+    }
+    scored = df.select(
+        "vec_id",
+        F.array(*[_proj(F.col("embedding"), _centroid(k))
+                  for k in range(cells)]).alias("d"),
+    ).withColumn(
+        "topc",
+        F.expr(
+            f"transform(slice(array_sort(transform(sequence(1, {cells}), "
+            "j -> struct(-element_at(d, j) AS nv, j AS i))), 1, 2), "
+            "x -> x.i)"
+        ),
+    )
+    expect = {r.vec_id: tuple(r.topc) for r in scored.collect()}
+    assert got == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(VECS)
+def test_pair_cosine_kernel_matches_jvm_fold(vecs):
+    """``_pair_cosines_pandas`` must reproduce the ``_dot`` expression
+    fold bit for bit on arbitrary float32 pairs (the verify stage of
+    the whole embedding near-dup family)."""
+    from flink_spark.plans.similarity import (
+        _dot,
+        _norm,
+        _pair_cosines_pandas,
+    )
+
+    spark = _session()
+    rows = [
+        (i, i + 100, a, b)
+        for i, (a, b) in enumerate(zip(vecs, reversed(vecs)))
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "d1 long, d2 long, embedding1 array<float>, embedding2 array<float>",
+    ).select(
+        "d1", "d2", "embedding1", "embedding2",
+        _norm(F.col("embedding1")).alias("nrm1"),
+        _norm(F.col("embedding2")).alias("nrm2"),
+    )
+    got = {(r.d1, r.d2): r.cosine for r in _pair_cosines_pandas(df).collect()}
+    jvm = df.select(
+        "d1", "d2",
+        (_dot(F.col("embedding1"), F.col("embedding2"))
+         / (F.col("nrm1") * F.col("nrm2"))).alias("cosine"),
+    )
+    expect = {(r.d1, r.d2): r.cosine for r in jvm.collect()}
+    assert got == expect  # exact float equality, not approx
