@@ -198,6 +198,15 @@ class JdbcCdcCapture:
         _commit(self.state_dir, gen)
         return self.spark.read.parquet(os.path.join(out_dir, f"epoch={gen}"))
 
+    def current(self) -> DataFrame | None:
+        """The last COMMITTED table state (None before the first
+        poll) — the materialized view the envelope stream folds to.
+        Consumers that need "the config as of now" (the DIM router's
+        broadcast state, W10) read this instead of replaying
+        envelopes; it is exactly the snapshot the last poll committed,
+        so it can never run ahead of what was emitted."""
+        return self._snapshot(_pointer(self.state_dir)["gen"])
+
     def envelope_stream(self, out_dir: str) -> DataFrame:
         """The captured envelopes as a Structured Streaming source —
         wire straight into the existing topic_db consumers (the DIM

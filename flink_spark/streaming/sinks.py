@@ -457,3 +457,57 @@ def routed_dim_sink(
             batch.unpersist()
 
     return sdf.writeStream.foreachBatch(route).outputMode("append")
+
+
+def dim_app(
+    sdf: DataFrame,
+    capture,
+    topic_dir: str,
+    base_path: str,
+    source_col: str = "event_type",
+):
+    """The reference's DimApp topology end-to-end (DimApp.java:60-100):
+    a CDC-captured config table DRIVES the routing, live.
+
+    The reference reads ``table_process`` through MySQL-CDC, broadcasts
+    it as MapState, and routes every data record by the CURRENT config
+    (F3/W10/J6/K5 in one job). This is that wiring on Spark micro-
+    batches: each batch first advances the config capture
+    (``JdbcCdcCapture.poll`` — envelopes land in ``topic_dir`` as the
+    audit log), then rebuilds the rule map from the COMMITTED config
+    snapshot, then fans the batch out per rule exactly like
+    ``routed_dim_sink``. A config row inserted or updated between
+    batches changes the routing of every later batch — the property
+    the static-rules form can't express, and the reason the reference
+    runs config through CDC at all.
+
+    Config schema mirrors ``TableProcess`` (rt/bean/TableProcess.java:
+    5-17): ``source_table`` (match on ``source_col``), ``sink_table``
+    (output dir), ``sink_columns`` (comma-separated keep-list). The
+    per-batch snapshot read is a tiny parquet scan (config tables are
+    dozens of rows); at cluster scale it broadcasts exactly like the
+    reference's MapState.
+    """
+
+    def route(batch: DataFrame, _epoch: int) -> None:
+        capture.poll(topic_dir)
+        cfg = capture.current()
+        if cfg is None:
+            return
+        rules = {
+            r["source_table"]: (r["sink_table"], r["sink_columns"].split(","))
+            for r in cfg.collect()
+        }
+        batch = batch.cache()
+        try:
+            for src, (sink_table, cols) in rules.items():
+                (
+                    batch.filter(F.col(source_col) == src)
+                    .select(*cols)
+                    .write.mode("append")
+                    .parquet(f"{base_path}/{sink_table}")
+                )
+        finally:
+            batch.unpersist()
+
+    return sdf.writeStream.foreachBatch(route).outputMode("append")

@@ -891,3 +891,76 @@ def test_upsert_changelog_rejected_on_scheme_paths(spark, tmp_path):
     with pytest.raises(ValueError, match="Change Data Feed"):
         upsert_sink(sdf, "s3://bucket/table", keys=["user_id"],
                     order_cols=["ts"], changelog=True)
+
+
+def test_dim_app_config_cdc_drives_routing(spark, tmp_path):
+    """The DimApp topology end-to-end: a Derby table_process config,
+    captured through JDBC-CDC, routes the event stream — and a config
+    row added MID-STREAM (between runs, same checkpoint) reroutes
+    every later batch while earlier output stands."""
+    from flink_spark.sources import load
+    from flink_spark.sources.cdc import JdbcCdcCapture
+    from flink_spark.streaming.sinks import dim_app
+
+    url = f"jdbc:derby:{tmp_path}/cfgdb;create=true"
+    jvm = spark._sc._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE table_process (source_table VARCHAR(32) PRIMARY KEY, "
+        "sink_table VARCHAR(32), sink_columns VARCHAR(128))"
+    )
+    st.executeUpdate(
+        "INSERT INTO table_process VALUES "
+        "('click', 'dwd_click', 'event_id,user_id,value')"
+    )
+    st.close(); conn.close()
+
+    cap = JdbcCdcCapture(
+        spark, url, "table_process", pk="source_table",
+        state_dir=str(tmp_path / "state"),
+    )
+    ev = load(spark, SF_DIR, "events")
+    n = ev.count()
+    first = ev.orderBy("event_id").limit(2 * ((n + 2) // 3))
+    rest = ev.orderBy("event_id").subtract(first)
+
+    def run(part, start):
+        from flink_spark.streaming.dedup import doc_stream
+
+        sdf = doc_stream(spark, part, str(tmp_path / "replay"),
+                         slices=2 if start == 0 else 1, start_slice=start,
+                         order_col="event_id")
+        q = (
+            dim_app(sdf, cap, str(tmp_path / "topic"), str(tmp_path / "dim"))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        q.processAllAvailable(); q.stop()
+
+    run(first, 0)
+    # only the click rule existed: no dwd_view output yet
+    import os
+    assert not os.path.isdir(str(tmp_path / "dim" / "dwd_view"))
+    clicks_1 = spark.read.parquet(str(tmp_path / "dim" / "dwd_click")).count()
+    assert clicks_1 == first.filter(F.col("event_type") == "click").count()
+
+    # config change lands in the DB; the capture picks it up next batch
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.executeUpdate(
+        "INSERT INTO table_process VALUES "
+        "('view', 'dwd_view', 'event_id,user_id')"
+    )
+    st.close(); conn.close()
+
+    run(rest, 2)
+    got_view = spark.read.parquet(str(tmp_path / "dim" / "dwd_view"))
+    # the view route exists now — and carries ONLY post-change events
+    assert sorted(got_view.columns) == ["event_id", "user_id"]
+    assert got_view.count() == rest.filter(F.col("event_type") == "view").count()
+    clicks_all = spark.read.parquet(str(tmp_path / "dim" / "dwd_click")).count()
+    assert clicks_all == ev.filter(F.col("event_type") == "click").count()
+    # the envelope audit log recorded both the bootstrap and the insert
+    env = spark.read.parquet(str(tmp_path / "topic" / "epoch=*"))
+    assert {r.type for r in env.collect()} >= {"bootstrap-insert", "insert"}
