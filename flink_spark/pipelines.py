@@ -35,8 +35,11 @@ JOBS: dict[str, JobParity] = {
     "DimApp": JobParity(
         ref="rt/app/dim/DimApp.java",
         queries=("r_config_routing", "p_split_counts"),
-        streaming=("sinks.routed_dim_sink",),
-        notes="CDC parse + dirty split + broadcast config routing + routed dim writes",
+        streaming=("sinks.dim_app", "sinks.routed_dim_sink",
+                   "sources.JdbcCdcCapture"),
+        notes="CDC parse + dirty split + broadcast config routing + routed "
+              "dim writes; dim_app wires the LIVE config path (JDBC-CDC "
+              "captured table_process driving per-batch rules)",
     ),
     # --- DWD log -------------------------------------------------------
     "BaseLogApp": JobParity(

@@ -158,3 +158,9 @@ def socket_source(spark: SparkSession, host: str, port: int) -> DataFrame:
         .option("port", port)
         .load()
     )
+
+
+# S4's capture half lives with the batch sources (it polls JDBC and
+# owns snapshot state) but IS a streaming source: re-exported here so
+# the parity map lists it beside the envelope consumers it feeds.
+from flink_spark.sources.cdc import JdbcCdcCapture  # noqa: E402,F401
