@@ -337,9 +337,9 @@ def e_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits = _active_lsh_bits(spark, sf_dir)
     emb = load(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
-    bands = emb.select(
-        "vec_id", F.explode(_band_keys(F.col("embedding"), bits)).alias("bkey")
-    )
+    bands = _with_band_keys(
+        emb.select("vec_id", "embedding"), spark, bits
+    ).select("vec_id", F.explode("bkeys").alias("bkey"))
     qb = bands.filter(F.col("vec_id") < N_QUERIES).withColumnRenamed(
         "vec_id", "query_id"
     )
@@ -536,9 +536,13 @@ def _emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits = _active_lsh_bits(spark, sf_dir)
     emb = load(spark, sf_dir, "embeddings")
     bands_v = track_persist(
-        emb.select(
-            "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"),
-            F.explode(_band_keys(F.col("embedding"), bits)).alias("bkey"),
+        _with_band_keys(
+            emb.select(
+                "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+            ),
+            spark, bits,
+        ).select(
+            "vec_id", "embedding", "nrm", F.explode("bkeys").alias("bkey")
         )
     )
     oversized = (
@@ -1055,6 +1059,67 @@ def _with_probe_cells(
                     acc[rows, j] = -np.inf
             pdf = pdf.copy()
             pdf["topc"] = list(out)
+            yield pdf
+
+    return df.mapInPandas(fn, out_schema)
+
+
+def _with_band_keys(df: DataFrame, spark: SparkSession, bits: int) -> DataFrame:
+    """Add ``bkeys`` = the ``LSH_BANDS`` SRP band keys of ``embedding``
+    (the numpy-kernel twin of the ``_band_keys`` expression).
+
+    Band keys are LSH_BANDS × bits plane projections per vector; the
+    expression form pays an interpreted ``aggregate`` fold per plane
+    (at 2M vectors / 14 bits: 112M folds × 64 dims ≈ 45 s of the
+    1000×-corpus near-dup run). Same discipline as
+    ``_with_probe_cells``: projections as a sequential per-dimension
+    accumulation against the contiguous ±1 plane matrix (bit-exact
+    left-fold scores), then the sign test and bit packing — integer
+    ops on bit-exact signs, so keys match the expression and the
+    oracle exactly (pinned by the kernel property test).
+    """
+    import numpy as np
+
+    planes = np.ascontiguousarray(np.array(
+        [[float(v) for v in _signs(p)] for p in range(LSH_BANDS * bits)]
+    ).T)  # DIM x nplanes, contiguous rows
+    weights = (np.arange(LSH_BANDS * bits) % bits)
+    weights = (1 << weights.astype(np.int64))
+    band_of = np.arange(LSH_BANDS * bits) // bits
+    offsets = (band_of.astype(np.int64) << bits)
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("bkeys", T.ArrayType(T.LongType()))]
+    )
+
+    def fn(batches):
+        import numpy as np
+
+        nplanes = planes.shape[1]
+        RB = 2048
+        acc = np.empty((RB, nplanes))
+        tmp = np.empty((RB, nplanes))
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            EF = np.asfortranarray(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            )
+            keys = np.empty((n, LSH_BANDS), dtype=np.int64)
+            for r0 in range(0, n, RB):
+                r1 = min(r0 + RB, n)
+                b = r1 - r0
+                acc[:b] = 0.0
+                for i in range(EF.shape[1]):
+                    np.multiply(EF[r0:r1, i][:, None], planes[i], out=tmp[:b])
+                    acc[:b] += tmp[:b]
+                bitvals = (acc[:b] >= 0) * weights  # (b, nplanes) int64
+                for t in range(LSH_BANDS):
+                    sl = slice(t * bits, (t + 1) * bits)
+                    keys[r0:r1, t] = bitvals[:, sl].sum(axis=1) + (t << bits)
+            pdf = pdf.copy()
+            pdf["bkeys"] = list(keys)
             yield pdf
 
     return df.mapInPandas(fn, out_schema)

@@ -524,3 +524,29 @@ def test_pair_cosine_kernel_matches_jvm_fold(vecs):
     )
     expect = {(r.d1, r.d2): r.cosine for r in jvm.collect()}
     assert got == expect  # exact float equality, not approx
+
+
+@settings(max_examples=8, deadline=None)
+@given(VECS, st.integers(4, 9))
+def test_band_key_kernel_matches_jvm_expression(vecs, bits):
+    """``_with_band_keys`` (numpy fold + sign pack) must produce the
+    EXACT band keys of the ``_band_keys`` expression at any bit width
+    — the candidate universe of the whole embedding near-dup family."""
+    from flink_spark.plans.similarity import _band_keys, _with_band_keys
+
+    spark = _session()
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r.vec_id: tuple(r.bkeys)
+        for r in _with_band_keys(df, spark, bits).collect()
+    }
+    expect = {
+        r.vec_id: tuple(r.bkeys)
+        for r in df.select(
+            "vec_id", _band_keys(F.col("embedding"), bits).alias("bkeys")
+        ).collect()
+    }
+    assert got == expect
