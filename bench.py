@@ -77,6 +77,7 @@ HEADLINE = [
     # previously unbenched — which is how its cell-count expression
     # cliff stayed hidden until round 6 (SCALING.md); keep it timed
     "e_ann_ivf_topk",
+    "e_pq_adc_topk",
 ]
 
 

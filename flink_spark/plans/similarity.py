@@ -1585,3 +1585,379 @@ def quantization_objective(
         F.sum("s").alias("s"), F.sum("n").alias("n")
     ).collect()[0]
     return parts["s"] / parts["n"]
+
+
+# --------------------------------------------------------------------------
+# Product quantization + ADC scan — the storage-side ANN scale path
+# --------------------------------------------------------------------------
+
+# PQ (Jégou et al., "Product Quantization for Nearest Neighbor
+# Search", TPAMI'11) splits each vector into PQ_M subspaces and
+# replaces every subvector with the id of its nearest codeword from a
+# per-subspace codebook of PQ_K entries. A vector becomes PQ_M small
+# ints — at M=8, K=16 that is 8 × 4 bits = 4 BYTES against the
+# fixture's 64 × float32 = 256 bytes, a 64× compression. This is the
+# knob that changes what a 100 TB ANN scan READS: the codes column of
+# a 100 TB float corpus is ~1.6 TB, so the brute-force ADC pass scans
+# two orders of magnitude less I/O than `e_cosine_topk` while the
+# float vectors stay cold in object storage for the final re-rank.
+# M and K are dimension/accuracy knobs, not corpus-size knobs (the
+# code length per vector does not depend on N), so they are plain
+# constants with env pins — no corpus-derived rule needed.
+PQ_M = int(os.environ.get("FLINK_SPARK_PQ_M", "8"))
+PQ_K = int(os.environ.get("FLINK_SPARK_PQ_K", "16"))
+PQ_DSUB = DIM // PQ_M
+assert PQ_M * PQ_DSUB == DIM, "PQ_M must divide the embedding width"
+# ADC shortlist size for the exact re-rank stage: a CONSTANT per query
+# (not a corpus fraction) — the float-vector reads per query stay R
+# point lookups at any corpus size. The accuracy dial of PQ search
+# (FAISS's k_factor): raise it to trade re-rank I/O for recall.
+PQ_RERANK = int(os.environ.get("FLINK_SPARK_PQ_RERANK", "50"))
+
+
+@functools.lru_cache(maxsize=None)
+def _pq_codeword(m: int, k: int) -> tuple[int, ...]:
+    """Codeword k of subspace m as a ±1 direction over the subspace's
+    PQ_DSUB dims, md5-derived (the codebook twin of ``_centroid``).
+
+    All ±1 codewords share one norm (sqrt(PQ_DSUB)), so nearest-by-L2
+    is exactly argmax dot — encoding needs no norm correction and the
+    oracle can reproduce it with the plain fold. A TRAINED codebook
+    (``pq_train``) has per-codeword norms; the kernel then applies the
+    −‖c‖²/2 L2 correction, engine-side only (trained codewords are
+    data the oracle cannot regenerate — same policy as ``ivf_train``).
+    """
+    out = []
+    for i in range(PQ_DSUB):
+        h = hashlib.md5(f"pq{m}:{k}:{i}".encode()).hexdigest()
+        out.append(1 if int(h[0], 16) >= 8 else -1)
+    return tuple(out)
+
+
+def _pq_codebook():
+    """(PQ_M, PQ_K, PQ_DSUB) float64 array of the md5 codewords."""
+    import numpy as np
+
+    return np.array(
+        [[[float(s) for s in _pq_codeword(m, k)] for k in range(PQ_K)]
+         for m in range(PQ_M)]
+    )
+
+
+def _with_pq_codes(df: DataFrame, codebook=None) -> DataFrame:
+    """Add ``codes`` = the PQ code of ``embedding``: an array of PQ_M
+    1-based codeword ids (same numpy-kernel discipline as
+    ``_with_probe_cells`` — sequential per-dimension accumulation for
+    bit-exact fold scores, ``np.argmax`` for the first-index tiebreak
+    the oracle's (-score, index) struct sort also picks).
+
+    ``codebook`` (PQ_M × PQ_K × PQ_DSUB) swaps in trained codewords;
+    that path scores by true L2 (dot − ‖c‖²/2) since trained norms
+    differ. The default md5 path scores by plain dot, matching the
+    oracle expression exactly.
+    """
+    import numpy as np
+
+    cb = _pq_codebook() if codebook is None else np.asarray(
+        codebook, dtype=np.float64
+    )
+    assert cb.shape == (PQ_M, PQ_K, PQ_DSUB), cb.shape
+    # −‖c‖²/2 per (m, k); exactly 0 in the md5 path so the scores stay
+    # the oracle's plain dot fold (no constant-shift rounding hazard)
+    if codebook is None:
+        corr = np.zeros((PQ_M, PQ_K))
+    else:
+        corr = -0.5 * (cb * cb).sum(axis=2)
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("codes", T.ArrayType(T.IntegerType()))]
+    )
+
+    def fn(batches):
+        import numpy as np
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            EF = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            codes = np.empty((n, PQ_M), dtype=np.int32)
+            acc = np.empty((n, PQ_K))
+            for m in range(PQ_M):
+                acc[:] = 0.0
+                # ascending global dim order — the oracle's fold order
+                for i in range(PQ_DSUB):
+                    acc += EF[:, m * PQ_DSUB + i][:, None] * cb[m, :, i]
+                acc += corr[m]
+                codes[:, m] = np.argmax(acc, axis=1) + 1
+            pdf = pdf.copy()
+            pdf["codes"] = list(codes)
+            yield pdf
+
+    return df.mapInPandas(fn, out_schema)
+
+
+def _with_pq_lut(df: DataFrame, codebook=None) -> DataFrame:
+    """Add ``lut`` = the query's ADC lookup table: PQ_M × PQ_K dot
+    products of the UNIT-NORMALIZED query subvectors against every
+    codeword, flattened m-major (entry (m,k) at index (m−1)·PQ_K + k,
+    1-based). Normalizing the query makes the ADC score approximate
+    cosine(query, neighbor-direction), keeping PQ rank-comparable
+    with the other ANN variants. Division before multiplication and
+    ascending-dim folds mirror the oracle expression op-for-op.
+    """
+    import numpy as np
+
+    cb = _pq_codebook() if codebook is None else np.asarray(
+        codebook, dtype=np.float64
+    )
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("lut", T.ArrayType(T.DoubleType()))]
+    )
+
+    def fn(batches):
+        import numpy as np
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            EF = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            nrm = np.zeros(n)
+            for i in range(DIM):
+                nrm += EF[:, i] * EF[:, i]
+            EN = EF / np.sqrt(nrm)[:, None]
+            lut = np.empty((n, PQ_M * PQ_K))
+            acc = np.empty((n, PQ_K))
+            for m in range(PQ_M):
+                acc[:] = 0.0
+                for i in range(PQ_DSUB):
+                    acc += EN[:, m * PQ_DSUB + i][:, None] * cb[m, :, i]
+                lut[:, m * PQ_K:(m + 1) * PQ_K] = acc
+            pdf = pdf.copy()
+            pdf["lut"] = list(lut)
+            yield pdf
+
+    return df.mapInPandas(fn, out_schema)
+
+
+# SQL twins. Codeword sign for subspace m0, codeword k0, local dim i0
+# (all 0-based SQL expressions).
+def _pq_sign_sql(m0: str, k0: str, i0: str) -> str:
+    return (
+        f"(CASE WHEN substring(md5('pq' || CAST({m0} AS VARCHAR) || ':' || "
+        f"CAST({k0} AS VARCHAR) || ':' || CAST({i0} AS VARCHAR)), 1, 1) "
+        ">= '8' THEN 1.0 ELSE -1.0 END)"
+    )
+
+
+# codes of `embedding`: per subspace m (1-based), the 1-based argmax-
+# dot codeword with first-index tiebreak — the same (-score, index)
+# struct-sort idiom as the IVF probe oracle.
+_PQ_CODES_SQL = (
+    f"list_transform(range(1, {PQ_M + 1}), m -> "
+    f"list_slice(list_sort(list_transform(range(1, {PQ_K + 1}), k -> "
+    "{'nv': -("
+    f"list_reduce(list_transform(range(1, {PQ_DSUB + 1}), "
+    f"i -> CAST(embedding[(m - 1) * {PQ_DSUB} + i] AS DOUBLE) * "
+    f"{_pq_sign_sql('m - 1', 'k - 1', 'i - 1')}), (x, y) -> x + y)"
+    "), 'i': k})), 1, 1)[1].i)"
+)
+
+# flattened ADC LUT of the unit-normalized query `qe` (norm `qn`):
+# entry j (1-based) is subspace (j−1)//K, codeword (j−1)%K.
+_PQ_LUT_SQL = (
+    f"list_transform(range(1, {PQ_M * PQ_K + 1}), j -> "
+    f"list_reduce(list_transform(range(1, {PQ_DSUB + 1}), "
+    f"i -> (CAST(qe[((j - 1) // {PQ_K}) * {PQ_DSUB} + i] AS DOUBLE) / qn) * "
+    f"{_pq_sign_sql(f'(j - 1) // {PQ_K}', f'(j - 1) % {PQ_K}', 'i - 1')}), "
+    "(x, y) -> x + y))"
+)
+
+
+@query(
+    "e_pq_adc_topk",
+    oracle=f"""
+    WITH coded AS (
+      SELECT vec_id AS neighbor_id, {_PQ_CODES_SQL} AS codes
+      FROM embeddings
+    ),
+    {_V_CTE},
+    q AS (
+      SELECT query_id, qe, qn, {_PQ_LUT_SQL} AS lut
+      FROM (SELECT vec_id AS query_id, embedding AS qe,
+                   {_norm_sql('embedding')} AS qn
+            FROM embeddings WHERE vec_id < {N_QUERIES})
+    ),
+    adc AS (
+      SELECT query_id, neighbor_id,
+             list_reduce(list_transform(range(1, {PQ_M + 1}),
+               m -> lut[(m - 1) * {PQ_K} + codes[m]]), (x, y) -> x + y)
+               AS adc_score
+      FROM coded, q WHERE neighbor_id <> query_id
+    ),
+    shortlist AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY adc_score DESC, neighbor_id) AS srn FROM adc)
+      WHERE srn <= {PQ_RERANK}
+    ),
+    rerank AS (
+      SELECT query_id, neighbor_id,
+             {_dot_sql('q.qe', 'v.embedding')} / (q.qn * v.nrm) AS cosine
+      FROM shortlist s JOIN q USING (query_id)
+                       JOIN v ON s.neighbor_id = v.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS rnk FROM rerank)
+    WHERE rnk <= {LSH_TOPK}
+    """,
+    tags=("similarity", "ann", "pq"),
+)
+def e_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed ANN: asymmetric-distance scan + exact re-rank.
+
+    The third ANN strategy next to LSH (`e_ann_lsh_topk`, prunes
+    candidates) and IVF (`e_ann_ivf_topk`, prunes cells): PQ prunes
+    BYTES. The corpus is encoded once into PQ_M-int codes
+    (``_with_pq_codes``, a 64× compression at the defaults); the scan
+    stage never touches the float vectors — each query carries a
+    PQ_M × PQ_K lookup table of subspace dot products
+    (``_with_pq_lut``), and a neighbor's approximate score is PQ_M
+    table lookups summed in a JVM-side fold (8 adds per pair, no
+    Python on the pair path). The scan keeps only the ``PQ_RERANK``
+    best codes per query; stage two re-ranks that constant-size
+    shortlist by EXACT cosine against the float vectors (the standard
+    Jégou two-stage: compressed scan for candidates, float re-rank
+    for order), so reported scores are true cosines — the same
+    scores-are-true contract the other ANN variants honor. At 100 TB
+    the scan reads ~1/64th the corpus bytes and the re-rank reads
+    |Q| × PQ_RERANK float rows via an id join — point-lookup volume,
+    independent of corpus size. Codewords are md5-derived ±1
+    directions (equal norms ⇒ argmax dot ≡ nearest-by-L2) so the
+    DuckDB oracle reproduces encoding, LUTs, the m-ascending ADC
+    fold, and both rankings bit-for-bit; ``pq_train`` swaps in a
+    Lloyd-trained codebook without changing this dataflow.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    coded = _with_pq_codes(emb.select("vec_id", "embedding")).select(
+        F.col("vec_id").alias("neighbor_id"), "codes"
+    )
+    q = _with_pq_lut(
+        emb.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding")
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
+        _norm(F.col("embedding")).alias("qn"), "lut",
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(1), F.lit(PQ_M)),
+        F.lit(0.0),
+        lambda acc, m: acc + F.element_at(
+            F.col("lut"), (m - F.lit(1)) * F.lit(PQ_K)
+            + F.element_at(F.col("codes"), m)
+        ),
+    )
+    scan = (
+        coded.join(F.broadcast(q.select("query_id", "lut")),
+                   F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc_score"))
+    )
+    sw = Window.partitionBy("query_id").orderBy(F.desc("adc_score"), "neighbor_id")
+    shortlist = (
+        scan.withColumn("srn", F.row_number().over(sw))
+        .filter(F.col("srn") <= PQ_RERANK)
+        .select("query_id", "neighbor_id")
+    )
+    v = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"),
+        _norm(F.col("embedding")).alias("nn"),
+    )
+    rerank = (
+        v.join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(q.select("query_id", "qe", "qn")), "query_id")
+        .select("query_id", "neighbor_id", _cosine_spark().alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        rerank.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= LSH_TOPK)
+        .select("query_id", "neighbor_id",
+                F.col("rnk").cast("long").alias("rnk"), "cosine")
+    )
+
+
+def pq_train(spark: SparkSession, sf_dir: str, iters: int = 2):
+    """Train the PQ codebook: ``iters`` Lloyd rounds of per-subspace
+    k-means over the corpus subvectors, seeded by the md5 codewords.
+
+    Returns a (PQ_M × PQ_K × PQ_DSUB) float64 array ready for
+    ``_with_pq_codes(..., codebook=...)`` / ``_with_pq_lut``. Each
+    round: one encode pass (the ADC kernel with the L2 correction),
+    then per-(subspace, codeword, local-dim) means via a map-side-
+    combined groupBy — the collect is PQ_M × PQ_K × PQ_DSUB doubles
+    (1 024 at the defaults, 8 KB), never the vectors. Codewords that
+    attract no subvectors keep their previous value (the standard
+    empty-cluster rule). Training is an engine feature, not a catalog
+    query — trained codewords are data the oracle cannot regenerate
+    (same policy as ``ivf_train``); ``tests/test_ann_recall.py`` pins
+    monotone reconstruction-error improvement instead.
+    """
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cb = _pq_codebook()
+    for _ in range(iters):
+        coded = _with_pq_codes(emb, codebook=cb)
+        pe = coded.select(
+            F.col("codes"), F.posexplode("embedding").alias("gidx", "x")
+        ).select(
+            (F.col("gidx") / PQ_DSUB).cast("int").alias("m"),
+            F.element_at(
+                "codes", (F.col("gidx") / PQ_DSUB).cast("int") + 1
+            ).alias("k"),
+            (F.col("gidx") % PQ_DSUB).alias("i"),
+            F.col("x").cast("double").alias("x"),
+        )
+        means = (
+            pe.groupBy("m", "k", "i").agg(F.avg("x").alias("mu")).collect()
+        )
+        nxt = cb.copy()
+        for r in means:
+            nxt[r["m"], r["k"] - 1, r["i"]] = r["mu"]
+        cb = nxt
+    return cb
+
+
+def pq_reconstruction_error(spark: SparkSession, sf_dir: str, codebook) -> float:
+    """Mean squared L2 reconstruction error of the corpus under
+    ``codebook`` — the objective Lloyd descends (training audit)."""
+    import numpy as np
+
+    cb = np.asarray(codebook, dtype=np.float64)
+    coded = _with_pq_codes(
+        load(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        codebook=cb,
+    )
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            EF = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64) - 1
+            err = np.zeros(len(pdf))
+            for m in range(PQ_M):
+                recon = cb[m, codes[:, m]]
+                d = EF[:, m * PQ_DSUB:(m + 1) * PQ_DSUB] - recon
+                err += (d * d).sum(axis=1)
+            yield pd.DataFrame({"s": [float(err.sum())], "n": [len(pdf)]})
+
+    parts = coded.mapInPandas(fn, "s double, n long").agg(
+        F.sum("s").alias("s"), F.sum("n").alias("n")
+    ).collect()[0]
+    return parts["s"] / parts["n"]

@@ -41,7 +41,9 @@ def exact(spark):
     return rows
 
 
-@pytest.mark.parametrize("name", ["e_ann_lsh_topk", "e_ann_ivf_topk"])
+@pytest.mark.parametrize(
+    "name", ["e_ann_lsh_topk", "e_ann_ivf_topk", "e_pq_adc_topk"]
+)
 def test_ann_scores_are_true_and_ranked(spark, exact, name):
     ann = _Q[name].fn(spark, SF_DIR).collect()
     release_persisted()
@@ -67,6 +69,11 @@ def test_ann_scores_are_true_and_ranked(spark, exact, name):
     # regression fails), with headroom for knob-rule drift.
     ("e_ann_lsh_topk", 0.30),
     ("e_ann_ivf_topk", 0.15),
+    # PQ: ADC shortlist (PQ_RERANK=50) + exact re-rank measures 0.48
+    # at sf0.001 / 0.56 at sf0.01 (max possible is 0.6 — top-3 vs
+    # exact top-5); the scan-only form without re-rank sat at
+    # 0.06/0.22, so the floor also guards the re-rank stage's wiring.
+    ("e_pq_adc_topk", 0.30),
 ])
 def test_ann_recall_floor(spark, exact, name, floor):
     ann = _Q[name].fn(spark, SF_DIR).collect()
@@ -122,3 +129,35 @@ def test_ivf_training_improves_quantization(spark):
     counts = {r["cell"] for r in assigned.distinct().collect()}
     assert counts <= set(range(1, cells + 1))
     assert assigned.count() == emb.count()
+
+
+def test_pq_training_improves_reconstruction(spark):
+    """Lloyd-trained PQ codebooks must descend the reconstruction-MSE
+    objective from the md5 seed (dramatically — the ±1 seed is
+    data-blind), improve monotonically with iterations, and encode
+    through the SAME kernel covering every vector — the
+    trained-codebook-drops-in contract of ``pq_train``."""
+    from flink_spark.plans.similarity import (
+        PQ_M,
+        _pq_codebook,
+        _with_pq_codes,
+        pq_reconstruction_error,
+        pq_train,
+    )
+    from flink_spark.sources import load
+    from pyspark.sql import functions as F
+
+    base = pq_reconstruction_error(spark, SF_DIR, _pq_codebook())
+    cb1 = pq_train(spark, SF_DIR, iters=1)
+    e1 = pq_reconstruction_error(spark, SF_DIR, cb1)
+    cb2 = pq_train(spark, SF_DIR, iters=2)
+    e2 = pq_reconstruction_error(spark, SF_DIR, cb2)
+    # measured at sf0.001: 55.6 (md5 seed) -> 0.60 -> 0.58
+    assert e1 < base / 10, (base, e1)
+    assert e2 <= e1, (e1, e2)
+
+    emb = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    coded = _with_pq_codes(emb, codebook=cb2)
+    assert coded.count() == emb.count()
+    bad = coded.filter(F.size("codes") != PQ_M).count()
+    assert bad == 0
