@@ -1697,49 +1697,35 @@ def _with_pq_codes(df: DataFrame, codebook=None) -> DataFrame:
     return df.mapInPandas(fn, out_schema)
 
 
-def _with_pq_lut(df: DataFrame, codebook=None) -> DataFrame:
-    """Add ``lut`` = the query's ADC lookup table: PQ_M × PQ_K dot
-    products of the UNIT-NORMALIZED query subvectors against every
-    codeword, flattened m-major (entry (m,k) at index (m−1)·PQ_K + k,
-    1-based). Normalizing the query makes the ADC score approximate
-    cosine(query, neighbor-direction), keeping PQ rank-comparable
-    with the other ANN variants. Division before multiplication and
-    ascending-dim folds mirror the oracle expression op-for-op.
+def _pq_lut_matrix(EF, codebook=None):
+    """ADC lookup tables of query vectors ``EF`` (n × DIM float64):
+    an (n, PQ_M, PQ_K) array of dot products of the UNIT-NORMALIZED
+    query subvectors against every codeword. Normalizing the query
+    makes the ADC score approximate cosine(query, neighbor-direction),
+    keeping PQ rank-comparable with the other ANN variants. Division
+    before multiplication and ascending-dim sequential folds mirror
+    the oracle expression op-for-op (norm = correctly-rounded sqrt of
+    the square fold, exactly ``_norm_sql``).
     """
     import numpy as np
 
     cb = _pq_codebook() if codebook is None else np.asarray(
         codebook, dtype=np.float64
     )
-    out_schema = T.StructType(
-        list(df.schema.fields)
-        + [T.StructField("lut", T.ArrayType(T.DoubleType()))]
-    )
-
-    def fn(batches):
-        import numpy as np
-
-        for pdf in batches:
-            n = len(pdf)
-            if n == 0:
-                continue
-            EF = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            nrm = np.zeros(n)
-            for i in range(DIM):
-                nrm += EF[:, i] * EF[:, i]
-            EN = EF / np.sqrt(nrm)[:, None]
-            lut = np.empty((n, PQ_M * PQ_K))
-            acc = np.empty((n, PQ_K))
-            for m in range(PQ_M):
-                acc[:] = 0.0
-                for i in range(PQ_DSUB):
-                    acc += EN[:, m * PQ_DSUB + i][:, None] * cb[m, :, i]
-                lut[:, m * PQ_K:(m + 1) * PQ_K] = acc
-            pdf = pdf.copy()
-            pdf["lut"] = list(lut)
-            yield pdf
-
-    return df.mapInPandas(fn, out_schema)
+    EF = np.asarray(EF, dtype=np.float64)
+    n = EF.shape[0]
+    nrm = np.zeros(n)
+    for i in range(DIM):
+        nrm += EF[:, i] * EF[:, i]
+    EN = EF / np.sqrt(nrm)[:, None]
+    lut = np.empty((n, PQ_M, PQ_K))
+    acc = np.empty((n, PQ_K))
+    for m in range(PQ_M):
+        acc[:] = 0.0
+        for i in range(PQ_DSUB):
+            acc += EN[:, m * PQ_DSUB + i][:, None] * cb[m, :, i]
+        lut[:, m] = acc
+    return lut
 
 
 # SQL twins. Codeword sign for subspace m0, codeword k0, local dim i0
@@ -1823,15 +1809,18 @@ def e_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates) and IVF (`e_ann_ivf_topk`, prunes cells): PQ prunes
     BYTES. The corpus is encoded once into PQ_M-int codes
     (``_with_pq_codes``, a 64× compression at the defaults); the scan
-    stage never touches the float vectors — each query carries a
-    PQ_M × PQ_K lookup table of subspace dot products
-    (``_with_pq_lut``), and a neighbor's approximate score is PQ_M
-    table lookups summed in a JVM-side fold (8 adds per pair, no
-    Python on the pair path). The scan keeps only the ``PQ_RERANK``
-    best codes per query; stage two re-ranks that constant-size
-    shortlist by EXACT cosine against the float vectors (the standard
-    Jégou two-stage: compressed scan for candidates, float re-rank
-    for order), so reported scores are true cosines — the same
+    stage never touches the float vectors — each query's PQ_M × PQ_K
+    lookup table of subspace dot products (``_pq_lut_matrix``) rides
+    in the task closure, and the scan kernel scores codes against all
+    queries WHERE THE CODES ARE (a numpy gather + m-ascending adds),
+    emitting only each partition's top-``PQ_RERANK`` per query. That
+    keeps the exchange at |Q| × R × partitions rows — partial top-k
+    selection is exact because the order (score desc, neighbor_id
+    asc) is total, so every global top-R row is its partition's
+    local top-R. Stage two re-ranks the constant-size shortlist by
+    EXACT cosine against the float vectors (the standard Jégou
+    two-stage: compressed scan for candidates, float re-rank for
+    order), so reported scores are true cosines — the same
     scores-are-true contract the other ANN variants honor. At 100 TB
     the scan reads ~1/64th the corpus bytes and the re-rank reads
     |Q| × PQ_RERANK float rows via an id join — point-lookup volume,
@@ -1841,28 +1830,63 @@ def e_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold, and both rankings bit-for-bit; ``pq_train`` swaps in a
     Lloyd-trained codebook without changing this dataflow.
     """
+    import numpy as np
+
     emb = load(spark, sf_dir, "embeddings")
     coded = _with_pq_codes(emb.select("vec_id", "embedding")).select(
         F.col("vec_id").alias("neighbor_id"), "codes"
     )
-    q = _with_pq_lut(
-        emb.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding")
-    ).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
-        _norm(F.col("embedding")).alias("qn"), "lut",
+    # Query LUTs ride in the task closure (|Q| × M × K doubles — the
+    # query side is the small side by construction, same license the
+    # IVF centroid matrix uses). The scan kernel scores every code
+    # row against ALL queries where the codes already are and emits
+    # only each PARTITION's top-PQ_RERANK per query — candidate
+    # selection is order-total (score desc, neighbor_id asc), so the
+    # global top-R is exactly preserved while the exchange carries
+    # |Q| × R × partitions rows instead of |Q| × N.
+    qrows = sorted(
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
     )
-    adc = F.aggregate(
-        F.sequence(F.lit(1), F.lit(PQ_M)),
-        F.lit(0.0),
-        lambda acc, m: acc + F.element_at(
-            F.col("lut"), (m - F.lit(1)) * F.lit(PQ_K)
-            + F.element_at(F.col("codes"), m)
-        ),
-    )
-    scan = (
-        coded.join(F.broadcast(q.select("query_id", "lut")),
-                   F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", adc.alias("adc_score"))
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    QL = _pq_lut_matrix(np.array([r["embedding"] for r in qrows]))
+
+    def scan_fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        nq = len(qids)
+        best_ids = [np.empty(0, dtype=np.int64) for _ in range(nq)]
+        best_sc = [np.empty(0) for _ in range(nq)]
+        for pdf in batches:
+            b = len(pdf)
+            if b == 0:
+                continue
+            codes0 = np.stack(pdf["codes"].to_numpy()).astype(np.int64) - 1
+            nids = pdf["neighbor_id"].to_numpy()
+            S = np.zeros((nq, b))
+            # ascending-m adds — the oracle's list_reduce fold order
+            for m in range(PQ_M):
+                S += QL[:, m, :][:, codes0[:, m]]
+            for qi in range(nq):
+                mask = nids != qids[qi]
+                ids = np.concatenate([best_ids[qi], nids[mask]])
+                sc = np.concatenate([best_sc[qi], S[qi, mask]])
+                # score desc, neighbor_id asc — the oracle's ORDER BY
+                order = np.lexsort((ids, -sc))[:PQ_RERANK]
+                best_ids[qi], best_sc[qi] = ids[order], sc[order]
+        out_q = np.repeat(qids, [len(x) for x in best_ids])
+        if len(out_q) == 0:
+            return
+        yield pd.DataFrame({
+            "query_id": out_q,
+            "neighbor_id": np.concatenate(best_ids),
+            "adc_score": np.concatenate(best_sc),
+        })
+
+    scan = coded.mapInPandas(
+        scan_fn, "query_id long, neighbor_id long, adc_score double"
     )
     sw = Window.partitionBy("query_id").orderBy(F.desc("adc_score"), "neighbor_id")
     shortlist = (
@@ -1870,13 +1894,17 @@ def e_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("srn") <= PQ_RERANK)
         .select("query_id", "neighbor_id")
     )
+    qf = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
+        _norm(F.col("embedding")).alias("qn"),
+    )
     v = emb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"),
         _norm(F.col("embedding")).alias("nn"),
     )
     rerank = (
         v.join(F.broadcast(shortlist), "neighbor_id")
-        .join(F.broadcast(q.select("query_id", "qe", "qn")), "query_id")
+        .join(F.broadcast(qf), "query_id")
         .select("query_id", "neighbor_id", _cosine_spark().alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
@@ -1893,7 +1921,7 @@ def pq_train(spark: SparkSession, sf_dir: str, iters: int = 2):
     k-means over the corpus subvectors, seeded by the md5 codewords.
 
     Returns a (PQ_M × PQ_K × PQ_DSUB) float64 array ready for
-    ``_with_pq_codes(..., codebook=...)`` / ``_with_pq_lut``. Each
+    ``_with_pq_codes(..., codebook=...)`` / ``_pq_lut_matrix``. Each
     round: one encode pass (the ADC kernel with the L2 correction),
     then per-(subspace, codeword, local-dim) means via a map-side-
     combined groupBy — the collect is PQ_M × PQ_K × PQ_DSUB doubles

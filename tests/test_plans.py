@@ -111,16 +111,16 @@ def test_no_cartesian_or_nested_loop_joins(spark):
 
 
 def test_pq_adc_plan_shape(spark):
-    """PQ search: the ADC scan is the one deliberate nested-loop scan
-    (codes against the broadcast query LUTs — same exception as
-    e_cosine_topk), and the re-rank stage must join the constant-size
-    shortlist by BROADCAST hash join, never a shuffle of the corpus
-    floats or a cartesian blowup."""
+    """PQ search: the ADC scan is a narrow partition-local kernel (no
+    join node at all — LUTs ride in the task closure and each
+    partition emits only its top-R per query), and the re-rank stage
+    must join the constant-size shortlist by BROADCAST hash join,
+    never a shuffle of the corpus floats or a cartesian blowup."""
     plan = _plan(_Q["e_pq_adc_topk"].fn(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan  # shortlist/rerank id joins
-    assert "BroadcastNestedLoopJoin" in plan  # the ADC scan itself
 
 
 def test_asof_join_is_merge_not_join(spark):
