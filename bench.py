@@ -78,6 +78,7 @@ HEADLINE = [
     # cliff stayed hidden until round 6 (SCALING.md); keep it timed
     "e_ann_ivf_topk",
     "e_pq_adc_topk",
+    "e_filtered_topk",
 ]
 
 

@@ -291,6 +291,73 @@ def e_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Metadata-filtered top-k (the filtered-search shape of vector stores)
+# --------------------------------------------------------------------------
+
+@query(
+    "e_filtered_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, label, embedding AS qe,
+                      {_norm_sql('embedding')} AS qn
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    n AS (SELECT vec_id AS neighbor_id, label, embedding AS ne,
+                 {_norm_sql('embedding')} AS nn
+          FROM embeddings),
+    pairs AS (
+      SELECT query_id, neighbor_id, {_COSINE_SQL} AS cosine
+      FROM q JOIN n USING (label) WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS rnk FROM pairs)
+    WHERE rnk <= {TOPK}
+    """,
+    tags=("similarity", "ann", "filtered"),
+)
+def e_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 neighbors CONSTRAINED to the query's label — the
+    metadata-filtered search every production vector store exposes
+    ("nearest within this tenant/language/split").
+
+    The constraint is the optimization: the label equality becomes
+    the JOIN KEY, so the scan is a broadcast HASH join (each corpus
+    row probes a small hash table and scores only against the
+    queries sharing its label) instead of the unfiltered baseline's
+    nested-loop pass — candidate volume drops from |Q| × N to
+    Σ_label |Q_label| × |N_label|. At 100 TB the same shape rides
+    partition pruning: a corpus laid out by the filter column (the
+    ``bucketed`` source helpers) never reads non-matching partitions
+    at all. Scoring stays the JVM-side fold; ranking is the standard
+    per-query row_number.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        "label",
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        _norm(F.col("embedding")).alias("qn"),
+    )
+    n = emb.select(
+        "label",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
+        _norm(F.col("embedding")).alias("nn"),
+    )
+    pairs = (
+        n.join(F.broadcast(q), "label")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _cosine_spark().alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPK)
+        .select("query_id", "neighbor_id", F.col("rnk").cast("long").alias("rnk"),
+                "cosine")
+    )
+
+
+# --------------------------------------------------------------------------
 # LSH-bucketed ANN (the scale path)
 # --------------------------------------------------------------------------
 

@@ -123,6 +123,16 @@ def test_pq_adc_plan_shape(spark):
     assert "BroadcastHashJoin" in plan  # shortlist/rerank id joins
 
 
+def test_filtered_topk_is_hash_join(spark):
+    """Filtered vector search: the label constraint must BE the join
+    key (broadcast hash join), never a nested-loop scan with a
+    post-filter — that is the whole point of the operator."""
+    plan = _plan(_Q["e_filtered_topk"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
 def test_asof_join_is_merge_not_join(spark):
     """The as-of join must compile to sort+window along time — one
     shuffle on user_id and NO join node (the naive per-key all-pairs
