@@ -79,6 +79,7 @@ HEADLINE = [
     "e_ann_ivf_topk",
     "e_pq_adc_topk",
     "e_filtered_topk",
+    "e_ivfpq_topk",
 ]
 
 

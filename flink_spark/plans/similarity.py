@@ -1983,6 +1983,156 @@ def e_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "e_ivfpq_topk",
+    oracle=f"""
+    WITH {_IVF_CELLS_CTE},
+    scored AS (
+      SELECT vec_id, embedding, {_norm_sql('embedding')} AS nrm,
+             {_cell_scores_sql('embedding')} AS d, cells
+      FROM embeddings, nc
+    ),
+    cellassign AS (
+      SELECT *, list_transform(list_slice(list_sort(
+                  list_transform(range(1, cells + 1),
+                                 j -> {{'nv': -d[j], 'i': j}})),
+                1, {IVF_PROBES}), x -> x.i) AS topc
+      FROM scored
+    ),
+    coded AS (
+      SELECT c.vec_id AS neighbor_id, c.topc[1] AS cell, p.codes
+      FROM cellassign c JOIN (SELECT vec_id, {_PQ_CODES_SQL} AS codes
+                              FROM embeddings) p USING (vec_id)
+    ),
+    qb AS (
+      SELECT query_id, topc, {_PQ_LUT_SQL} AS lut, qe, qn
+      FROM (SELECT vec_id AS query_id, topc, embedding AS qe, nrm AS qn
+            FROM cellassign WHERE vec_id < {N_QUERIES})
+    ),
+    q AS (SELECT query_id, unnest(topc) AS cell, lut FROM qb),
+    adc AS (
+      SELECT query_id, neighbor_id,
+             list_reduce(list_transform(range(1, {PQ_M + 1}),
+               m -> lut[(m - 1) * {PQ_K} + codes[m]]), (x, y) -> x + y)
+               AS adc_score
+      FROM coded JOIN q USING (cell) WHERE neighbor_id <> query_id
+    ),
+    shortlist AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY adc_score DESC, neighbor_id) AS srn FROM adc)
+      WHERE srn <= {PQ_RERANK}
+    ),
+    {_V_CTE},
+    rerank AS (
+      SELECT query_id, neighbor_id,
+             {_dot_sql('qb.qe', 'v.embedding')} / (qb.qn * v.nrm) AS cosine
+      FROM shortlist s JOIN qb USING (query_id)
+                       JOIN v ON s.neighbor_id = v.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS rnk FROM rerank)
+    WHERE rnk <= {LSH_TOPK}
+    """,
+    tags=("similarity", "ann", "ivf", "pq"),
+)
+def e_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ (the FAISS ``IVFADC`` index): probe cells, ADC-scan only
+    the probed cells' codes, re-rank the shortlist exactly.
+
+    The composition that runs billion-vector search in practice —
+    IVF prunes WHICH codes are read (candidates drop to
+    probes × N / cells per query), PQ prunes HOW MANY BYTES each
+    candidate costs (4-byte codes), and the float vectors surface
+    only for the |Q| × PQ_RERANK re-rank. Both stages reuse the
+    catalog's existing machinery verbatim: cell assignment is
+    ``_with_probe_cells`` (md5 coarse directions, trained centroids
+    drop in), encoding is ``_with_pq_codes``, and the probed join is
+    an ordinary broadcast HASH join on the cell id — pair volume is
+    small enough that the ADC fold stays a JVM-side expression (no
+    partial-top-k machinery needed, unlike the full-scan
+    ``e_pq_adc_topk``). The DuckDB oracle is the composition of the
+    two stages' existing SQL twins, bit-exact through assignment,
+    encoding, LUTs, ADC, and both rankings.
+
+    Cost shape: each run here re-BUILDS the index (cell assignment +
+    encoding — two kernel passes over the vectors); the probed ADC
+    scan and re-rank are near-free by comparison. In production the
+    build is one-time and amortizes over every query batch — the
+    per-batch marginal cost is just the scan legs, which read codes
+    for probes × N / cells rows per query and floats for
+    |Q| × PQ_RERANK rows.
+    """
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings")
+    n_cells = _active_ivf_cells(spark, sf_dir)
+    base = emb.select("vec_id", "embedding")
+    corpus = _with_pq_codes(
+        _with_probe_cells(base, spark, n_cells, IVF_PROBES)
+    ).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.element_at("topc", 1).alias("cell"),
+        "codes",
+    )
+    qrows = sorted(
+        _with_probe_cells(
+            base.filter(F.col("vec_id") < N_QUERIES), spark, n_cells,
+            IVF_PROBES,
+        ).select("vec_id", "embedding", "topc").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    QL = _pq_lut_matrix(np.array([r["embedding"] for r in qrows]))
+    qdf = spark.createDataFrame(
+        [
+            (int(r["vec_id"]), int(cell), [float(x) for x in QL[i].ravel()])
+            for i, r in enumerate(qrows)
+            for cell in r["topc"]
+        ],
+        "query_id long, cell int, lut array<double>",
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(1), F.lit(PQ_M)),
+        F.lit(0.0),
+        lambda acc, m: acc + F.element_at(
+            F.col("lut"), (m - F.lit(1)) * F.lit(PQ_K)
+            + F.element_at(F.col("codes"), m)
+        ),
+    )
+    scan = (
+        corpus.join(F.broadcast(qdf), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc_score"))
+    )
+    sw = Window.partitionBy("query_id").orderBy(F.desc("adc_score"), "neighbor_id")
+    shortlist = (
+        scan.withColumn("srn", F.row_number().over(sw))
+        .filter(F.col("srn") <= PQ_RERANK)
+        .select("query_id", "neighbor_id")
+    )
+    qf = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
+        _norm(F.col("embedding")).alias("qn"),
+    )
+    v = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"),
+        _norm(F.col("embedding")).alias("nn"),
+    )
+    rerank = (
+        v.join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(qf), "query_id")
+        .select("query_id", "neighbor_id", _cosine_spark().alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        rerank.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= LSH_TOPK)
+        .select("query_id", "neighbor_id",
+                F.col("rnk").cast("long").alias("rnk"), "cosine")
+    )
+
+
 def pq_train(spark: SparkSession, sf_dir: str, iters: int = 2):
     """Train the PQ codebook: ``iters`` Lloyd rounds of per-subspace
     k-means over the corpus subvectors, seeded by the md5 codewords.

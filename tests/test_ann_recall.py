@@ -42,7 +42,8 @@ def exact(spark):
 
 
 @pytest.mark.parametrize(
-    "name", ["e_ann_lsh_topk", "e_ann_ivf_topk", "e_pq_adc_topk"]
+    "name",
+    ["e_ann_lsh_topk", "e_ann_ivf_topk", "e_pq_adc_topk", "e_ivfpq_topk"],
 )
 def test_ann_scores_are_true_and_ranked(spark, exact, name):
     ann = _Q[name].fn(spark, SF_DIR).collect()
@@ -74,6 +75,13 @@ def test_ann_scores_are_true_and_ranked(spark, exact, name):
     # exact top-5); the scan-only form without re-rank sat at
     # 0.06/0.22, so the floor also guards the re-rank stage's wiring.
     ("e_pq_adc_topk", 0.30),
+    # IVF+PQ: recall is bounded by the IVF probe stage (probes=2 of
+    # √n cells on a near-orthogonal fixture), then widened by the
+    # R=50 ADC shortlist within the probed cells — measured 0.28 at
+    # sf0.001 / 0.34 at sf0.01, comfortably above IVF-flat's own
+    # top-3 selection. Floor matches IVF-flat's: a broken stage in
+    # the composition sends recall toward 0.
+    ("e_ivfpq_topk", 0.15),
 ])
 def test_ann_recall_floor(spark, exact, name, floor):
     ann = _Q[name].fn(spark, SF_DIR).collect()
