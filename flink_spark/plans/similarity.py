@@ -1818,6 +1818,60 @@ _PQ_CODES_SQL = (
     "), 'i': k})), 1, 1)[1].i)"
 )
 
+def _adc_expr():
+    """JVM-side ADC score: PQ_M lookups of ``lut`` by ``codes``,
+    summed in ascending-m order (the oracle's ``list_reduce`` fold)."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(PQ_M)),
+        F.lit(0.0),
+        lambda acc, m: acc + F.element_at(
+            F.col("lut"), (m - F.lit(1)) * F.lit(PQ_K)
+            + F.element_at(F.col("codes"), m)
+        ),
+    )
+
+
+def _adc_shortlist(scan: DataFrame) -> DataFrame:
+    """Global top-``PQ_RERANK`` per query of an ADC scan frame
+    (query_id, neighbor_id, adc_score) — the oracle's ordering."""
+    sw = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score"), "neighbor_id"
+    )
+    return (
+        scan.withColumn("srn", F.row_number().over(sw))
+        .filter(F.col("srn") <= PQ_RERANK)
+        .select("query_id", "neighbor_id")
+    )
+
+
+def _exact_rerank(emb: DataFrame, shortlist: DataFrame,
+                  topk: int = LSH_TOPK) -> DataFrame:
+    """Re-rank a (query_id, neighbor_id) shortlist by EXACT cosine
+    against the float vectors — constant |Q| × R float reads via
+    broadcast id joins, true scores out (the Jégou two-stage's second
+    stage, shared by every compressed-scan variant)."""
+    qf = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
+        _norm(F.col("embedding")).alias("qn"),
+    )
+    v = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"),
+        _norm(F.col("embedding")).alias("nn"),
+    )
+    rerank = (
+        v.join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(qf), "query_id")
+        .select("query_id", "neighbor_id", _cosine_spark().alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        rerank.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= topk)
+        .select("query_id", "neighbor_id",
+                F.col("rnk").cast("long").alias("rnk"), "cosine")
+    )
+
+
 # flattened ADC LUT of the unit-normalized query `qe` (norm `qn`):
 # entry j (1-based) is subspace (j−1)//K, codeword (j−1)%K.
 _PQ_LUT_SQL = (
@@ -1955,32 +2009,7 @@ def e_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan = coded.mapInPandas(
         scan_fn, "query_id long, neighbor_id long, adc_score double"
     )
-    sw = Window.partitionBy("query_id").orderBy(F.desc("adc_score"), "neighbor_id")
-    shortlist = (
-        scan.withColumn("srn", F.row_number().over(sw))
-        .filter(F.col("srn") <= PQ_RERANK)
-        .select("query_id", "neighbor_id")
-    )
-    qf = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
-        _norm(F.col("embedding")).alias("qn"),
-    )
-    v = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"),
-        _norm(F.col("embedding")).alias("nn"),
-    )
-    rerank = (
-        v.join(F.broadcast(shortlist), "neighbor_id")
-        .join(F.broadcast(qf), "query_id")
-        .select("query_id", "neighbor_id", _cosine_spark().alias("cosine"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
-    return (
-        rerank.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= LSH_TOPK)
-        .select("query_id", "neighbor_id",
-                F.col("rnk").cast("long").alias("rnk"), "cosine")
-    )
+    return _exact_rerank(emb, _adc_shortlist(scan))
 
 
 @query(
@@ -2092,45 +2121,92 @@ def e_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "query_id long, cell int, lut array<double>",
     )
-    adc = F.aggregate(
-        F.sequence(F.lit(1), F.lit(PQ_M)),
-        F.lit(0.0),
-        lambda acc, m: acc + F.element_at(
-            F.col("lut"), (m - F.lit(1)) * F.lit(PQ_K)
-            + F.element_at(F.col("codes"), m)
-        ),
-    )
     scan = (
         corpus.join(F.broadcast(qdf), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", adc.alias("adc_score"))
+        .select("query_id", "neighbor_id", _adc_expr().alias("adc_score"))
     )
-    sw = Window.partitionBy("query_id").orderBy(F.desc("adc_score"), "neighbor_id")
-    shortlist = (
-        scan.withColumn("srn", F.row_number().over(sw))
-        .filter(F.col("srn") <= PQ_RERANK)
-        .select("query_id", "neighbor_id")
+    return _exact_rerank(emb, _adc_shortlist(scan))
+
+
+def build_ann_index(
+    spark: SparkSession, sf_dir: str, index_dir: str,
+    cells: int | None = None, cents=None, codebook=None,
+) -> int:
+    """Materialize the IVF+PQ index ONCE: (vec_id, codes) parquet
+    PARTITIONED BY cell under ``index_dir``. Returns the cell count.
+
+    This is the production form of what `e_ivfpq_topk` rebuilds per
+    run — the one-time cost (cell assignment + PQ encoding, the two
+    kernel passes that dominate that query at scale) is paid here,
+    and every later ``search_ann_index`` batch reads ONLY the probed
+    cells' code files via parquet partition pruning: at 100 TB of
+    floats the per-batch I/O is probes × (corpus/cells) / 64 bytes.
+    ``cents``/``codebook`` take trained quantizers (``ivf_train`` /
+    ``pq_train``); the md5 defaults keep the result byte-identical
+    to the catalog query's in-flight structures.
+    """
+    if cells is None:
+        cells = _active_ivf_cells(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    idx = _with_pq_codes(
+        _with_probe_cells(emb, spark, cells, 1, cents=cents),
+        codebook=codebook,
+    ).select(
+        "vec_id", F.element_at("topc", 1).alias("cell"), "codes"
     )
-    qf = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
-        _norm(F.col("embedding")).alias("qn"),
+    idx.write.mode("overwrite").partitionBy("cell").parquet(index_dir)
+    return cells
+
+
+def search_ann_index(
+    spark: SparkSession, sf_dir: str, index_dir: str, cells: int,
+    probes: int = IVF_PROBES, topk: int = LSH_TOPK,
+    cents=None, codebook=None,
+) -> DataFrame:
+    """Query a ``build_ann_index`` store: probe cells, ADC-scan only
+    the probed partitions' codes, exact re-rank against the source
+    floats. Result-identical to `e_ivfpq_topk` built with the same
+    quantizers (pinned in tests), but the corpus-side kernels never
+    run — the scan reads pre-encoded codes, and the driver-known
+    probe list becomes a STATIC partition filter (PartitionFilters
+    in the scan node, asserted in tests), so non-probed cells are
+    never opened.
+    """
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings")
+    qrows = sorted(
+        _with_probe_cells(
+            emb.filter(F.col("vec_id") < N_QUERIES)
+            .select("vec_id", "embedding"),
+            spark, cells, probes, cents=cents,
+        ).select("vec_id", "embedding", "topc").collect(),
+        key=lambda r: r["vec_id"],
     )
-    v = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"),
-        _norm(F.col("embedding")).alias("nn"),
+    QL = _pq_lut_matrix(
+        np.array([r["embedding"] for r in qrows]), codebook=codebook
     )
-    rerank = (
-        v.join(F.broadcast(shortlist), "neighbor_id")
-        .join(F.broadcast(qf), "query_id")
-        .select("query_id", "neighbor_id", _cosine_spark().alias("cosine"))
+    qdf = spark.createDataFrame(
+        [
+            (int(r["vec_id"]), int(cell), [float(x) for x in QL[i].ravel()])
+            for i, r in enumerate(qrows)
+            for cell in r["topc"]
+        ],
+        "query_id long, cell int, lut array<double>",
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
-    return (
-        rerank.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= LSH_TOPK)
-        .select("query_id", "neighbor_id",
-                F.col("rnk").cast("long").alias("rnk"), "cosine")
+    probed_cells = sorted({int(c) for r in qrows for c in r["topc"]})
+    idx = (
+        spark.read.parquet(index_dir)
+        .filter(F.col("cell").isin(probed_cells))
+        .withColumnRenamed("vec_id", "neighbor_id")
     )
+    scan = (
+        idx.join(F.broadcast(qdf), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _adc_expr().alias("adc_score"))
+    )
+    return _exact_rerank(emb, _adc_shortlist(scan), topk=topk)
 
 
 def pq_train(spark: SparkSession, sf_dir: str, iters: int = 2):

@@ -139,6 +139,38 @@ def test_ivf_training_improves_quantization(spark):
     assert assigned.count() == emb.count()
 
 
+def test_ann_index_build_search_matches_inflight(spark, tmp_path):
+    """A persisted index must answer EXACTLY like the per-run catalog
+    query (same quantizers ⇒ same cells, codes, ADC scores, re-rank),
+    and the probed-cell filter must reach the parquet scan as a
+    PartitionFilter — the whole point of materializing by cell."""
+    import contextlib
+    import io
+
+    from flink_spark.plans.similarity import (
+        build_ann_index,
+        search_ann_index,
+    )
+
+    idx_dir = str(tmp_path / "annidx")
+    cells = build_ann_index(spark, SF_DIR, idx_dir)
+    got = search_ann_index(spark, SF_DIR, idx_dir, cells)
+    want = _Q["e_ivfpq_topk"].fn(spark, SF_DIR)
+    grows = sorted(map(tuple, got.collect()))
+    wrows = sorted(map(tuple, want.collect()))
+    release_persisted()
+    assert grows == wrows
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        search_ann_index(spark, SF_DIR, idx_dir, cells).explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    # the index scan's partition filter must mention the cell column
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("cell" in ln for ln in pf), pf
+
+
 def test_pq_training_improves_reconstruction(spark):
     """Lloyd-trained PQ codebooks must descend the reconstruction-MSE
     objective from the md5 seed (dramatically — the ±1 seed is
