@@ -2159,6 +2159,32 @@ def build_ann_index(
     return cells
 
 
+def append_ann_index(
+    spark: SparkSession, delta: DataFrame, index_dir: str, cells: int,
+    cents=None, codebook=None,
+) -> None:
+    """Incrementally maintain a ``build_ann_index`` store: encode
+    ONLY ``delta`` (vec_id, embedding) and append its code files into
+    the cell partitions — no rebuild, no read of existing data.
+    Quantizers must be the ones the index was built with (cells /
+    cents / codebook are structural: changing them invalidates every
+    existing code). Searches pick the new vectors up immediately —
+    parquet partition append is file-level, so a crash mid-append
+    leaves at most torn .parquet temp files Spark's committer
+    discards. The maintenance story of the streaming corpus: the
+    semantic-dedup survivor stream's accepted vectors land here
+    batch-by-batch instead of re-encoding the corpus.
+    """
+    idx = _with_pq_codes(
+        _with_probe_cells(
+            delta.select("vec_id", "embedding"), spark, cells, 1,
+            cents=cents,
+        ),
+        codebook=codebook,
+    ).select("vec_id", F.element_at("topc", 1).alias("cell"), "codes")
+    idx.write.mode("append").partitionBy("cell").parquet(index_dir)
+
+
 def search_ann_index(
     spark: SparkSession, sf_dir: str, index_dir: str, cells: int,
     probes: int = IVF_PROBES, topk: int = LSH_TOPK,

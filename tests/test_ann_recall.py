@@ -171,6 +171,47 @@ def test_ann_index_build_search_matches_inflight(spark, tmp_path):
     assert any("cell" in ln for ln in pf), pf
 
 
+def test_ann_index_append_equals_full_build(spark, tmp_path):
+    """Appending a delta to a half-built index must answer exactly
+    like a full build — incremental maintenance changes WHEN codes
+    are written, never what a search sees."""
+    from flink_spark.plans.similarity import (
+        build_ann_index,
+        append_ann_index,
+        search_ann_index,
+        _active_ivf_cells,
+    )
+    from flink_spark.sources import load
+    from pyspark.sql import functions as F
+
+    full_dir = str(tmp_path / "full")
+    incr_dir = str(tmp_path / "incr")
+    cells = build_ann_index(spark, SF_DIR, full_dir)
+
+    emb = load(spark, SF_DIR, "embeddings")
+    cut = 250
+    # build on the first half, append the second
+    import flink_spark.plans.similarity as S
+
+    half = S._with_pq_codes(
+        S._with_probe_cells(
+            emb.filter(F.col("vec_id") < cut).select("vec_id", "embedding"),
+            spark, cells, 1,
+        )
+    ).select("vec_id", F.element_at("topc", 1).alias("cell"), "codes")
+    half.write.mode("overwrite").partitionBy("cell").parquet(incr_dir)
+    append_ann_index(
+        spark, emb.filter(F.col("vec_id") >= cut), incr_dir, cells
+    )
+
+    a = sorted(map(tuple,
+                   search_ann_index(spark, SF_DIR, full_dir, cells).collect()))
+    b = sorted(map(tuple,
+                   search_ann_index(spark, SF_DIR, incr_dir, cells).collect()))
+    release_persisted()
+    assert a == b and a
+
+
 def test_pq_training_improves_reconstruction(spark):
     """Lloyd-trained PQ codebooks must descend the reconstruction-MSE
     objective from the md5 seed (dramatically — the ±1 seed is
