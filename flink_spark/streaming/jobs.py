@@ -261,6 +261,103 @@ def left_outer_interval_join_stream(
     )
 
 
+def topn_per_window_stream(
+    sdf: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "10 seconds",
+    watermark: str = "2 seconds",
+) -> DataFrame:
+    """Finalized-window (window, user) aggregate stream for Top-N.
+
+    Streaming form of ``w_topn_per_window`` (Flink's hot-items "TopN
+    on a window"). A rank over a streaming aggregate is not
+    expressible inside the streaming plan, so the job splits at the
+    natural boundary: this append-mode aggregate emits each
+    (window, user) row exactly once — and because append emission
+    happens only when the WATERMARK passes the window end, every row
+    of a given window lands in the SAME micro-batch. That makes the
+    per-batch ``rank_window_topn`` below exact, not approximate: each
+    foreachBatch call holds complete windows, ranks them, and ships
+    the Top-N to the sink (JDBC/Kafka/upsert — any
+    ``flink_spark.streaming.sinks`` writer).
+
+    Sentinel flush rows (event_id < 0, the replay harness convention)
+    must NOT be row-filtered before the aggregate: Catalyst pushes a
+    ``event_id >= 0`` predicate through the EventTimeWatermark node
+    into the parquet scan, so the sentinel never reaches the
+    watermark tracker and the final windows never close (observed:
+    the last micro-batch reported 0 input rows and an hour of windows
+    went unemitted). Instead the sentinel flows through the watermark
+    and is neutralized INSIDE the aggregate (conditional pv/amount),
+    and its own empty window row is dropped post-agg by ``pv > 0`` —
+    a filter on aggregate output cannot be pushed below the
+    watermark.
+    """
+    real = F.col("event_id") >= 0
+    agg = (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, duration), "user_id")
+        .agg(
+            F.sum(F.when(real, 1).otherwise(0)).alias("pv"),
+            dsum(F.when(real, F.col("value")), "amount"),
+        )
+    )
+    return agg.filter(F.col("pv") > 0).select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+        "user_id",
+        "pv",
+        "amount",
+    )
+
+
+def rank_window_topn(batch: DataFrame, n: int | None = None) -> DataFrame:
+    """Rank one finalized micro-batch of (stt, user_id, pv, amount)
+    rows: Top-``n`` spenders per window, the exact ordering of the
+    batch query (amount desc, user_id tiebreak — a total order, so
+    stream and batch cut identically)."""
+    from pyspark.sql import Window as W
+
+    from flink_spark.plans.windows import TOPN_PER_WINDOW
+
+    if n is None:
+        n = TOPN_PER_WINDOW
+    r = F.row_number().over(
+        W.partitionBy("stt").orderBy(F.desc("amount"), "user_id")
+    )
+    return (
+        batch.withColumn("rnk", r)
+        .filter(F.col("rnk") <= n)
+        .select("stt", "user_id", "pv", "amount",
+                F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+def run_foreach_to_memory(sdf: DataFrame, transform, name: str):
+    """Execute a streaming DF through ``foreachBatch(transform)`` and
+    return all transformed rows as one batch DataFrame. Test harness
+    only (rows accumulate on the driver) — production jobs pass the
+    transform to a real sink's foreachBatch instead.
+    """
+    spark = sdf.sparkSession
+    rows: list = []
+    schema_box: list = []
+
+    def fb(batch: DataFrame, _epoch: int) -> None:
+        out = transform(batch)
+        if not schema_box:
+            schema_box.append(out.schema)
+        rows.extend(out.collect())
+
+    q = (
+        sdf.writeStream.foreachBatch(fb)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(rows, schema_box[0])
+
+
 def run_to_memory(
     sdf: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:

@@ -269,6 +269,39 @@ def test_distinct_users_stream_equals_batch(spark, tmp_path):
     assert _rows(out) == _rows(batch)
 
 
+def test_topn_per_window_stream_equals_batch(spark, tmp_path):
+    """Streaming windowed Top-N: append-mode finalized windows ranked
+    per micro-batch equal the batch w_topn_per_window cut exactly —
+    including the amount-desc/user_id tiebreak, which is a total
+    order, so no rank ambiguity can hide between the two forms."""
+    from flink_spark.streaming.jobs import (
+        rank_window_topn,
+        run_foreach_to_memory,
+        topn_per_window_stream,
+    )
+
+    # sentinel advances the watermark past the last real window so its
+    # Top-N finalizes; the job drops the sentinel rows themselves
+    sdf = replay_events(
+        spark, SF_DIR, str(tmp_path / "replay"), slices=5, sentinel_users=(0,)
+    )
+    out = run_foreach_to_memory(
+        topn_per_window_stream(sdf), rank_window_topn, "topn_mem"
+    )
+    batch = _Q["w_topn_per_window"].fn(spark, SF_DIR)
+    assert _rows(out) == _rows(batch)
+    # every emitted batch held complete windows: each (stt) appears
+    # with exactly min(TOPN, users-in-window) rows and distinct ranks
+    from flink_spark.plans.windows import TOPN_PER_WINDOW
+
+    per = out.groupBy("stt").agg(
+        F.count(F.lit(1)).alias("ct"),
+        F.countDistinct("rnk").alias("rct"),
+    ).collect()
+    for r in per:
+        assert r["ct"] == r["rct"] <= TOPN_PER_WINDOW
+
+
 def test_daily_unique_stream_equals_batch(spark, tmp_path):
     sdf = replay_events(spark, SF_DIR, str(tmp_path / "replay"), slices=5)
     detail = run_to_memory(daily_unique_stream(sdf), "daily_mem")
