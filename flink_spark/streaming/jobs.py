@@ -103,6 +103,13 @@ def keyword_tumble_stream(
     stateless, so the only state is the windowed count, bounded by the
     watermark. Tokenization is the CJK-aware F1 tokenizer — a Chinese
     keyword stream counts bigrams exactly like the batch/oracle form.
+
+    Append-mode caution: the ``view`` filter below sits between the
+    watermark and the aggregate, and Catalyst pushes it into the scan
+    — replay-harness flush sentinels (non-view rows) would never
+    advance the watermark (see ``topn_per_window_stream``). Tests run
+    this job in complete mode; an append-mode run must flush with a
+    far-future ``view`` event instead of the generic sentinel.
     """
     from flink_spark.functions.text import tokenize
 
