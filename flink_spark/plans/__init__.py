@@ -18,6 +18,8 @@ Modules map to SURVEY.md §2 operator families:
                     fingerprints) over ``documents``.
 - ``similarity``  : embedding cosine top-k + binary/multimodal
                     plumbing over ``embeddings``/``documents``.
+- ``tokentrain``  : BPE merge-table training + deterministic global
+                    training-order shuffle (post-curation steps).
 """
 
 from flink_spark.plans import (  # noqa: F401
@@ -27,5 +29,6 @@ from flink_spark.plans import (  # noqa: F401
     similarity,
     state,
     textops,
+    tokentrain,
     windows,
 )

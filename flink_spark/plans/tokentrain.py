@@ -1,0 +1,303 @@
+"""Tokenizer training + training-order preparation over ``documents``.
+
+Two operators a training-data pipeline runs AFTER curation (the
+filter/dedup/mixture/packing family in ``textops``) and BEFORE the
+trainer reads a byte:
+
+- ``t_bpe_train``: learn a byte-pair-encoding merge table from the
+  corpus — the tokenizer-TRAINING step (the ``t_bpe_token_stats``
+  operator applies a fixed segmentation; this one learns the merges).
+  Iterative pair-counting in the engine, greedy argmax per round —
+  the standard BPE trainer loop (Sennrich et al. 2016), expressed as
+  bounded Spark jobs over a weighted vocab table.
+- ``t_shuffle_shards``: the deterministic global shuffle that fixes a
+  training order. Hash-derived (shard, position) for every document —
+  reproducible on any cluster, no stored seed — plus the metric the
+  shuffle exists to improve (adjacent same-source runs within a
+  shard's read order) and an exact permutation signature so the
+  oracle pins the whole assignment, not just counts.
+
+Reference scope: the reference has no tokenizer training or corpus
+shuffling (its text surface is the IK-segmentation UDTF,
+rt/app/func/SplitFunction.java:12-27); both operators extend the
+engine along SURVEY §7.5's LLM-pipeline axis.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_spark.functions.text import tokenize
+from flink_spark.registry import query
+from flink_spark.sources import load, table_rows
+
+# --- global-shuffle knobs (derived, oracle-symmetric — the pack/LSH
+# pattern: same corpus ⇒ same shard count in both engines) ---
+
+_SHUF_SHARDS_ENV = os.environ.get("FLINK_SPARK_SHUFFLE_SHARDS")
+# ~1M docs per shard ≈ one task's comfortable sort (same budget as
+# PACK_SHARD_ROWS); floor of 8 keeps the interleave metric meaningful
+# on fixture corpora, cap matches PACK_MAX_SHARDS.
+SHUFFLE_SHARD_ROWS = int(
+    os.environ.get("FLINK_SPARK_SHUFFLE_SHARD_ROWS", "1000000")
+)
+SHUFFLE_MIN_SHARDS = 8
+SHUFFLE_MAX_SHARDS = 4096
+
+
+def shuffle_shards_for(n: int) -> int:
+    """shards = clamp(⌈n / SHUFFLE_SHARD_ROWS⌉, 8, 4096)."""
+    return min(
+        SHUFFLE_MAX_SHARDS,
+        max(SHUFFLE_MIN_SHARDS, math.ceil(n / SHUFFLE_SHARD_ROWS)),
+    )
+
+
+def _active_shuffle_shards(spark: SparkSession, sf_dir: str) -> int:
+    if _SHUF_SHARDS_ENV:
+        return int(_SHUF_SHARDS_ENV)
+    return shuffle_shards_for(table_rows(spark, sf_dir, "documents"))
+
+
+if _SHUF_SHARDS_ENV:
+    _SHUF_CTE = f"sh(shards) AS (SELECT {int(_SHUF_SHARDS_ENV)})"
+else:
+    _SHUF_CTE = (
+        f"sh(shards) AS (SELECT LEAST({SHUFFLE_MAX_SHARDS}, "
+        f"GREATEST({SHUFFLE_MIN_SHARDS}, "
+        f"CAST(ceil(COUNT(*) / {SHUFFLE_SHARD_ROWS}.0) AS BIGINT))) "
+        "FROM documents)"
+    )
+
+
+@query(
+    "t_shuffle_shards",
+    oracle=f"""
+    WITH {_SHUF_CTE},
+    assigned AS (
+      SELECT doc_id, source,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % shards AS shard,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents, sh
+    ),
+    ordered AS (
+      SELECT shard, doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id)
+               AS pos,
+             LAG(source) OVER (PARTITION BY shard ORDER BY h, doc_id)
+               AS prev_source
+      FROM assigned
+    )
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(SUM(CASE WHEN prev_source = source THEN 1 ELSE 0 END)
+                AS BIGINT) AS adjacent_same_source,
+           CAST(SUM(pos * doc_id) AS BIGINT) AS perm_sig
+    FROM ordered GROUP BY shard
+    """,
+    tags=("tokentrain", "shuffle", "training-order"),
+)
+def t_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle (shard + position).
+
+    A trainer must not read the corpus in ingest order (source runs
+    make consecutive batches correlated). The standard fix at 100 TB
+    is not a true random permutation (a single global sort by random
+    key) but a two-level shuffle: hash every doc to one of ``shards``
+    shards, order within each shard by a hash, and let the data
+    loader round-robin shards. Both levels here are pure functions of
+    ``doc_id`` (md5), so the order is reproducible on any cluster with
+    no stored seed, and the oracle re-derives it exactly.
+
+    Output per shard: size, source diversity, the adjacent
+    same-source count under the shuffled read order (the metric the
+    shuffle minimizes — compare |docs| - |shards| for ingest order),
+    and ``perm_sig = Σ pos·doc_id``, which pins the EXACT permutation
+    in the value compare — any engine that assigns a different
+    (shard, position) to any document fails the hash.
+
+    Scale shape: shard assignment is map-side; the only sort is
+    per-shard (≤ ~{SHUFFLE_SHARD_ROWS} rows by the derived rule — the
+    same bounded-sort contract as sequence packing); the aggregate is
+    map-side partial. One shuffle by design — the one being computed.
+    """
+    shards = _active_shuffle_shards(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    assigned = docs.select(
+        "doc_id",
+        "source",
+        (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % shards)
+        .alias("shard"),
+        h.alias("h"),
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    ordered = assigned.select(
+        "shard",
+        "doc_id",
+        "source",
+        F.row_number().over(w).alias("pos"),
+        F.lag("source").over(w).alias("prev_source"),
+    )
+    return ordered.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(
+            F.when(F.col("prev_source") == F.col("source"), 1).otherwise(0)
+        ).cast("long").alias("adjacent_same_source"),
+        F.sum(F.col("pos") * F.col("doc_id")).cast("long").alias("perm_sig"),
+    )
+
+
+# --- BPE trainer knobs ---
+
+# Merge-table size. 24 rounds is enough to surface real subword
+# structure on the fixture corpus while keeping the iterative query
+# inside a correctness-gate budget; production training passes
+# thousands via the env knob (each round is one small pair-count job
+# over the bounded vocab, so rounds scale linearly and independently
+# of corpus size).
+BPE_MERGES = int(os.environ.get("FLINK_SPARK_BPE_MERGES", "24"))
+# Weighted-vocab cap: BPE statistics are dominated by frequent words;
+# capping to the top-V words by count (HF tokenizers' min_frequency
+# analog) bounds every training round at O(V) rows regardless of
+# corpus size. The CAP is computed distributed (TakeOrdered over the
+# full word-count table); only the bounded vocab iterates.
+BPE_VOCAB_WORDS = int(os.environ.get("FLINK_SPARK_BPE_VOCAB", "20000"))
+
+
+def _chars(col):
+    """word → array of single-char symbols (initial BPE alphabet)."""
+    return F.expr(
+        f"transform(sequence(1, length({col})), i -> substring({col}, i, 1))"
+    )
+
+
+def _apply_merge(syms, left: str, right: str):
+    """One BPE merge pass over a symbol array, as a JVM left fold.
+
+    Greedy left-to-right semantics: scanning positions in order, merge
+    (left, right) and continue after the merged token. The fold
+    emulates the scan exactly: a merge rewrites the accumulator's last
+    element to ``left+right``, which can never equal ``left`` again
+    (``right`` is non-empty), so a freshly merged token is never the
+    left half of an overlapping merge — the property that makes the
+    fold ≡ the positional scan (pinned against a pure-Python scanner
+    in tests/test_tokentrain.py).
+    """
+    merged = left + right
+    return F.aggregate(
+        syms,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (s == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_train_merges(
+    vocab: DataFrame, n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """Learn ``n_merges`` BPE merges from a weighted vocab table.
+
+    ``vocab``: (w string, cnt long, syms array<string>) — one row per
+    distinct word with its corpus count and current symbol split.
+    Each round: count adjacent symbol pairs weighted by word count
+    (one small shuffle over O(V) rows), take the argmax with a total
+    deterministic order (count DESC, then pair lexicographic — ties
+    never depend on partitioning), and rewrite every word's symbols
+    with the winning merge (JVM fold, no Python in the loop). The
+    rewrite is chained lazily and the lineage cut every 4 rounds —
+    re-evaluating ≤4 stacked fold expressions over the bounded vocab
+    is cheaper than a materialization job per round, while unbounded
+    chaining would blow up codegen depth.
+
+    The per-round ``first()`` fetches ONE scalar row (the argmax) —
+    the same driver-roundtrip shape as connected_components'
+    convergence probe, not a data collect.
+    """
+    merges: list[tuple[int, str, str, int]] = []
+    vocab = vocab.localCheckpoint()
+    pending = 0
+    for rank in range(n_merges):
+        pairs = vocab.filter(F.size("syms") >= 2).select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(syms) - 2), "
+                    "i -> struct(syms[i] AS l, syms[i + 1] AS r))"
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), "l", "r")
+            .first()
+        )
+        if best is None or best["n"] < 2:
+            break
+        merges.append((rank, best["l"], best["r"], int(best["n"])))
+        vocab = vocab.withColumn(
+            "syms", _apply_merge(F.col("syms"), best["l"], best["r"])
+        )
+        pending += 1
+        if pending == 4:
+            vocab = vocab.localCheckpoint()
+            pending = 0
+    return merges
+
+
+@query(
+    "t_bpe_train",
+    # No DuckDB oracle: the trainer is an iterative argmax loop (each
+    # round's input depends on the previous round's winner) — the
+    # non-SQL-expressible category. Verified instead against a pure
+    # Python reference implementation in tests/test_tokentrain.py.
+    tags=("tokentrain", "bpe", "iterative"),
+)
+def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn a BPE merge table from the corpus (tokenizer training).
+
+    ``t_bpe_token_stats`` APPLIES a fixed segmentation; this operator
+    LEARNS one — the merge table is the artifact a tokenizer trainer
+    ships. Distributed shape: the corpus is scanned once into a
+    word-count table (the only corpus-sized job); the vocab is capped
+    to the top {BPE_VOCAB_WORDS} words by weight (TakeOrdered — the
+    cap itself is distributed); every training round then runs over
+    the bounded vocab only, so round cost is independent of corpus
+    size — the property that lets the same loop train on 100 TB.
+
+    Deterministic end-to-end: token stream from the shared
+    ``tokenize``, vocab cap ordered (cnt DESC, word ASC), argmax tie
+    broken (count DESC, pair ASC). Returns the merge table
+    (rank, left, right, merged, pair_count).
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokenize("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "w")
+        .limit(BPE_VOCAB_WORDS)
+    )
+    vocab = words.repartition(8).select(
+        "w", "cnt", _chars("w").alias("syms")
+    )
+    merges = bpe_train_merges(vocab, BPE_MERGES)
+    return spark.createDataFrame(
+        [(r, l, x, l + x, n) for r, l, x, n in merges],
+        "rank int, left string, right string, merged string, "
+        "pair_count long",
+    ).coalesce(1)
