@@ -208,7 +208,7 @@ def _apply_merge(syms, left: str, right: str):
 
 def bpe_train_merges(
     vocab: DataFrame, n_merges: int
-) -> list[tuple[int, str, str, int]]:
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     """Learn ``n_merges`` BPE merges from a weighted vocab table.
 
     ``vocab``: (w string, cnt long, syms array<string>) — one row per
@@ -226,6 +226,12 @@ def bpe_train_merges(
     The per-round ``first()`` fetches ONE scalar row (the argmax) —
     the same driver-roundtrip shape as connected_components'
     convergence probe, not a data collect.
+
+    Returns ``(merges, final_vocab)``: the merge table and the vocab
+    with every word's FINAL symbol split — segmentation under the
+    learned merges is a pure per-word function, so downstream
+    corpus-wide encoding is a join against this table, never a
+    re-derivation per occurrence.
     """
     merges: list[tuple[int, str, str, int]] = []
     vocab = vocab.localCheckpoint()
@@ -256,7 +262,37 @@ def bpe_train_merges(
         if pending == 4:
             vocab = vocab.localCheckpoint()
             pending = 0
-    return merges
+    if pending:
+        vocab = vocab.localCheckpoint()
+    return merges, vocab
+
+
+# (session-identity, sf_dir) → (merges, final vocab). Training is
+# deterministic for a corpus, so both BPE queries share one run per
+# session; the vocab handle is localCheckpointed (session-bound), so
+# the entry is validated against the live session before reuse —
+# same discipline as sources._DF_CACHE.
+_TRAINED: dict[tuple[int, str], tuple[list, DataFrame]] = {}
+
+
+def _trained(spark: SparkSession, sf_dir: str):
+    key = (id(spark), sf_dir)
+    hit = _TRAINED.get(key)
+    if hit is not None and hit[1].sparkSession is spark:
+        return hit
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokenize("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "w")
+        .limit(BPE_VOCAB_WORDS)
+    )
+    vocab = words.repartition(8).select(
+        "w", "cnt", _chars("w").alias("syms")
+    )
+    _TRAINED[key] = bpe_train_merges(vocab, BPE_MERGES)
+    return _TRAINED[key]
 
 
 @query(
@@ -284,20 +320,61 @@ def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     broken (count DESC, pair ASC). Returns the merge table
     (rank, left, right, merged, pair_count).
     """
-    docs = load(spark, sf_dir, "documents")
-    words = (
-        docs.select(F.explode(tokenize("text")).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.desc("cnt"), "w")
-        .limit(BPE_VOCAB_WORDS)
-    )
-    vocab = words.repartition(8).select(
-        "w", "cnt", _chars("w").alias("syms")
-    )
-    merges = bpe_train_merges(vocab, BPE_MERGES)
+    merges, _ = _trained(spark, sf_dir)
     return spark.createDataFrame(
         [(r, l, x, l + x, n) for r, l, x, n in merges],
         "rank int, left string, right string, merged string, "
         "pair_count long",
     ).coalesce(1)
+
+
+@query(
+    "t_bpe_segment",
+    # Rows-only for the same reason as t_bpe_train (segmentation is a
+    # function of the learned merge table); value-pinned against the
+    # reference trainer + encoder in tests/test_tokentrain.py.
+    tags=("tokentrain", "bpe", "segmentation", "iterative"),
+)
+def t_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide encoding stats under the learned BPE merges.
+
+    The tokenizer-evaluation step: after training, how well does the
+    merge table compress each source? Segmentation is a pure per-WORD
+    function, so the corpus is never re-encoded occurrence by
+    occurrence: the trainer's final vocab already holds every capped
+    word's symbol split, and corpus-wide stats are a (source, word)
+    count table joined to that bounded table. Words outside the vocab
+    cap fall back to character symbols (their true merge-free
+    encoding) and are reported as the OOV rate.
+
+    Per source: word occurrences, subword tokens emitted, chars,
+    chars-per-token compression, and the OOV word rate. At 100 TB the
+    only corpus-sized stages are the token explode and one
+    (source, word) aggregation; everything after joins against the
+    O(V) vocab — broadcastable by construction.
+    """
+    _, vocab = _trained(spark, sf_dir)
+    seg = vocab.select("w", F.size("syms").alias("n_sym"))
+    docs = load(spark, sf_dir, "documents")
+    corpus = (
+        docs.select("source", F.explode(tokenize("text")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    j = corpus.join(F.broadcast(seg), "w", "left").select(
+        "source",
+        "occ",
+        (F.col("occ") * F.length("w")).alias("chars"),
+        (F.col("occ") * F.coalesce("n_sym", F.length("w")))
+        .alias("toks"),
+        F.when(F.col("n_sym").isNull(), F.col("occ"))
+        .otherwise(F.lit(0)).alias("oov"),
+    )
+    return j.groupBy("source").agg(
+        F.sum("occ").cast("long").alias("word_occurrences"),
+        F.sum("toks").cast("long").alias("bpe_tokens"),
+        F.sum("chars").cast("long").alias("chars"),
+        (F.sum("chars").cast("double") / F.sum("toks"))
+        .alias("chars_per_token"),
+        (F.sum("oov").cast("double") / F.sum("occ")).alias("oov_rate"),
+    )

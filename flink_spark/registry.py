@@ -148,7 +148,8 @@ _SNAPSHOT_FIRST = (
     "e_semantic_dedup",
     # NOT listed (the 50 names above exactly fill the driver's cap):
     # e_pq_adc_topk, e_filtered_topk, e_ivfpq_topk, t_bpe_train,
-    # t_shuffle_shards — added after the list was frozen for r6; all
+    # t_bpe_segment, t_shuffle_shards — added after the list was
+    # frozen for r6; all
     # are oracle-verified (or reference-trainer-pinned) in pytest this
     # round. r7 bookkeeping: promote them (and any other never-checked
     # query) to the head of this list.

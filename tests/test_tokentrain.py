@@ -128,9 +128,54 @@ def test_bpe_train_matches_reference(spark):
     vocab = words.repartition(4).select("w", "cnt", _chars("w").alias("syms"))
 
     n = 8  # enough rounds to exercise merged-symbol pairs
-    got = bpe_train_merges(vocab, n)
+    got, final_vocab = bpe_train_merges(vocab, n)
     want = ref_bpe_train(weighted, n)
     assert got == want
+
+    # the final vocab's symbol splits must equal applying the merge
+    # table in rank order with the reference scanner
+    ref_syms = {}
+    for w, _ in weighted:
+        syms = list(w)
+        for _, left, right, _ in want:
+            syms = ref_apply_merge(syms, left, right)
+        ref_syms[w] = syms
+    for r in final_vocab.collect():
+        assert r["syms"] == ref_syms[r["w"]], r["w"]
+
+
+def test_bpe_segment_matches_reference(spark):
+    from flink_spark.plans.tokentrain import _trained
+    from flink_spark.registry import all_queries
+
+    merges, vocab = _trained(spark, SF_DIR)
+    n_sym = {r["w"]: len(r["syms"]) for r in vocab.collect()}
+
+    import duckdb
+
+    from flink_spark.functions.text import toks_sql
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT source, unnest({toks_sql('text')}) AS w "
+        f"FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    con.close()
+    agg: dict = {}
+    for source, w in rows:
+        a = agg.setdefault(source, [0, 0, 0, 0])  # occ, toks, chars, oov
+        a[0] += 1
+        a[1] += n_sym.get(w, len(w))
+        a[2] += len(w)
+        a[3] += 0 if w in n_sym else 1
+
+    df = all_queries()["t_bpe_segment"].fn(spark, SF_DIR)
+    for r in df.collect():
+        occ, toks, chars, oov = agg[r["source"]]
+        assert (r["word_occurrences"], r["bpe_tokens"], r["chars"]) == (
+            occ, toks, chars,
+        ), r["source"]
+        assert abs(r["oov_rate"] - oov / occ) < 1e-12
 
 
 def test_t_bpe_train_query_shape(spark):
