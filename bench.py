@@ -80,6 +80,12 @@ HEADLINE = [
     "e_pq_adc_topk",
     "e_filtered_topk",
     "e_ivfpq_topk",
+    # tokenizer-training family (t_bpe_train itself is excluded: its
+    # cost is 24 fixed-size argmax rounds — scale-independent by
+    # design, measured in SCALING.md — and would read as data-scale
+    # noise here; segment shares its cached training run)
+    "t_shuffle_shards",
+    "t_bpe_segment",
 ]
 
 

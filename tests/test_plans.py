@@ -57,6 +57,14 @@ def test_decontaminate_broadcasts_eval_set(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_bpe_segment_broadcasts_vocab(spark):
+    """The corpus-sized (source, word) table must probe the bounded
+    vocab map-side — never shuffle the corpus against the vocab."""
+    plan = _plan(_Q["t_bpe_segment"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_repetition_filter_plan_shape(spark):
     """One tokenize (persisted, both n-gram explodes branch from it),
     key-partitioned aggregation only — no joins wider than the
@@ -102,6 +110,8 @@ def test_no_cartesian_or_nested_loop_joins(spark):
         "s_retention_cohorts",
         "s_abandoned_browse",
         "e_semantic_dedup",
+        "t_shuffle_shards",
+        "t_bpe_segment",
     ]:
         plan = _plan(_Q[name].fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
