@@ -74,6 +74,7 @@ HEADLINE = [
     "t_quality_mixture_reweight",
     "t_pii_redact",
     "e_semantic_dedup",
+    "e_semantic_decontaminate",
     # previously unbenched — which is how its cell-count expression
     # cliff stayed hidden until round 6 (SCALING.md); keep it timed
     "e_ann_ivf_topk",

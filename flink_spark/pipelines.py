@@ -176,9 +176,13 @@ JOBS: dict[str, JobParity] = {
     "DwsTradeSkuOrderWindow": JobParity(
         ref="rt/app/dws/DwsTradeSkuOrderWindow.java",
         queries=("s_dedup_latest", "w_agg_distinct_users", "q5_local_supplier_volume"),
-        streaming=("sinks.upsert_sink", "jobs.distinct_users_tumble_stream"),
+        streaming=("sinks.upsert_sink", "jobs.distinct_users_tumble_stream",
+                   "changelog.changelog_agg_stream"),
         notes="changelog dedup + exact distinct (dedup→window chained "
-              "stateful ops) + snowflake broadcast enrichment",
+              "stateful ops) + snowflake broadcast enrichment; "
+              "changelog_agg_stream is the upsert-topic CONSUMER side "
+              "(DwsTradeSkuOrderWindow.java:81-111): folds -U/+U retraction "
+              "pairs into incrementally-maintained per-group sums",
     ),
     "DwsTradeProvinceOrderWindow": JobParity(
         ref="rt/app/dws/DwsTradeProvinceOrderWindow.java",

@@ -1544,6 +1544,106 @@ def e_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Semantic decontamination: train corpus vs a held-out eval embedding set
+# --------------------------------------------------------------------------
+
+# Every 41st vec_id plays the held-out benchmark; the flag threshold is
+# the corpus near-dup threshold (a train vector this close to an eval
+# vector is the same content in embedding space).
+DECON_EVAL_MOD = 41
+
+
+@query(
+    "e_semantic_decontaminate",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, embedding, {_norm_sql('embedding')} AS nrm
+      FROM embeddings
+    ),
+    ev AS (SELECT embedding AS ee, nrm AS en FROM v
+           WHERE vec_id % {DECON_EVAL_MOD} = 0),
+    tr AS (SELECT vec_id, label, embedding, nrm FROM v
+           WHERE vec_id % {DECON_EVAL_MOD} <> 0),
+    hit AS (
+      SELECT DISTINCT t.vec_id
+      FROM tr t JOIN ev e
+        ON {_dot_sql('t.embedding', 'e.ee')} / (t.nrm * e.en)
+           >= {COSDUP_THRESHOLD}
+    )
+    SELECT t.label,
+           COUNT(*) AS total_vecs,
+           CAST(SUM(CASE WHEN h.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS contaminated,
+           CAST(SUM(CASE WHEN h.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS contamination_rate,
+           CAST(SUM(CASE WHEN h.vec_id IS NOT NULL THEN t.vec_id ELSE 0 END)
+                AS BIGINT) AS contaminated_id_sum
+    FROM tr t LEFT JOIN hit h USING (vec_id)
+    GROUP BY t.label
+    """,
+    tags=("similarity", "decontamination"),
+)
+def e_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination (per-label audit).
+
+    The semantic twin of ``t_decontaminate``'s 13-gram probe: a
+    training vector is contaminated if it sits above the near-dup
+    cosine threshold against ANY held-out eval vector — paraphrased
+    or reformatted benchmark leakage that exact n-gram overlap
+    misses. Eval set: every ``DECON_EVAL_MOD``-th vec_id (a
+    deterministic stand-in for the real benchmark embedding table).
+    Output per label: population, contaminated count/rate, and
+    ``contaminated_id_sum`` pinning the exact flagged set.
+
+    Scale shape: an eval benchmark is small by definition, so it
+    BROADCASTS — the training corpus is scanned once and scored
+    map-side (JVM ``aggregate`` folds, no shuffle of the corpus);
+    only |labels| aggregate rows move. The nested scan costs
+    |eval| x N folds — fine while |eval| stays benchmark-sized; for
+    an eval side past broadcast reach, prefilter candidates with the
+    banded SRP keys (``_with_band_keys`` on both sides, exact verify
+    on band collisions only) exactly as ``t_embedding_neardup`` does
+    corpus-internally.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", "label", "embedding",
+        _norm(F.col("embedding")).alias("nrm"),
+    )
+    is_eval = F.col("vec_id") % DECON_EVAL_MOD == 0
+    ev = v.filter(is_eval).select(
+        F.col("embedding").alias("ee"), F.col("nrm").alias("en")
+    )
+    tr = v.filter(~is_eval)
+    hit = (
+        tr.join(
+            F.broadcast(ev),
+            _dot(F.col("embedding"), F.col("ee")) / (F.col("nrm") * F.col("en"))
+            >= COSDUP_THRESHOLD,
+        )
+        .select("vec_id")
+        .distinct()
+        .withColumn("is_hit", F.lit(1))
+    )
+    return (
+        tr.select("vec_id", "label")
+        .join(hit, "vec_id", "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("total_vecs"),
+            F.sum(F.coalesce("is_hit", F.lit(0))).cast("long")
+            .alias("contaminated"),
+            (F.sum(F.coalesce("is_hit", F.lit(0))).cast("double")
+             / F.count(F.lit(1))).alias("contamination_rate"),
+            F.sum(
+                F.when(F.col("is_hit").isNotNull(), F.col("vec_id"))
+                .otherwise(F.lit(0))
+            ).cast("long").alias("contaminated_id_sum"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # IVF quantizer training: distributed spherical k-means (Lloyd)
 # --------------------------------------------------------------------------
 

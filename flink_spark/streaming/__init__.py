@@ -14,6 +14,9 @@ streaming-only machinery:
                  declared ``SeqPattern``, match + timeout sides)
 - ``sinks``    : kafka/upsert/jdbc/routed/console writers (K1-K6) and
                  the config-driven router (J6/P7/F3/W10)
+- ``changelog``: retract-stream consumer — incremental downstream
+                 aggregation over ``upsert_sink`` changelogs (the DWS
+                 side of the reference's upsert-kafka topology)
 
 Stream-batch equivalence is the correctness contract: each streaming
 operator converges to the matching batch query in
@@ -44,6 +47,11 @@ from flink_spark.streaming.sources import (  # noqa: F401
     replay_events,
 )
 from flink_spark.streaming.cep import pattern_stream  # noqa: F401
+from flink_spark.streaming.changelog import (  # noqa: F401
+    changelog_agg_stream,
+    changelog_stream,
+    read_agg_state,
+)
 from flink_spark.streaming.state import (  # noqa: F401
     asof_stream,
     cep_jump_stream,

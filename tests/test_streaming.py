@@ -916,6 +916,104 @@ def test_upsert_changelog_crash_retry_idempotent(spark, tmp_path):
     assert second == first
 
 
+def _changelog_table(spark, tmp_path, slices=4):
+    """An upsert table with changelog pairs over ``slices`` epochs."""
+    sdf = replay_events(spark, SF_DIR, str(tmp_path / "replay"), slices=slices)
+    q = (
+        upsert_sink(sdf, str(tmp_path / "upsert"), keys=["user_id"],
+                    order_cols=["ts", "event_id"], changelog=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return str(tmp_path / "upsert")
+
+
+def test_changelog_incremental_agg(spark, tmp_path):
+    """The DWS side of the upsert-kafka topology
+    (DwsTradeSkuOrderWindow.java:81-111): a downstream consumer folds
+    the retraction stream into additive per-group aggregates. The
+    incrementally-maintained state must equal a batch groupBy over the
+    producer's committed table, and a replay from a fresh checkpoint
+    (epochs re-delivered from 0) must be skipped, not double-applied —
+    additive state is not idempotent by itself."""
+    from flink_spark.streaming import changelog_agg_stream, read_agg_state
+
+    table = _changelog_table(spark, tmp_path)
+    state = str(tmp_path / "aggstate")
+
+    def run(ckpt):
+        q = (
+            changelog_agg_stream(
+                spark, table, ["event_type"], ["value"], state
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run(str(tmp_path / "agg_ckpt"))
+    got = read_agg_state(spark, state).select(
+        "event_type", F.round("value_sum", 6).alias("value_sum"), "row_ct"
+    )
+    want = (
+        read_upsert_table(spark, table)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum("value"), 6).alias("value_sum"),
+            F.count(F.lit(1)).alias("row_ct"),
+        )
+    )
+    assert _rows(got) == _rows(want)
+
+    # fresh checkpoint ⇒ the file source re-delivers every epoch from 0;
+    # the state manifest's epoch guard must skip them all
+    run(str(tmp_path / "agg_ckpt2"))
+    again = read_agg_state(spark, state).select(
+        "event_type", F.round("value_sum", 6).alias("value_sum"), "row_ct"
+    )
+    assert _rows(again) == _rows(got)
+
+
+def test_changelog_agg_retractions_are_load_bearing(spark, tmp_path):
+    """A key whose latest row moves between groups emits -U(old group) /
+    +U(new group); an append-only consumer that ignored -U would
+    double-count the move. Assert the changelog actually exercises
+    this (some group's retract volume is nonzero) and that the naive
+    adds-only fold disagrees with the true aggregate — i.e. the
+    retraction handling in changelog_agg_stream is semantics, not
+    ceremony."""
+    from flink_spark.streaming import read_changelog
+
+    table = _changelog_table(spark, tmp_path)
+    log = read_changelog(spark, table)
+    assert log.filter(F.col("_op") == "-U").count() > 0
+
+    adds_only = (
+        log.filter(F.col("_op") != "-U")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("row_ct"))
+    )
+    true = (
+        read_upsert_table(spark, table)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("row_ct"))
+    )
+    assert _rows(adds_only) != _rows(true)
+
+
+def test_changelog_stream_requires_producer_first(spark, tmp_path):
+    """Binding the consumer before any epoch exists fails loudly (no
+    schema to bind), rather than returning an empty stream that would
+    silently never produce state."""
+    from flink_spark.streaming import changelog_stream
+
+    with pytest.raises(FileNotFoundError, match="changelog"):
+        changelog_stream(spark, str(tmp_path / "nope"))
+
+
 def test_upsert_changelog_rejected_on_scheme_paths(spark, tmp_path):
     """changelog=True belongs to the manifest form; the Delta/object-
     store dispatch must refuse it loudly and point at Change Data Feed
