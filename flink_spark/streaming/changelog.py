@@ -105,6 +105,7 @@ def changelog_agg_stream(
     group_cols: list[str],
     sum_cols: list[str],
     state_path: str,
+    derive=None,
 ):
     """Continuously maintain per-group sums/counts over an upsert table.
 
@@ -115,6 +116,15 @@ def changelog_agg_stream(
     always equals ``read_upsert_table(...).groupBy(group_cols)`` of
     the producer's committed table (the stream≡batch invariant
     ``test_changelog_incremental_agg`` pins).
+
+    ``derive`` (optional, ``DataFrame -> DataFrame``) runs on each
+    batch before the delta aggregation, so group columns can be
+    DERIVED from changelog columns — e.g. the reference's windowed
+    DWS rollups group by (sku, 10 s bucket of the row time): pass
+    ``lambda df: df.withColumn("win", F.window_time(...))`` (or a
+    ``date_trunc``) and list the bucket in ``group_cols``. A retract
+    and its replacement carry their own row values, so each lands in
+    its own derived group and the signed fold stays exact.
     """
     sdf = changelog_stream(spark, table)
 
@@ -122,6 +132,8 @@ def changelog_agg_stream(
         meta = _read_state_meta(state_path)
         if meta and epoch <= meta["epoch"]:
             return  # replayed epoch: already folded into the state
+        if derive is not None:
+            batch = derive(batch)
         sign = F.when(F.col("_op") == "-U", F.lit(-1)).otherwise(F.lit(1))
         deltas = (
             batch.withColumn("_sign", sign)

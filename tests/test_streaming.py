@@ -977,6 +977,46 @@ def test_changelog_incremental_agg(spark, tmp_path):
     assert _rows(again) == _rows(got)
 
 
+def test_changelog_windowed_agg_with_derived_group(spark, tmp_path):
+    """The reference's DWS rollups group by (dim, time bucket of the
+    row ts) — DwsTradeSkuOrderWindow's windowTumble. The derive hook
+    buckets each changelog row's OWN ts, so a key whose latest row
+    moves between minutes retracts from the old bucket and adds to the
+    new one; the maintained state must equal the batch groupBy with
+    the same derivation over the committed table."""
+    from flink_spark.streaming import changelog_agg_stream, read_agg_state
+
+    table = _changelog_table(spark, tmp_path)
+    state = str(tmp_path / "winstate")
+    bucket = lambda df: df.withColumn(  # noqa: E731
+        "minute", F.date_trunc("minute", "ts")
+    )
+    q = (
+        changelog_agg_stream(
+            spark, table, ["event_type", "minute"], ["value"], state,
+            derive=bucket,
+        )
+        .option("checkpointLocation", str(tmp_path / "win_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = read_agg_state(spark, state).select(
+        "event_type", "minute",
+        F.round("value_sum", 6).alias("value_sum"), "row_ct",
+    )
+    want = (
+        bucket(read_upsert_table(spark, table))
+        .groupBy("event_type", "minute")
+        .agg(
+            F.round(F.sum("value"), 6).alias("value_sum"),
+            F.count(F.lit(1)).alias("row_ct"),
+        )
+    )
+    assert _rows(got) == _rows(want)
+    assert got.count() > got.select("event_type").distinct().count()
+
+
 def test_changelog_agg_retractions_are_load_bearing(spark, tmp_path):
     """A key whose latest row moves between groups emits -U(old group) /
     +U(new group); an append-only consumer that ignored -U would
