@@ -207,6 +207,7 @@ def upsert_sink(
     num_buckets: int = 16,
     output_mode: str = "update",
     changelog: bool = False,
+    bucket_expr=None,
 ):
     """K3 — changelog/upsert table emulation via bucketed latest-row merge.
 
@@ -240,6 +241,22 @@ def upsert_sink(
     rename/replace calls for the object-store equivalents.
     ``num_buckets`` sizes bucket-vs-batch overlap: at 100 TB raise it
     so one bucket ≈ a few GB.
+
+    ``bucket_expr`` (optional Column) replaces the hash bucketing with
+    a caller-supplied integer bucket id. It MUST be a pure function of
+    the key columns (a key must land in the same bucket every epoch,
+    or the merge can't see the row it supersedes). The case that needs
+    it: append-mostly tables with MONOTONE keys (the reference's
+    detail-record ids). Hash bucketing scatters every batch across all
+    buckets, so once |batch| ≫ num_buckets each merge rewrites the
+    whole table — measured in SCALING.md ("changelog consumer"
+    section). Range bucketing (``F.col("id") // span``) concentrates
+    new keys in the newest bucket(s): the merge touches O(batch) data
+    regardless of table size, and the bucket count grows with the
+    table instead of being fixed up front. Readers are unaffected
+    (``read_upsert_table`` resolves whatever bucket ids the manifest
+    names; its ``buckets=`` pruning arg simply follows the same
+    scheme).
     """
     if "://" in path or path.startswith("file:"):
         # object-store / non-local paths: the manifest commit's
@@ -263,11 +280,14 @@ def upsert_sink(
             "the MERGE INTO form, or mount the store as a local path."
         )
     spark = sdf.sparkSession
+    bucket_of = (
+        bucket_expr
+        if bucket_expr is not None
+        else F.pmod(F.xxhash64(*keys), F.lit(num_buckets))
+    )
 
     def merge(batch: DataFrame, epoch: int) -> None:
-        b = batch.withColumn(
-            _BUCKET, F.pmod(F.xxhash64(*keys), F.lit(num_buckets))
-        )
+        b = batch.withColumn(_BUCKET, bucket_of)
         b.persist()
         latest = None
         try:
@@ -278,9 +298,7 @@ def upsert_sink(
             manifest = _read_manifest(path)
             current = read_upsert_table(spark, path, touched) if manifest else None
             if current is not None:
-                current = current.withColumn(
-                    _BUCKET, F.pmod(F.xxhash64(*keys), F.lit(num_buckets))
-                )
+                current = current.withColumn(_BUCKET, bucket_of)
                 allrows = current.unionByName(b)
             else:
                 allrows = b

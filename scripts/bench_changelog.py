@@ -39,6 +39,8 @@ def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     key = sys.argv[3] if len(sys.argv) > 3 else "event_id"
+    # argv[4]: range-bucket span for a monotone key (0 = hash bucketing)
+    span = int(sys.argv[4]) if len(sys.argv) > 4 else 0
     work = "/tmp/flink_spark_changelog_bench"
 
     shutil.rmtree(work, ignore_errors=True)
@@ -79,7 +81,9 @@ def main() -> None:
         t0 = time.time()
         q = (
             upsert_sink(sdf, table, keys=[key],
-                        order_cols=["ts", "event_id"], changelog=True)
+                        order_cols=["ts", "event_id"], changelog=True,
+                        bucket_expr=F.floor(F.col(key) / span).cast("long")
+                        if span else None)
             .option("checkpointLocation", os.path.join(work, "prod_ckpt"))
             .trigger(availableNow=True)
             .start()

@@ -3,6 +3,8 @@ formulations in flink_spark.plans (the oracle semantics)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -1042,6 +1044,39 @@ def test_changelog_agg_retractions_are_load_bearing(spark, tmp_path):
         .agg(F.count(F.lit(1)).alias("row_ct"))
     )
     assert _rows(adds_only) != _rows(true)
+
+
+def test_upsert_range_bucketing_equals_hash(spark, tmp_path):
+    """bucket_expr swaps the hash bucketing for a caller scheme (range
+    on a monotone key — the append-mostly layout); the committed table
+    must be identical to the hash-bucketed default, epoch by epoch,
+    and the manifest must actually use the range ids."""
+    import json
+
+    def build(table, **kw):
+        sdf = replay_events(spark, SF_DIR,
+                            str(tmp_path / f"rp_{os.path.basename(table)}"),
+                            slices=4)
+        q = (
+            upsert_sink(sdf, table, keys=["event_id"], order_cols=["ts"],
+                        **kw)
+            .option("checkpointLocation", table + "_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return read_upsert_table(spark, table)
+
+    hashed = build(str(tmp_path / "hashed"))
+    ranged = build(
+        str(tmp_path / "ranged"),
+        bucket_expr=F.floor(F.col("event_id") / 2000).cast("long"),
+    )
+    assert _rows(ranged) == _rows(hashed)
+    with open(str(tmp_path / "ranged" / "_MANIFEST.json")) as f:
+        bucket_ids = {int(b) for b in json.load(f)["buckets"]}
+    n_events = hashed.count()
+    assert bucket_ids == set(range((n_events - 1) // 2000 + 1))
 
 
 def test_changelog_stream_requires_producer_first(spark, tmp_path):
