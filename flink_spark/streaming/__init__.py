@@ -50,7 +50,9 @@ from flink_spark.streaming.cep import pattern_stream  # noqa: F401
 from flink_spark.streaming.changelog import (  # noqa: F401
     changelog_agg_stream,
     changelog_stream,
+    init_agg_state,
     read_agg_state,
+    truncate_changelog,
 )
 from flink_spark.streaming.state import (  # noqa: F401
     asof_stream,

@@ -18,15 +18,28 @@ this module closes the loop on the consumer side:
   aggregation, then merges |touched groups| rows into a
   manifest-committed state table. The corpus is never rescanned — the
   per-batch cost is O(batch), the state table is O(|groups|); this is
-  what makes a continuously-maintained 100 TB rollup affordable.
+  what makes a continuously-maintained 100 TB rollup affordable
+  (measured: ``scripts/bench_changelog.py`` / SCALING.md);
+- ``init_agg_state``: bootstrap the state from the producer's committed
+  table, so a consumer can join mid-life (or after changelog retention
+  has dropped old epochs) without replaying history;
+- ``truncate_changelog``: retention — drop epoch dirs a bootstrapped
+  consumer no longer needs (the parquet analog of Kafka topic
+  retention).
 
-Exactly-once: the state manifest records the last applied foreachBatch
-epoch. A replay of an already-applied epoch (crash between the state
-commit and the checkpoint commit, or a fresh checkpoint re-delivering
-old files) is skipped instead of double-applied — additive state is
-NOT naturally idempotent, so the guard is load-bearing, unlike the
-latest-row merge in ``upsert_sink`` where replays converge by
-themselves.
+Exactly-once is anchored on the PRODUCER epoch, not the consumer's
+micro-batch id: the state manifest records ``applied`` — the highest
+``_epoch`` folded in — and each batch filters ``_epoch > applied``
+before aggregating. Additive state is not idempotent by itself, so the
+watermark is load-bearing; unlike a consumer-batch-id guard it stays
+exact under EVERY re-delivery shape: a crash-retry of the same batch
+(all rows filtered → no-op), a fresh checkpoint over complete state
+(ditto), and a fresh checkpoint over PARTIAL state (only the genuinely
+unapplied epochs survive the filter — a batch-id guard would silently
+skip them). The filter is sound because epochs arrive whole: the
+producer writes each epoch as ONE file and ``changelog_stream`` reads
+with ``maxFilesPerTrigger=1``, so a batch never contains a fraction of
+an epoch.
 
 Retractions are load-bearing too: a key whose latest row moves between
 groups (a user whose newest event changes type) must decrement the old
@@ -44,7 +57,12 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_spark.streaming.sinks import _CHANGELOG, read_changelog
+from flink_spark.streaming.sinks import (
+    _CHANGELOG,
+    _MANIFEST,
+    read_changelog,
+    read_upsert_table,
+)
 
 _STATE_MANIFEST = "_STATE.json"
 
@@ -55,10 +73,12 @@ def changelog_stream(spark: SparkSession, table: str) -> DataFrame:
     File-stream over the ``_changelog/e{epoch}`` dirs (the base path
     names the underscore dir explicitly, so Spark's hidden-path filter
     does not apply to it; the epoch dirs and part files under it are
-    plainly named). The schema is taken from the already-emitted pairs
-    — at least one epoch must exist, which is the natural order of
-    operations (the producer's ``availableNow`` run precedes the
-    consumer's).
+    plainly named). ``maxFilesPerTrigger=1`` + the producer's
+    one-file-per-epoch write ⇒ each micro-batch carries whole epochs,
+    which the consumer's ``applied`` watermark relies on. The schema
+    is taken from the already-emitted pairs — at least one epoch must
+    exist, which is the natural order of operations (the producer's
+    ``availableNow`` run precedes the consumer's).
     """
     static = read_changelog(spark, table)
     if static is None:
@@ -69,6 +89,7 @@ def changelog_stream(spark: SparkSession, table: str) -> DataFrame:
     return (
         spark.readStream.schema(static.schema)
         .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
         .parquet(os.path.join(table, _CHANGELOG))
     )
 
@@ -81,14 +102,28 @@ def _read_state_meta(path: str) -> dict:
         return {}
 
 
-def _commit_state(path: str, version: str, epoch: int) -> None:
+def _commit_state(path: str, version: str, applied: int) -> None:
     """Atomic pointer swap, same protocol as ``sinks._commit_manifest``."""
-    tmp = os.path.join(path, f".{_STATE_MANIFEST}.{epoch}.tmp")
+    tmp = os.path.join(path, f".{_STATE_MANIFEST}.{applied}.tmp")
     with open(tmp, "w") as f:
-        json.dump({"epoch": epoch, "version": version}, f)
+        json.dump({"applied": applied, "version": version}, f)
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(path, _STATE_MANIFEST))
+
+
+def _write_state(state_path: str, merged: DataFrame, applied: int) -> None:
+    """Write state version ``v{applied}``, commit, GC superseded dirs."""
+    os.makedirs(state_path, exist_ok=True)
+    version = f"v{applied}"
+    dst = os.path.join(state_path, version)
+    if os.path.isdir(dst):  # debris from a crashed identical attempt
+        shutil.rmtree(dst)
+    merged.write.parquet(dst)
+    _commit_state(state_path, version, applied)
+    for name in os.listdir(state_path):
+        if name.startswith("v") and name != version:
+            shutil.rmtree(os.path.join(state_path, name), ignore_errors=True)
 
 
 def read_agg_state(spark: SparkSession, path: str) -> DataFrame | None:
@@ -97,6 +132,63 @@ def read_agg_state(spark: SparkSession, path: str) -> DataFrame | None:
     if not meta:
         return None
     return spark.read.parquet(os.path.join(path, meta["version"]))
+
+
+def init_agg_state(
+    spark: SparkSession,
+    table: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+    state_path: str,
+    derive=None,
+) -> int:
+    """Bootstrap consumer state from the producer's COMMITTED table.
+
+    A consumer joining an existing upsert table mid-life would
+    otherwise need every changelog epoch since the beginning — exactly
+    what retention (``truncate_changelog``) throws away. The bootstrap
+    aggregates the committed table directly and records the producer's
+    current manifest epoch as ``applied``, so the attached
+    ``changelog_agg_stream`` folds only epochs after the snapshot.
+    Returns the recorded watermark.
+
+    Run it while the producer is idle (between micro-batches): the
+    manifest read and the bucket-dir scan must see the same commit.
+    """
+    with open(os.path.join(table, _MANIFEST)) as f:
+        applied = json.load(f)["epoch"]
+    tbl = read_upsert_table(spark, table)
+    if derive is not None:
+        tbl = derive(tbl)
+    merged = tbl.groupBy(*group_cols).agg(
+        *[
+            F.sum(F.col(c)).cast("double").alias(f"{c}_sum")
+            for c in sum_cols
+        ],
+        F.count(F.lit(1)).cast("long").alias("row_ct"),
+    )
+    _write_state(state_path, merged, applied)
+    return applied
+
+
+def truncate_changelog(table: str, before_epoch: int) -> int:
+    """Retention: drop changelog epoch dirs with epoch < ``before_epoch``.
+
+    Safe for any consumer whose state ``applied`` watermark is ≥
+    ``before_epoch − 1`` (it filters those epochs out anyway) and for
+    new consumers that bootstrap with ``init_agg_state``. Returns the
+    number of epoch dirs removed.
+    """
+    cdir = os.path.join(table, _CHANGELOG)
+    if not os.path.isdir(cdir):
+        return 0
+    dropped = 0
+    for name in os.listdir(cdir):
+        if name.startswith("e") and name[1:].isdigit() \
+                and int(name[1:]) < before_epoch:
+            shutil.rmtree(os.path.join(cdir, name), ignore_errors=True)
+            dropped += 1
+    return dropped
 
 
 def changelog_agg_stream(
@@ -128,58 +220,55 @@ def changelog_agg_stream(
     """
     sdf = changelog_stream(spark, table)
 
-    def apply(batch: DataFrame, epoch: int) -> None:
+    def apply(batch: DataFrame, _consumer_epoch: int) -> None:
         meta = _read_state_meta(state_path)
-        if meta and epoch <= meta["epoch"]:
-            return  # replayed epoch: already folded into the state
-        if derive is not None:
-            batch = derive(batch)
-        sign = F.when(F.col("_op") == "-U", F.lit(-1)).otherwise(F.lit(1))
-        deltas = (
-            batch.withColumn("_sign", sign)
-            .groupBy(*group_cols)
-            .agg(
-                F.sum("_sign").cast("long").alias("_d_ct"),
-                *[
-                    F.sum(F.col("_sign") * F.col(c)).alias(f"_d_{c}")
-                    for c in sum_cols
-                ],
-            )
-        )
-        prev = read_agg_state(spark, state_path)
-        if prev is not None:
-            merged = prev.join(deltas, group_cols, "full_outer").select(
-                *group_cols,
-                *[
-                    (
-                        F.coalesce(f"{c}_sum", F.lit(0.0))
-                        + F.coalesce(f"_d_{c}", F.lit(0.0))
-                    ).alias(f"{c}_sum")
-                    for c in sum_cols
-                ],
-                (
-                    F.coalesce("row_ct", F.lit(0))
-                    + F.coalesce("_d_ct", F.lit(0))
-                ).cast("long").alias("row_ct"),
-            )
-        else:
-            merged = deltas.select(
-                *group_cols,
-                *[F.col(f"_d_{c}").alias(f"{c}_sum") for c in sum_cols],
-                F.col("_d_ct").alias("row_ct"),
-            )
-        merged = merged.filter(F.col("row_ct") > 0)
-        os.makedirs(state_path, exist_ok=True)
-        version = f"v{epoch}"
-        dst = os.path.join(state_path, version)
-        if os.path.isdir(dst):  # debris from a crashed identical epoch
-            shutil.rmtree(dst)
-        merged.write.parquet(dst)
-        _commit_state(state_path, version, epoch)
-        for name in os.listdir(state_path):  # GC superseded versions
-            if name.startswith("v") and name != version:
-                shutil.rmtree(
-                    os.path.join(state_path, name), ignore_errors=True
+        applied = meta.get("applied", -1) if meta else -1
+        # producer-epoch watermark: whatever re-delivery shape brought
+        # this batch here, only genuinely unapplied epochs pass
+        fresh = batch.filter(F.col("_epoch") > applied).persist()
+        try:
+            hi = fresh.agg(F.max("_epoch")).collect()[0][0]
+            if hi is None:
+                return  # every row already folded in — no-op replay
+            work = derive(fresh) if derive is not None else fresh
+            sign = F.when(F.col("_op") == "-U", F.lit(-1)).otherwise(F.lit(1))
+            deltas = (
+                work.withColumn("_sign", sign)
+                .groupBy(*group_cols)
+                .agg(
+                    F.sum("_sign").cast("long").alias("_d_ct"),
+                    *[
+                        F.sum(F.col("_sign") * F.col(c)).cast("double")
+                        .alias(f"_d_{c}")
+                        for c in sum_cols
+                    ],
                 )
+            )
+            prev = read_agg_state(spark, state_path)
+            if prev is not None:
+                merged = prev.join(deltas, group_cols, "full_outer").select(
+                    *group_cols,
+                    *[
+                        (
+                            F.coalesce(f"{c}_sum", F.lit(0.0))
+                            + F.coalesce(f"_d_{c}", F.lit(0.0))
+                        ).alias(f"{c}_sum")
+                        for c in sum_cols
+                    ],
+                    (
+                        F.coalesce("row_ct", F.lit(0))
+                        + F.coalesce("_d_ct", F.lit(0))
+                    ).cast("long").alias("row_ct"),
+                )
+            else:
+                merged = deltas.select(
+                    *group_cols,
+                    *[F.col(f"_d_{c}").alias(f"{c}_sum") for c in sum_cols],
+                    F.col("_d_ct").alias("row_ct"),
+                )
+            merged = merged.filter(F.col("row_ct") > 0)
+            _write_state(state_path, merged, int(hi))
+        finally:
+            fresh.unpersist()
 
     return sdf.writeStream.foreachBatch(apply).outputMode("append")

@@ -194,7 +194,13 @@ def _emit_changelog(
             .withColumn("_epoch", F.lit(epoch))
             .select(*keys, "_row.*", "_op", "_seq", "_epoch")
         )
-        out.write.mode("overwrite").parquet(dst)
+        # one part file per epoch: a file-stream consumer then receives
+        # each epoch ATOMICALLY (maxFilesPerTrigger=1 ⇒ whole epochs per
+        # micro-batch), which is what makes the consumer's producer-epoch
+        # watermark guard exact (streaming/changelog.py). Epoch diffs are
+        # micro-batch-sized, so the single writer is not a bottleneck;
+        # a Kafka deployment gets the same atomicity from topic offsets.
+        out.coalesce(1).write.mode("overwrite").parquet(dst)
     finally:
         changed.unpersist()
 

@@ -1046,6 +1046,139 @@ def test_changelog_agg_retractions_are_load_bearing(spark, tmp_path):
     assert _rows(adds_only) != _rows(true)
 
 
+def _phased_producer(spark, tmp_path):
+    """Producer harness that releases event slices in phases through
+    ONE checkpoint, so changelog epochs accumulate across calls."""
+    from flink_spark.sources import load
+
+    ev = load(spark, SF_DIR, "events")
+    pdf = ev.orderBy("ts", "event_id").toPandas()
+    replay = tmp_path / "replay"
+    replay.mkdir()
+    table = str(tmp_path / "upsert")
+    quarter = len(pdf) // 4
+
+    def produce(lo, hi):
+        for i in range(lo, hi):
+            pdf.iloc[i * quarter:(i + 1) * quarter].to_parquet(
+                str(replay / f"{i:04d}.parquet"), index=False,
+                coerce_timestamps="us",
+            )
+        sdf = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(replay))
+        )
+        q = (
+            upsert_sink(sdf, table, keys=["user_id"],
+                        order_cols=["ts", "event_id"], changelog=True)
+            .option("checkpointLocation", str(tmp_path / "prod_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    return table, produce
+
+
+def _run_consumer(spark, table, state, ckpt):
+    from flink_spark.streaming import changelog_agg_stream
+
+    q = (
+        changelog_agg_stream(spark, table, ["event_type"], ["value"], state)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _agg_rows(spark, df):
+    return sorted(
+        tuple(r)
+        for r in df.select(
+            "event_type", F.round("value_sum", 6).alias("value_sum"), "row_ct"
+        ).collect()
+    )
+
+
+def _batch_truth(spark, table):
+    return (
+        read_upsert_table(spark, table)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum("value"), 6).alias("value_sum"),
+            F.count(F.lit(1)).alias("row_ct"),
+        )
+    )
+
+
+def test_changelog_agg_fresh_checkpoint_over_partial_state(spark, tmp_path):
+    """The producer-epoch watermark (not the consumer's micro-batch id)
+    is what makes re-delivery safe in EVERY shape: here the consumer
+    falls behind (applied epochs 0-1), the producer advances (epochs
+    2-3), and the consumer restarts from a FRESH checkpoint — so the
+    already-applied epochs are re-delivered as the lowest-numbered
+    batches. The filter must drop them and still fold the genuinely
+    new epochs that follow."""
+    from flink_spark.streaming import read_agg_state
+
+    table, produce = _phased_producer(spark, tmp_path)
+    state = str(tmp_path / "state")
+
+    produce(0, 2)
+    _run_consumer(spark, table, state, str(tmp_path / "c1"))
+    assert _agg_rows(spark, read_agg_state(spark, state)) == _agg_rows(
+        spark, _batch_truth(spark, table)
+    )
+
+    produce(2, 4)  # consumer not running: state is now PARTIAL
+    _run_consumer(spark, table, state, str(tmp_path / "c2"))  # fresh ckpt
+    assert _agg_rows(spark, read_agg_state(spark, state)) == _agg_rows(
+        spark, _batch_truth(spark, table)
+    )
+
+
+def test_changelog_bootstrap_and_retention(spark, tmp_path):
+    """A consumer joining mid-life bootstraps from the committed table
+    (init_agg_state) instead of replaying history — which is what lets
+    retention (truncate_changelog) drop old epoch dirs, exactly like a
+    Kafka topic with finite retention. The bootstrapped state plus the
+    post-snapshot epochs must equal the batch truth."""
+    from flink_spark.streaming import (
+        init_agg_state,
+        read_agg_state,
+        read_changelog,
+        truncate_changelog,
+    )
+
+    table, produce = _phased_producer(spark, tmp_path)
+    state = str(tmp_path / "state")
+
+    produce(0, 3)  # epochs 0-2 exist; no consumer yet
+    dropped = truncate_changelog(table, 2)  # retention: e0, e1 gone
+    assert dropped == 2
+    remaining = {
+        r[0] for r in read_changelog(spark, table)
+        .select("_epoch").distinct().collect()
+    }
+    assert remaining == {2}
+
+    applied = init_agg_state(
+        spark, table, ["event_type"], ["value"], state
+    )
+    assert applied == 2  # the producer's current manifest epoch
+    assert _agg_rows(spark, read_agg_state(spark, state)) == _agg_rows(
+        spark, _batch_truth(spark, table)
+    )
+
+    produce(3, 4)  # one more epoch after the snapshot
+    _run_consumer(spark, table, state, str(tmp_path / "c1"))
+    assert _agg_rows(spark, read_agg_state(spark, state)) == _agg_rows(
+        spark, _batch_truth(spark, table)
+    )
+
+
 def test_upsert_range_bucketing_equals_hash(spark, tmp_path):
     """bucket_expr swaps the hash bucketing for a caller scheme (range
     on a monotone key — the append-mostly layout); the committed table
