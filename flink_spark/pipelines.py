@@ -266,7 +266,7 @@ OPERATOR_COVERAGE: dict[str, tuple[str, tuple[str, ...]]] = {
     "K1": ("streaming/sinks.py:kafka_payload", ("tests/test_streaming.py::test_kafka_payload_roundtrip",)),
     "K2": ("streaming/sinks.py:kafka_payload", ()),
     "K3": ("streaming/sinks.py:upsert_sink", ("s_dedup_latest", "tests/test_streaming.py::test_upsert_sink_latest_row")),
-    "K4": ("streaming/sinks.py:foreach_batch_sink (real Derby-embedded test)", ("tests/test_jdbc.py::test_jdbc_foreach_batch_sink_appends",)),
+    "K4": ("streaming/sinks.py:foreach_batch_sink (at-least-once, the reference's ReplacingMergeTree contract) + jdbc_exactly_once_sink (staged transaction + epoch ledger for targets without a dedup engine); real Derby-embedded tests", ("tests/test_jdbc.py::test_jdbc_foreach_batch_sink_appends", "tests/test_jdbc.py::test_jdbc_exactly_once_sink_survives_replay")),
     "K5": ("streaming/sinks.py:routed_dim_sink", ("tests/test_streaming.py::test_routed_dim_sink",)),
     "K6": ("streaming/sinks.py:console_sink", ()),
     "P1": ("plans/routing.py:split_events", ("p_split_counts", "tests/test_routing.py::test_split_dirty_side_output")),

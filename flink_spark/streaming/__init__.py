@@ -34,6 +34,7 @@ from flink_spark.streaming.jobs import (  # noqa: F401
 )
 from flink_spark.streaming.sinks import (  # noqa: F401
     foreach_batch_sink,
+    jdbc_exactly_once_sink,
     kafka_payload,
     read_changelog,
     read_upsert_table,

@@ -87,6 +87,56 @@ def test_jdbc_foreach_batch_sink_appends(spark, tmp_path):
     assert got == want
 
 
+def test_jdbc_exactly_once_sink_survives_replay(spark, tmp_path):
+    """K4 hardened: the staged-transaction sink applies each epoch
+    exactly once. A full re-delivery of every epoch (fresh consumer
+    checkpoint, same batch slicing) must leave the target untouched —
+    the epoch ledger makes replays no-ops, where the plain append sink
+    would double every row."""
+    from flink_spark.streaming import jdbc_exactly_once_sink
+
+    url = _url(tmp_path, "oncedb")
+    out_cols = ["event_id", "user_id", "event_type"]
+
+    def run(ckpt):
+        sdf = replay_events(spark, SF_DIR, str(tmp_path / "replay"),
+                            slices=3)
+        q = (
+            jdbc_exactly_once_sink(
+                sdf.select(*out_cols), url, "events_once"
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run(str(tmp_path / "ckpt_a"))
+    back = (
+        spark.read.format("jdbc").option("url", url)
+        .option("dbtable", "events_once").load()
+    )
+    ev = load(spark, SF_DIR, "events")
+    assert back.count() == ev.count()
+
+    # replay everything from a fresh checkpoint: ledger skips all epochs
+    run(str(tmp_path / "ckpt_b"))
+    back = (
+        spark.read.format("jdbc").option("url", url)
+        .option("dbtable", "events_once").load()
+    )
+    assert back.count() == ev.count()
+    got = sorted(tuple(r) for r in back.collect())
+    want = sorted(tuple(r) for r in ev.select(*out_cols).collect())
+    assert got == want
+    # staging debris cleaned up; ledger holds the three applied epochs
+    ledger = (
+        spark.read.format("jdbc").option("url", url)
+        .option("dbtable", "events_once_EPOCHS").load()
+    )
+    assert sorted(r[0] for r in ledger.collect()) == [0, 1, 2]
+
+
 # --- S4: JDBC-incremental CDC capture (snapshot + polling diff) --------
 
 def _exec_sql(spark, url, *stmts):

@@ -57,6 +57,15 @@ def test_decontaminate_broadcasts_eval_set(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_semantic_decontaminate_broadcasts_eval_set(spark):
+    """The eval embedding set must broadcast (like e_cosine_topk, the
+    threshold scan against a broadcast benchmark IS a nested-loop probe
+    — map-side, the corpus never shuffles); no un-broadcast cartesian."""
+    plan = _plan(_Q["e_semantic_decontaminate"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_bpe_segment_broadcasts_vocab(spark):
     """The corpus-sized (source, word) table must probe the bounded
     vocab map-side — never shuffle the corpus against the vocab."""
