@@ -1547,10 +1547,16 @@ def e_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Semantic decontamination: train corpus vs a held-out eval embedding set
 # --------------------------------------------------------------------------
 
-# Every 41st vec_id plays the held-out benchmark; the flag threshold is
-# the corpus near-dup threshold (a train vector this close to an eval
-# vector is the same content in embedding space).
+# Every 41st vec_id below the cap plays the held-out benchmark; the
+# flag threshold is the corpus near-dup threshold (a train vector this
+# close to an eval vector is the same content in embedding space). The
+# id cap is what makes the stand-in behave like a REAL benchmark: eval
+# suites are fixed-size, they do not grow with the training corpus —
+# without the cap a scaled fixture scales the eval side too and the
+# probe cost turns quadratic in corpus size (measured 13× time at 10×
+# data; ~3× with the cap, SCALING.md).
 DECON_EVAL_MOD = 41
+DECON_EVAL_CAP = 1_000_000
 
 
 @query(
@@ -1561,9 +1567,11 @@ DECON_EVAL_MOD = 41
       FROM embeddings
     ),
     ev AS (SELECT embedding AS ee, nrm AS en FROM v
-           WHERE vec_id % {DECON_EVAL_MOD} = 0),
+           WHERE vec_id % {DECON_EVAL_MOD} = 0
+             AND vec_id < {DECON_EVAL_CAP}),
     tr AS (SELECT vec_id, label, embedding, nrm FROM v
-           WHERE vec_id % {DECON_EVAL_MOD} <> 0),
+           WHERE NOT (vec_id % {DECON_EVAL_MOD} = 0
+                      AND vec_id < {DECON_EVAL_CAP})),
     hit AS (
       SELECT DISTINCT t.vec_id
       FROM tr t JOIN ev e
@@ -1590,8 +1598,10 @@ def e_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     training vector is contaminated if it sits above the near-dup
     cosine threshold against ANY held-out eval vector — paraphrased
     or reformatted benchmark leakage that exact n-gram overlap
-    misses. Eval set: every ``DECON_EVAL_MOD``-th vec_id (a
-    deterministic stand-in for the real benchmark embedding table).
+    misses. Eval set: every ``DECON_EVAL_MOD``-th vec_id below
+    ``DECON_EVAL_CAP`` (a deterministic stand-in for the real
+    benchmark embedding table — fixed-size by construction, like a
+    real eval suite, so the probe stays LINEAR in corpus scale).
     Output per label: population, contaminated count/rate, and
     ``contaminated_id_sum`` pinning the exact flagged set.
 
@@ -1610,7 +1620,9 @@ def e_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", "embedding",
         _norm(F.col("embedding")).alias("nrm"),
     )
-    is_eval = F.col("vec_id") % DECON_EVAL_MOD == 0
+    is_eval = (F.col("vec_id") % DECON_EVAL_MOD == 0) & (
+        F.col("vec_id") < DECON_EVAL_CAP
+    )
     ev = v.filter(is_eval).select(
         F.col("embedding").alias("ee"), F.col("nrm").alias("en")
     )

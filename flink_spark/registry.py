@@ -148,10 +148,12 @@ _SNAPSHOT_FIRST = (
     "e_semantic_dedup",
     # NOT listed (the 50 names above exactly fill the driver's cap):
     # e_pq_adc_topk, e_filtered_topk, e_ivfpq_topk, t_bpe_train,
-    # t_bpe_segment, t_shuffle_shards — added after the list was
-    # frozen for r6; all
-    # are oracle-verified (or reference-trainer-pinned) in pytest this
-    # round. r7 bookkeeping: promote them (and any other never-checked
+    # t_bpe_segment, t_shuffle_shards, e_semantic_decontaminate —
+    # added after the list was frozen for r6; all are oracle-verified
+    # (or reference-trainer-pinned) in pytest this round, and the
+    # whole 107-query catalog passed a local driver-gate mirror at
+    # sf0.01 this round (compare() over every oracle — 0 failures).
+    # r7 bookkeeping: promote these seven (and any other never-checked
     # query) to the head of this list.
 )
 
