@@ -332,6 +332,16 @@ OPERATOR_COVERAGE: dict[str, tuple[str, tuple[str, ...]]] = {
     "LM-FILTER": ("unigram-LM quality scoring (CCNet filter shape)", ("t_unigram_lm_score",)),
     "TFIDF": ("distinctive terms, integer-exact TF-IDF structure", ("t_distinctive_terms",)),
     "CENTROID": ("per-label centroid compactness audit", ("e_centroid_stats",)),
+    "ANN-PQ": ("product-quantization ANN: ADC code scan + exact re-rank; IVF+PQ composed index with persisted cell-partitioned codes", ("e_pq_adc_topk", "e_ivfpq_topk")),
+    "ANN-FILTERED": ("metadata-filtered top-k (label as the join key)", ("e_filtered_topk",)),
+    "SEMDEDUP": ("cluster-assigned cosine dedup (per-cell kernel)", ("e_semantic_dedup",)),
+    "SEM-DECON": ("embedding-space eval-set decontamination (fixed-size broadcast probe)", ("e_semantic_decontaminate", "tests/test_plans.py::test_semantic_decontaminate_broadcasts_eval_set")),
+    "PII": ("PII redaction audit (regex family, span accounting)", ("t_pii_redact",)),
+    "MIX-REWEIGHT": ("quality-bucket mixture reweighting", ("t_quality_mixture_reweight",)),
+    "BPE-TRAIN": ("distributed BPE merge-table training + segmenter; deterministic training-order shuffle", ("t_bpe_train", "t_bpe_segment", "t_shuffle_shards")),
+    "CHANGELOG-CONSUMER": ("streaming/changelog.py: retract-stream consumer — incremental rollups behind a producer-epoch watermark, bootstrap-from-table, changelog retention", ("tests/test_streaming.py::test_changelog_incremental_agg", "tests/test_streaming.py::test_changelog_bootstrap_and_retention")),
+    "JDBC-ONCE": ("streaming/sinks.py:jdbc_exactly_once_sink — staged transaction + epoch ledger", ("tests/test_jdbc.py::test_jdbc_exactly_once_sink_survives_replay",)),
+    "UPSERT-RANGE": ("upsert_sink(bucket_expr=...): range-bucketed layout for append-mostly keyed tables (flat merge cost)", ("tests/test_streaming.py::test_upsert_range_bucketing_equals_hash",)),
 }
 
 
