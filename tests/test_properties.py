@@ -550,3 +550,80 @@ def test_band_key_kernel_matches_jvm_expression(vecs, bits):
         ).collect()
     }
     assert got == expect
+
+
+# --- differential: full catalog queries vs DuckDB on RANDOM events ------
+#
+# The oracle suite proves Spark ≡ DuckDB on the fixture corpus; this
+# proves it on arbitrary generated corpora, aimed at the semantics the
+# fixture may never exercise: equal-timestamp ties (latest-row dedup,
+# as-of matching), events landing exactly ON a 10 s window edge or a
+# 60 s session gap, single-user corpora, all-one-type corpora.
+
+_EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
+
+EVENTS_TABLES = st.lists(
+    st.tuples(
+        st.integers(0, 3),                    # user_id (small → collisions)
+        st.integers(0, 150),                  # seconds offset (10s/60s edges)
+        st.sampled_from((0, 1, 500, 999)),    # millis (ties + near-ties)
+        st.sampled_from(_EVENT_TYPES),
+        st.integers(0, 100),                  # value, quarter units
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+_DIFF_QUERIES = (
+    "s_dedup_latest",       # per-key latest row under (ts, event_id) ties
+    "w_tumble_10s_keyed",   # exact window-edge assignment
+    "w_sessionize",         # 60 s gap straddling
+    "j_asof_nearest",       # latest view at-or-before each purchase
+    "s_daily_unique_users", # per-day distinct under duplicates
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=EVENTS_TABLES)
+def test_catalog_queries_match_oracle_on_random_events(rows):
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from flink_spark.registry import all_queries, release_persisted
+    from flink_spark.sources import TABLES
+    from flink_spark.testing import compare, duck_connect
+
+    base = pd.Timestamp("2024-03-01 00:00:00")
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [
+                base + pd.Timedelta(seconds=s, milliseconds=ms)
+                for (_, s, ms, _, _) in rows
+            ],
+            "user_id": [u for (u, _, _, _, _) in rows],
+            "event_type": [t for (_, _, _, t, _) in rows],
+            "value": [v / 4.0 for (_, _, _, _, v) in rows],
+            "props": ["{}"] * len(rows),
+        }
+    )
+    d = tempfile.mkdtemp()
+    try:
+        for t in TABLES:  # non-events tables come from the fixture
+            if t != "events":
+                os.symlink(f"/root/testdata/sf0.001/{t}.parquet",
+                           os.path.join(d, f"{t}.parquet"))
+        pdf.to_parquet(os.path.join(d, "events.parquet"), index=False,
+                       coerce_timestamps="us")
+        spark = _session()
+        duck = duck_connect(d)
+        qs = all_queries()
+        for name in _DIFF_QUERIES:
+            errs = compare(spark, duck, qs[name], d)
+            assert not errs, f"{name} on random corpus: {errs[:3]}"
+            release_persisted()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
