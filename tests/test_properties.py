@@ -627,3 +627,85 @@ def test_catalog_queries_match_oracle_on_random_events(rows):
             release_persisted()
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# --- differential: text/dedup queries vs DuckDB on RANDOM documents -----
+#
+# Same harness over generated documents tables, aimed at the text-path
+# edges: empty and whitespace-only docs, punctuation-only docs, CJK
+# mixed with ascii, exact-duplicate texts across sources, corpora
+# smaller than the shingle width (every derived knob at its clamp
+# floor).
+
+_DOC_TEXTS = st.sampled_from((
+    "",
+    "   ",
+    ".,!?",
+    "the quick brown fox",
+    "the quick brown fox",      # planted exact dup
+    "one two three four five six seven eight nine ten eleven twelve "
+    "thirteen fourteen fifteen sixteen",  # > shingle width
+    "数据处理学习系统",
+    "mixed 数据 ascii 处理 tokens",
+    "UPPER lower MiXeD 123",
+    "a",
+))
+
+DOCS_TABLES = st.lists(
+    st.tuples(
+        _DOC_TEXTS,
+        st.sampled_from(("en", "zh", "de")),
+        st.sampled_from(("srcA", "srcB", "eval_bench")),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+_DOC_DIFF_QUERIES = (
+    "t_token_stats",         # tokenizer on empty/punct/CJK
+    "t_exact_dedup",         # md5-canonical groups incl. planted dups
+    "t_quality_score",       # ratio metrics with zero-length guards
+    "t_lang_id",             # n-gram heuristic vs declared lang
+    "t_ngram_jaccard_dups",  # shingle join when most docs are too short
+    "t_train_val_split",     # hash split determinism on tiny corpora
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(rows=DOCS_TABLES)
+def test_text_queries_match_oracle_on_random_documents(rows):
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from flink_spark.registry import all_queries, release_persisted
+    from flink_spark.sources import TABLES
+    from flink_spark.testing import compare, duck_connect
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(rows)),
+            "text": [t for (t, _, _) in rows],
+            "lang": [lg for (_, lg, _) in rows],
+            "source": [s for (_, _, s) in rows],
+            "n_chars": [len(t) for (t, _, _) in rows],
+        }
+    )
+    d = tempfile.mkdtemp()
+    try:
+        for t in TABLES:
+            if t != "documents":
+                os.symlink(f"/root/testdata/sf0.001/{t}.parquet",
+                           os.path.join(d, f"{t}.parquet"))
+        pdf.to_parquet(os.path.join(d, "documents.parquet"), index=False)
+        spark = _session()
+        duck = duck_connect(d)
+        qs = all_queries()
+        for name in _DOC_DIFF_QUERIES:
+            errs = compare(spark, duck, qs[name], d)
+            assert not errs, f"{name} on random corpus: {errs[:3]}"
+            release_persisted()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
