@@ -43,6 +43,7 @@ HEADLINE = [
     "t_corpus_pipeline",
     "t_training_pipeline",
     "t_decontaminate",
+    "t_decontaminate_fraction",
     "t_pack_sequences",
     "t_repetition_filter",
     "t_source_mixture",

@@ -589,6 +589,92 @@ def t_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# A doc is contaminated when ≥ this percent of its DISTINCT shingles
+# appear in the eval set — the overlap-fraction rule (vs t_decontaminate's
+# any-overlap), which separates genuine leakage from incidental shared
+# phrases: on the sf0.01 fixture any-overlap flags 400/475 scored docs,
+# the 20% rule flags 4. Integer comparison (hits·100 ≥ pct·cnt) so the
+# threshold boundary is exact in both engines.
+DECON_FRAC_PCT = 20
+
+
+@query(
+    "t_decontaminate_fraction",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    ev AS (
+      SELECT DISTINCT s FROM ex JOIN documents USING (doc_id)
+      WHERE source = '{EVAL_SOURCE}'
+    ),
+    per AS (
+      SELECT e.doc_id, d.source, COUNT(*) AS cnt,
+             SUM(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END) AS hits
+      FROM ex e
+      LEFT JOIN ev ON e.s = ev.s
+      JOIN documents d ON e.doc_id = d.doc_id
+      WHERE d.source <> '{EVAL_SOURCE}'
+      GROUP BY e.doc_id, d.source
+    )
+    SELECT source,
+           COUNT(*) AS scored_docs,
+           CAST(SUM(CASE WHEN hits * 100 >= {DECON_FRAC_PCT} * cnt
+                         THEN 1 ELSE 0 END) AS BIGINT) AS contaminated,
+           CAST(SUM(hits) AS DOUBLE) / SUM(cnt) AS overlap_shingle_frac,
+           CAST(SUM(CASE WHEN hits * 100 >= {DECON_FRAC_PCT} * cnt
+                         THEN doc_id ELSE 0 END) AS BIGINT)
+             AS contaminated_id_sum
+    FROM per
+    GROUP BY source
+    """,
+    tags=("textops", "decontamination"),
+)
+def t_decontaminate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap-FRACTION decontamination (the strict benchmark rule).
+
+    ``t_decontaminate`` flags any shared shingle; production
+    decontamination typically requires a substantial fraction of a
+    document's n-grams to hit the benchmark before dropping it, so a
+    stock phrase shared with one eval question doesn't cost a whole
+    document. Per training doc: hits / |distinct shingles|, flagged at
+    ``DECON_FRAC_PCT``% (integer-exact boundary). Output per source:
+    scored docs (those long enough to shingle), contaminated count,
+    micro-averaged overlap fraction (SUM(hits)/SUM(cnt) — a single
+    exact-integer division, so cross-engine float identity holds), and
+    the flagged id-sum pinning the exact set.
+
+    Scale shape: identical to ``t_decontaminate`` — the eval shingle
+    set broadcasts, the corpus is probed map-side in one pass, the
+    per-doc then per-source aggregation is two partial-agg shuffles of
+    key-sized rows. Linear in corpus, flat in eval size.
+    """
+    docs = load(spark, sf_dir, "documents")
+    _, ex = _shingled(spark, sf_dir, persist=True)
+    src = docs.select("doc_id", "source")
+    ex_src = ex.join(src, "doc_id")
+    ev = (
+        ex_src.filter(F.col("source") == EVAL_SOURCE).select("s").distinct()
+        .withColumn("in_ev", F.lit(1))
+    )
+    per = (
+        ex_src.filter(F.col("source") != EVAL_SOURCE)
+        .join(F.broadcast(ev), "s", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.coalesce("in_ev", F.lit(0))).alias("hits"),
+        )
+    )
+    flagged = F.col("hits") * 100 >= F.lit(DECON_FRAC_PCT) * F.col("cnt")
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("scored_docs"),
+        F.sum(flagged.cast("int")).cast("long").alias("contaminated"),
+        (F.sum("hits").cast("double") / F.sum("cnt"))
+        .alias("overlap_shingle_frac"),
+        F.sum(F.when(flagged, F.col("doc_id")).otherwise(F.lit(0)))
+        .cast("long").alias("contaminated_id_sum"),
+    )
+
+
 @query(
     "t_train_val_split",
     oracle=f"""
