@@ -44,6 +44,7 @@ HEADLINE = [
     "t_training_pipeline",
     "t_decontaminate",
     "t_decontaminate_fraction",
+    "t_decontaminate_spans",
     "t_pack_sequences",
     "t_repetition_filter",
     "t_source_mixture",

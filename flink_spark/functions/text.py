@@ -146,13 +146,21 @@ def toks_sql(col: str = "text") -> str:
 def word_shingles(tokens: Column, n: int = 3) -> Column:
     """n-word shingles of a token array → array<string>.
 
-    Callers must pre-filter rows with ``size(tokens) >= n`` (the
-    sequence bound is invalid otherwise).
+    Total on any input: arrays shorter than ``n`` yield an EMPTY
+    array. The guard is load-bearing, not cosmetic — Spark's
+    ``sequence(0, size - n)`` auto-reverses when the stop is negative
+    (sequence(0, -2) = [0, -1, -2]), so an unguarded short array
+    doesn't produce zero shingles, it produces out-of-bounds
+    ``element_at`` calls that kill the task. Found by the
+    random-corpus differential test on a one-token document.
     """
     idx = F.sequence(F.lit(0), F.size(tokens) - n)
-    return F.transform(
+    shingled = F.transform(
         idx,
         lambda i: F.concat_ws(" ", *[F.element_at(tokens, i + k + 1) for k in range(n)]),
+    )
+    return F.when(F.size(tokens) >= n, shingled).otherwise(
+        F.array().cast("array<string>")
     )
 
 

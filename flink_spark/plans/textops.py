@@ -676,6 +676,126 @@ def t_decontaminate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t_decontaminate_spans",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    ev AS (
+      SELECT DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      FROM (
+        SELECT n.t AS t, unnest(range(1, len(n.t) - 1)) AS i
+        FROM norm n JOIN documents d USING (doc_id)
+        WHERE d.source = '{EVAL_SOURCE}'
+      )
+    ),
+    tr AS (
+      SELECT n.doc_id, d.source, n.t
+      FROM norm n JOIN documents d USING (doc_id)
+      WHERE d.source <> '{EVAL_SOURCE}' AND len(n.t) >= {SHINGLE_N}
+    ),
+    matched AS (
+      SELECT doc_id, i
+      FROM (
+        SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM tr
+      ) x JOIN ev ON x.t[i] || ' ' || x.t[i+1] || ' ' || x.t[i+2] = ev.s
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id, p FROM (
+        SELECT doc_id, unnest(range(i, i + {SHINGLE_N})) AS p FROM matched
+      )
+    ),
+    cuts AS (SELECT doc_id, COUNT(*) AS cut FROM covered GROUP BY doc_id),
+    per AS (
+      SELECT tr.doc_id, tr.source, len(tr.t) AS n_tok,
+             COALESCE(cut, 0) AS cut
+      FROM tr LEFT JOIN cuts USING (doc_id)
+    )
+    SELECT source,
+           COUNT(*) AS scored_docs,
+           CAST(SUM(CASE WHEN cut > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_touched,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(cut) AS BIGINT) AS removed_tokens,
+           CAST(SUM(n_tok) - SUM(cut) AS DOUBLE) / SUM(n_tok)
+             AS kept_token_frac
+    FROM per
+    GROUP BY source
+    """,
+    tags=("textops", "decontamination"),
+)
+def t_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination accounting (excise, don't drop).
+
+    The third decontamination policy: instead of dropping a whole
+    document over benchmark overlap (``t_decontaminate`` /
+    ``t_decontaminate_fraction``), remove only the TOKEN SPANS covered
+    by matched eval n-grams and keep the rest. This audit computes the
+    exact surgery bill per source: how many docs are touched, how many
+    tokens the excision removes, and the surviving token fraction —
+    the inputs a pipeline owner needs to choose between drop and cut.
+
+    Positions: shingle at token index i covers tokens i..i+
+    {SHINGLE_N}-1; covered positions are the distinct union over all
+    matched shingles, so overlapping matches never double-count (the
+    classic interval-union, done set-wise).
+
+    Scale shape: the eval shingle set broadcasts; the corpus tokenizes
+    once and probes map-side. The position explode multiplies rows by
+    ~tokens-per-doc, but rows are (doc_id, int) pairs — bytes, not
+    text — and collapse in a partial-agg distinct. Linear in corpus
+    tokens, flat in eval size.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", tokenize("text").alias("t")
+    )
+    ev = (
+        toks.filter(F.col("source") == EVAL_SOURCE)
+        .select(F.explode(word_shingles(F.col("t"), SHINGLE_N)).alias("s"))
+        .distinct()
+    )
+    tr = toks.filter(
+        (F.col("source") != EVAL_SOURCE) & (F.size("t") >= SHINGLE_N)
+    )
+    sh_idx = tr.select(
+        "doc_id",
+        F.expr(
+            f"explode(transform(sequence(0, size(t) - {SHINGLE_N}), "
+            "i -> struct(i as i, concat_ws(' ', "
+            + ", ".join(
+                f"element_at(t, i + {k + 1})" for k in range(SHINGLE_N)
+            )
+            + ") as s)))"
+        ).alias("m"),
+    ).select("doc_id", "m.i", "m.s")
+    covered = (
+        sh_idx.join(F.broadcast(ev), "s")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + (SHINGLE_N - 1))
+            ).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("cut"))
+    )
+    per = (
+        tr.select("doc_id", "source", F.size("t").alias("n_tok"))
+        .join(covered, "doc_id", "left")
+        .withColumn("cut", F.coalesce("cut", F.lit(0)))
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("scored_docs"),
+        F.sum((F.col("cut") > 0).cast("int")).cast("long")
+        .alias("docs_touched"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.sum("cut").cast("long").alias("removed_tokens"),
+        ((F.sum("n_tok") - F.sum("cut")).cast("double") / F.sum("n_tok"))
+        .alias("kept_token_frac"),
+    )
+
+
+@query(
     "t_train_val_split",
     oracle=f"""
     WITH tagged AS (

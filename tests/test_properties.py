@@ -655,7 +655,9 @@ DOCS_TABLES = st.lists(
     st.tuples(
         _DOC_TEXTS,
         st.sampled_from(("en", "zh", "de")),
-        st.sampled_from(("srcA", "srcB", "eval_bench")),
+        # src0 is EVAL_SOURCE: random corpora exercise the live
+        # eval-set path of the decontamination family too
+        st.sampled_from(("srcA", "srcB", "src0")),
     ),
     min_size=1,
     max_size=25,
@@ -668,6 +670,8 @@ _DOC_DIFF_QUERIES = (
     "t_lang_id",             # n-gram heuristic vs declared lang
     "t_ngram_jaccard_dups",  # shingle join when most docs are too short
     "t_train_val_split",     # hash split determinism on tiny corpora
+    "t_decontaminate_fraction",  # integer threshold boundary
+    "t_decontaminate_spans",     # overlapping-span position union
 )
 
 
