@@ -713,3 +713,72 @@ def test_text_queries_match_oracle_on_random_documents(rows):
             release_persisted()
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# --- differential: embedding queries vs DuckDB on RANDOM vectors --------
+#
+# The kernel property tests pin numpy ≡ JVM-fold identity; this pins
+# full-query Spark ≡ DuckDB on generated corpora, where every derived
+# knob (LSH bits, IVF cells) sits at its clamp floor and the corpus
+# size is arbitrary — zero vectors, duplicate vectors, negative
+# components, single-label corpora.
+
+VEC_TABLES = st.lists(
+    st.tuples(
+        st.lists(
+            st.sampled_from((-1.0, -0.5, 0.0, 0.25, 1.0)),
+            min_size=64, max_size=64,
+        ),
+        st.integers(0, 2),  # label
+    ),
+    min_size=12,
+    max_size=30,
+)
+
+_VEC_DIFF_QUERIES = (
+    "e_norm_stats",        # zero-vector norms, per-label grouping
+    "e_cosine_topk",       # ties in cosine broken by neighbor_id
+    "e_ann_lsh_topk",      # derived bits at the clamp floor
+    "e_semantic_decontaminate",  # threshold boundary on planted dups
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(rows=VEC_TABLES)
+def test_embedding_queries_match_oracle_on_random_vectors(rows):
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_spark.registry import all_queries, release_persisted
+    from flink_spark.sources import TABLES
+    from flink_spark.testing import compare, duck_connect
+
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(rows)), pa.int64()),
+            "embedding": pa.array(
+                [v for (v, _) in rows], pa.list_(pa.float32())
+            ),
+            "label": pa.array([lb for (_, lb) in rows], pa.int32()),
+        }
+    )
+    d = tempfile.mkdtemp()
+    try:
+        for t in TABLES:
+            if t != "embeddings":
+                os.symlink(f"/root/testdata/sf0.001/{t}.parquet",
+                           os.path.join(d, f"{t}.parquet"))
+        pq.write_table(tbl, os.path.join(d, "embeddings.parquet"))
+        spark = _session()
+        duck = duck_connect(d)
+        qs = all_queries()
+        for name in _VEC_DIFF_QUERIES:
+            errs = compare(spark, duck, qs[name], d)
+            assert not errs, f"{name} on random vectors: {errs[:3]}"
+            release_persisted()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
