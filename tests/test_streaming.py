@@ -1046,6 +1046,151 @@ def test_changelog_agg_retractions_are_load_bearing(spark, tmp_path):
     assert _rows(adds_only) != _rows(true)
 
 
+def _disordered_replay(tmp_path, n=200, span_s=600, jitter_s=2, flush_s=1200):
+    """Deterministic pseudo-random events whose ARRIVAL order differs
+    from event time by up to ``jitter_s`` (the watermark bound), split
+    into 10 micro-batch files + a final watermark-flush slice.
+    Returns (dir, clean pandas frame without the flush row)."""
+    import hashlib
+    import os
+
+    import pandas as pd
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+
+    def h(i, salt):
+        return int.from_bytes(
+            hashlib.md5(f"{salt}|{i}".encode()).digest()[:4], "big"
+        )
+
+    rows = []
+    for i in range(n):
+        sec = h(i, "t") % span_s
+        rows.append({
+            "event_id": i,
+            "ts": base + pd.Timedelta(seconds=sec),
+            "user_id": h(i, "u") % 5,
+            "event_type": ("view", "purchase", "click")[h(i, "k") % 3],
+            "value": (h(i, "v") % 400) / 4.0,
+            "props": "{}",
+            "arrival": sec + (h(i, "j") % (2 * jitter_s + 1)) - jitter_s,
+        })
+    pdf = pd.DataFrame(rows).sort_values(["arrival", "event_id"])
+    d = str(tmp_path / "disorder")
+    os.makedirs(d)
+    per = (n + 9) // 10
+    for s in range(10):
+        pdf.iloc[s * per:(s + 1) * per].drop(columns=["arrival"]).to_parquet(
+            f"{d}/{s:04d}.parquet", index=False, coerce_timestamps="us")
+    pd.DataFrame([{
+        "event_id": -1, "ts": base + pd.Timedelta(seconds=flush_s),
+        # key OUTSIDE the generated space: the flush must advance the
+        # watermark without displacing any real key's latest row
+        "user_id": -1,
+        "event_type": "__flush__", "value": 0.0, "props": "{}",
+    }]).to_parquet(f"{d}/0010.parquet", index=False, coerce_timestamps="us")
+    return d, pdf.drop(columns=["arrival"])
+
+
+def test_tumble_append_mode_under_disorder(spark, tmp_path):
+    """Append-mode tumbling windows finalize at the watermark; rows
+    arriving late-but-inside the 2 s bound must still land in their
+    event-time window before it seals. The finalized stream output
+    must equal a batch groupBy over the same (clean) data."""
+    d, pdf = _disordered_replay(tmp_path)
+    from flink_spark.sources import load
+
+    schema = load(spark, SF_DIR, "events").schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = run_to_memory(
+        tumble_stream(sdf, "event_type"), "tumble_disorder_mem",
+        output_mode="append",
+    ).filter(F.col("event_type") != "__flush__")
+    batch = (
+        spark.createDataFrame(pdf)
+        .groupBy(F.window("ts", "10 seconds"), "event_type")
+        .agg(F.count(F.lit(1)).alias("pv"),
+             F.round(F.sum("value"), 6).alias("amount"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+            F.date_format("window.end", "yyyy-MM-dd HH:mm:ss").alias("edt"),
+            "event_type", "pv", "amount",
+        )
+    )
+    got = _rows(out.select("stt", "edt", "event_type", "pv",
+                           F.round("amount", 6).alias("amount")))
+    assert got == _rows(batch)
+
+
+def test_upsert_and_changelog_consumer_under_disorder(spark, tmp_path):
+    """Latest-row semantics are an EVENT-TIME property: an old row
+    arriving after a newer one (bounded disorder) must neither win the
+    merge nor emit a changelog pair that corrupts the downstream fold.
+    Both the committed table and the incrementally-maintained rollup
+    must equal the batch truth over the clean data."""
+    from pyspark.sql import Window
+
+    from flink_spark.streaming import changelog_agg_stream, read_agg_state
+
+    d, pdf = _disordered_replay(tmp_path)
+    from flink_spark.sources import load
+
+    schema = load(spark, SF_DIR, "events").schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    table = str(tmp_path / "upsert")
+    q = (
+        upsert_sink(sdf, table, keys=["user_id"],
+                    order_cols=["ts", "event_id"], changelog=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    clean = spark.createDataFrame(pdf).unionByName(
+        read_upsert_table(spark, table).filter(F.lit(False))
+        .select(*pdf.columns)
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    latest = (
+        clean.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1).drop("_rn")
+    )
+    # the flush row participates (it is just another event to the
+    # merge); compare full committed table against the batch latest-row
+    committed = read_upsert_table(spark, table).select(*pdf.columns)
+    want_tbl = latest.filter(F.col("event_type") != "__flush__")
+    got_tbl = committed.filter(F.col("event_type") != "__flush__")
+    assert _rows(got_tbl) == _rows(want_tbl)
+
+    state = str(tmp_path / "aggstate")
+    qc = (
+        changelog_agg_stream(spark, table, ["event_type"], ["value"], state)
+        .option("checkpointLocation", str(tmp_path / "agg_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    qc.awaitTermination()
+    got = read_agg_state(spark, state).filter(
+        F.col("event_type") != "__flush__"
+    ).select("event_type", F.round("value_sum", 6).alias("v"), "row_ct")
+    want = (
+        committed.filter(F.col("event_type") != "__flush__")
+        .groupBy("event_type")
+        .agg(F.round(F.sum("value"), 6).alias("v"),
+             F.count(F.lit(1)).alias("row_ct"))
+    )
+    assert _rows(got) == _rows(want)
+
+
 def _phased_producer(spark, tmp_path):
     """Producer harness that releases event slices in phases through
     ONE checkpoint, so changelog epochs accumulate across calls."""
