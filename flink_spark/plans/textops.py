@@ -295,13 +295,15 @@ def t_repeated_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     substring-dedup would drop the repeated spans; this operator is
     its audit/planning stage, all integer counts ⇒ oracle-exact.
 
-    Scale shape: positional grams explode ~|tokens| rows; the gram
-    frequency table aggregates them once and joins back on the gram
-    key (both sides hash-partitioned on gram — co-located, no
-    broadcast of a corpus-sized table). Fan-out per gram key equals
-    its occurrence count, which is exactly the quantity being
-    measured; a pathological million-fold span costs a million-row
-    join fan-out, not a quadratic pair join.
+    Scale shape: positional grams explode ~|tokens| rows, but they
+    cross the wire ONCE — a map-side-combined (gram, source) count
+    collapses duplicates before the shuffle, a gram-partitioned window
+    attaches the corpus-wide total to each group (the former
+    formulation joined the raw position rows back against the
+    frequency table, shuffling the position-sized stream a second time
+    and re-running the tokenizer for it), and the final per-source agg
+    moves |grams × sources| rows. A pathological million-fold span is
+    ONE group row with ct_src = 1e6, not a million-row join fan-out.
     """
     docs = load(spark, sf_dir, "documents")
     t = docs.select("source", tokenize("text").alias("t")).filter(
@@ -310,16 +312,18 @@ def t_repeated_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = t.select(
         "source", F.explode(word_shingles(F.col("t"), REPEAT_N)).alias("gram")
     )
-    freq = g.groupBy("gram").agg(F.count(F.lit(1)).alias("ct"))
-    rep = (F.col("ct") > 1).cast("int")
+    gs = g.groupBy("gram", "source").agg(F.count(F.lit(1)).alias("ct_src"))
+    tot = F.sum("ct_src").over(Window.partitionBy("gram"))
+    rep = (F.col("tot") > 1).cast("long")
     return (
-        g.join(freq, "gram")
+        gs.withColumn("tot", tot)
         .groupBy("source")
         .agg(
-            F.count(F.lit(1)).alias("span_positions"),
-            F.sum(rep).cast("long").alias("repeated_positions"),
-            (F.sum(rep).cast("double") / F.count(F.lit(1)))
-            .alias("repeat_ratio"),
+            F.sum("ct_src").cast("long").alias("span_positions"),
+            F.sum(rep * F.col("ct_src")).cast("long")
+            .alias("repeated_positions"),
+            (F.sum(rep * F.col("ct_src")).cast("double")
+             / F.sum("ct_src")).alias("repeat_ratio"),
         )
     )
 
