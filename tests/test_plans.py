@@ -57,6 +57,16 @@ def test_decontaminate_broadcasts_eval_set(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_repeated_ngram_coverage_is_join_free(spark):
+    """The repeated-span audit aggregates (gram, source) map-side and
+    attaches gram totals with a window — the position stream crosses
+    the wire once and there is NO join of position-sized tables."""
+    plan = _plan(_Q["t_repeated_ngram_coverage"].fn(spark, SF_DIR))
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert node not in plan, node
+
+
 def test_semantic_decontaminate_broadcasts_eval_set(spark):
     """The eval embedding set must broadcast (like e_cosine_topk, the
     threshold scan against a broadcast benchmark IS a nested-loop probe
