@@ -374,7 +374,16 @@ def upsert_sink(
             "the MERGE INTO form, or mount the store as a local path."
         )
     spark = sdf.sparkSession
-    bucket_of = (
+    # a NULL in any key column maps to a NULL bucket id, which the merge
+    # rejects loudly below — xxhash64 would otherwise hash NULL to a
+    # real bucket and silently merge every null-keyed row as one key
+    some_key_null = None
+    for k in keys:
+        c = F.col(k).isNull()
+        some_key_null = c if some_key_null is None else (some_key_null | c)
+    bucket_of = F.when(
+        some_key_null, F.lit(None).cast("long")
+    ).otherwise(
         bucket_expr
         if bucket_expr is not None
         else F.pmod(F.xxhash64(*keys), F.lit(num_buckets))
@@ -385,7 +394,17 @@ def upsert_sink(
         b.persist()
         latest = None
         try:
-            touched = sorted(r[0] for r in b.select(_BUCKET).distinct().collect())
+            raw = [r[0] for r in b.select(_BUCKET).distinct().collect()]
+            if None in raw:
+                # a NULL key (or a bucket_expr returning NULL) has no
+                # home bucket; failing loudly beats hiding rows in a
+                # default partition the manifest never references
+                raise ValueError(
+                    "upsert_sink: NULL bucket id in batch — null key "
+                    "column, or bucket_expr returned NULL; filter or "
+                    "default the keys upstream"
+                )
+            touched = sorted(raw)
             if not touched:
                 return
             os.makedirs(path, exist_ok=True)

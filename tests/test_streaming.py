@@ -1324,6 +1324,38 @@ def test_changelog_bootstrap_and_retention(spark, tmp_path):
     )
 
 
+def test_upsert_null_key_fails_loudly(spark, tmp_path):
+    """A NULL key has no home bucket — the merge must raise with a
+    clear message rather than stranding rows in a default partition
+    the manifest never references."""
+    import pandas as pd
+
+    from flink_spark.sources import load
+
+    ev = load(spark, SF_DIR, "events")
+    pdf = ev.limit(50).toPandas()
+    pdf["user_id"] = pdf["user_id"].astype("Int64")  # nullable, stays int64
+    pdf.loc[pdf.index[:5], "user_id"] = pd.NA
+    replay = tmp_path / "replay"
+    replay.mkdir()
+    pdf.to_parquet(str(replay / "0000.parquet"), index=False,
+                   coerce_timestamps="us")
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(replay))
+    )
+    q = (
+        upsert_sink(sdf, str(tmp_path / "t"), keys=["user_id"],
+                    order_cols=["ts", "event_id"])
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="NULL bucket id"):
+        q.awaitTermination()
+
+
 def test_upsert_range_bucketing_equals_hash(spark, tmp_path):
     """bucket_expr swaps the hash bucketing for a caller scheme (range
     on a monotone key — the append-mostly layout); the committed table
