@@ -263,6 +263,113 @@ def _gram_sql(n: int) -> str:
 
 
 @query(
+    "t_substring_dedup",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+    g AS (
+      SELECT doc_id, source, u.i AS i, u.g AS gram
+      FROM (
+        SELECT doc_id, source,
+               unnest(list_transform(range(1, len(t) - {REPEAT_N - 2}),
+                      i -> {{'i': i, 'g': {" || ' ' || ".join(f"t[i+{k}]" for k in range(REPEAT_N))}}})) AS u
+        FROM norm WHERE len(t) >= {REPEAT_N}
+      )
+    ),
+    marked AS (
+      SELECT doc_id, source, i,
+             ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, i) AS rn
+      FROM g
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id, p FROM (
+        SELECT doc_id, unnest(range(i, i + {REPEAT_N})) AS p
+        FROM marked WHERE rn > 1
+      )
+    ),
+    cuts AS (SELECT doc_id, COUNT(*) AS cut FROM covered GROUP BY doc_id),
+    per AS (
+      SELECT n.doc_id, n.source, len(n.t) AS n_tok, COALESCE(cut, 0) AS cut
+      FROM norm n LEFT JOIN cuts USING (doc_id)
+      WHERE len(n.t) >= {REPEAT_N}
+    )
+    SELECT source,
+           COUNT(*) AS scored_docs,
+           CAST(SUM(CASE WHEN cut > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_touched,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(cut) AS BIGINT) AS removed_tokens,
+           CAST(SUM(n_tok) - SUM(cut) AS DOUBLE) / SUM(n_tok)
+             AS kept_token_frac
+    FROM per
+    GROUP BY source
+    """,
+    tags=("textops", "dedup", "substring"),
+)
+def t_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact-substring dedup accounting (keep-first spans).
+
+    The dedup pass MinHash cannot do (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"; the RefinedWeb/GPT-3
+    exact-substring stage): every repeated {REPEAT_N}-token span keeps
+    its FIRST corpus occurrence (ordered by (doc_id, position)) and
+    every later occurrence is excised. Overlapping repeated spans
+    union set-wise, exactly like ``t_decontaminate_spans``. Output per
+    source: the surgery bill — docs touched, tokens removed, surviving
+    token fraction. ``t_repeated_ngram_coverage`` is this operator's
+    read-only audit; this one pins WHICH positions a full substring
+    dedup would cut.
+
+    Scale shape vs a literal suffix array: the suffix-array
+    formulation needs a global sort of all corpus suffixes; the
+    fixed-width gram formulation is the standard distributed
+    approximation (spans ≥ {REPEAT_N} tokens are caught exactly —
+    every length-{REPEAT_N} window of a longer repeat is itself
+    repeated). Positional grams cross the shuffle once (the keeper
+    window on the gram key, map-side pre-collapsed by nothing — grams
+    carry positions, so this IS the position stream); the cut stream
+    then collapses per doc. One wide shuffle, integer-exact, no joins
+    of position-sized tables beyond the final per-doc left join of
+    doc-level rows.
+    """
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "source", tokenize("text").alias("t")).filter(
+        F.size("t") >= REPEAT_N
+    )
+    g = t.select(
+        "doc_id", "source",
+        F.posexplode(word_shingles(F.col("t"), REPEAT_N)).alias("i", "gram"),
+    )
+    w = Window.partitionBy("gram").orderBy("doc_id", "i")
+    cuts = (
+        g.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + (REPEAT_N - 1))
+            ).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("cut"))
+    )
+    per = (
+        t.select("doc_id", "source", F.size("t").alias("n_tok"))
+        .join(cuts, "doc_id", "left")
+        .withColumn("cut", F.coalesce("cut", F.lit(0)))
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("scored_docs"),
+        F.sum((F.col("cut") > 0).cast("int")).cast("long")
+        .alias("docs_touched"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.sum("cut").cast("long").alias("removed_tokens"),
+        ((F.sum("n_tok") - F.sum("cut")).cast("double") / F.sum("n_tok"))
+        .alias("kept_token_frac"),
+    )
+
+
+@query(
     "t_repeated_ngram_coverage",
     oracle=f"""
     WITH norm AS (SELECT source, {_TOKS} AS t FROM documents),

@@ -149,7 +149,8 @@ _SNAPSHOT_FIRST = (
     # NOT listed (the 50 names above exactly fill the driver's cap):
     # e_pq_adc_topk, e_filtered_topk, e_ivfpq_topk, t_bpe_train,
     # t_bpe_segment, t_shuffle_shards, e_semantic_decontaminate,
-    # t_decontaminate_fraction, t_decontaminate_spans —
+    # t_decontaminate_fraction, t_decontaminate_spans,
+    # t_substring_dedup —
     # added after the list was frozen for r6; all are oracle-verified
     # (or reference-trainer-pinned) in pytest this round, and the
     # whole 107-query catalog passed a local driver-gate mirror at

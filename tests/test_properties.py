@@ -675,6 +675,7 @@ _DOC_DIFF_QUERIES = (
     "t_train_val_split",     # hash split determinism on tiny corpora
     "t_decontaminate_fraction",  # integer threshold boundary
     "t_decontaminate_spans",     # overlapping-span position union
+    "t_substring_dedup",         # keep-first ordering on planted dups
 )
 
 
