@@ -47,6 +47,7 @@ HEADLINE = [
     "t_decontaminate_spans",
     "t_pack_sequences",
     "t_substring_dedup",
+    "t_context_chunks",
     "t_repetition_filter",
     "t_source_mixture",
     "e_cosine_topk",

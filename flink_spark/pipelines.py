@@ -337,6 +337,7 @@ OPERATOR_COVERAGE: dict[str, tuple[str, tuple[str, ...]]] = {
     "SEMDEDUP": ("cluster-assigned cosine dedup (per-cell kernel)", ("e_semantic_dedup",)),
     "SEM-DECON": ("embedding-space eval-set decontamination (fixed-size broadcast probe)", ("e_semantic_decontaminate", "tests/test_plans.py::test_semantic_decontaminate_broadcasts_eval_set")),
     "DECON-POLICY": ("overlap-fraction and span-excision decontamination policies (integer-exact thresholds, interval-union span accounting)", ("t_decontaminate_fraction", "t_decontaminate_spans")),
+    "CHUNKING": ("context-window chunking audit (stride/overlap windows, expansion-ratio accounting)", ("t_context_chunks",)),
     "DEDUP-SUBSTRING": ("corpus-wide exact-substring dedup (keep-first repeated spans, fixed-width gram formulation of the suffix-array pass)", ("t_substring_dedup", "t_repeated_ngram_coverage")),
     "PII": ("PII redaction audit (regex family, span accounting)", ("t_pii_redact",)),
     "MIX-REWEIGHT": ("quality-bucket mixture reweighting", ("t_quality_mixture_reweight",)),

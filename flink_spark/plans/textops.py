@@ -2498,6 +2498,84 @@ def t_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CHUNK_N = 10  # tokens per non-overlapping chunk (CCNet-style paragraphs)
 
+# context-window chunking (RAG / embedding-ingestion shape): windows of
+# CTX_LEN tokens starting every CTX_STRIDE (overlap = CTX_LEN − CTX_STRIDE)
+CTX_LEN = 32
+CTX_STRIDE = 24
+
+
+@query(
+    "t_context_chunks",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, source, len({_TOKS}) AS n FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, source, n, s,
+             LEAST({CTX_LEN}, n - s) AS w
+      FROM (
+        SELECT doc_id, source, n,
+               unnest(range(0, n, {CTX_STRIDE})) AS s
+        FROM norm WHERE n >= 1
+      )
+    )
+    SELECT source,
+           COUNT(DISTINCT doc_id) AS docs,
+           COUNT(*) AS chunks,
+           CAST(SUM(w) AS BIGINT) AS chunk_tokens,
+           CAST(SUM(w) AS DOUBLE)
+             / SUM(CASE WHEN s = 0 THEN n ELSE 0 END) AS expansion_ratio
+    FROM wins
+    GROUP BY source
+    """,
+    tags=("textops", "chunking"),
+)
+def t_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking audit (embedding/RAG ingestion shape).
+
+    Long documents are ingested as overlapping fixed windows —
+    ``CTX_LEN`` tokens starting every ``CTX_STRIDE`` (the HF tokenizer
+    ``return_overflowing_tokens`` convention: window k covers
+    ``[k·stride, k·stride + len)``, the tail window is short). Output
+    per source: docs, window count, total window tokens, and the
+    expansion ratio (window tokens / raw tokens — the storage and
+    embedding-compute multiplier the overlap costs, the number a
+    pipeline owner sizes an embedding job by).
+
+    Scale shape: no window TEXT is materialized — windows are pure
+    arithmetic rows (doc_id, start) exploded from a range, ≈
+    n/stride per doc, aggregated map-side. The chunk-text form used
+    for actual ingestion is ``F.slice(t, s + 1, CTX_LEN)`` over the
+    same frame; the audit deliberately ships only the integers.
+    """
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", F.size(tokenize("text")).alias("n")
+    ).filter(F.col("n") >= 1)
+    wins = t.select(
+        "doc_id", "source", "n",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.col("n") - 1, F.lit(CTX_STRIDE)
+            )
+        ).alias("s"),
+    ).select(
+        "doc_id", "source", "n", "s",
+        F.least(F.lit(CTX_LEN), F.col("n") - F.col("s")).alias("w"),
+    )
+    # raw token total per source without a second scan: every doc has
+    # exactly one s = 0 window, which carries its n
+    raw = F.sum(F.when(F.col("s") == 0, F.col("n")).otherwise(F.lit(0)))
+    return (
+        wins.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("docs"),
+            F.count(F.lit(1)).alias("chunks"),
+            F.sum("w").cast("long").alias("chunk_tokens"),
+            (F.sum("w").cast("double") / raw).alias("expansion_ratio"),
+        )
+    )
+
 
 @query(
     "t_chunk_dedup",

@@ -131,6 +131,7 @@ def test_no_cartesian_or_nested_loop_joins(spark):
         "e_semantic_dedup",
         "t_shuffle_shards",
         "t_bpe_segment",
+        "t_substring_dedup",
     ]:
         plan = _plan(_Q[name].fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, name

@@ -676,6 +676,7 @@ _DOC_DIFF_QUERIES = (
     "t_decontaminate_fraction",  # integer threshold boundary
     "t_decontaminate_spans",     # overlapping-span position union
     "t_substring_dedup",         # keep-first ordering on planted dups
+    "t_context_chunks",          # stride/tail-window arithmetic edges
 )
 
 
