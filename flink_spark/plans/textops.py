@@ -2639,10 +2639,14 @@ def t_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     c = t.select("doc_id", "source", F.explode(chunks).alias("chunk"))
-    freq = c.groupBy("chunk").agg(F.count(F.lit(1)).alias("ct"))
+    # corpus-wide multiplicity via a chunk-partitioned window: the
+    # chunk stream crosses the wire ONCE (the former freq-agg + join
+    # shuffled it twice and re-ran the tokenizer for the join side —
+    # the same double-scan t_repeated_ngram_coverage had)
+    ct = F.count(F.lit(1)).over(Window.partitionBy("chunk"))
     dup = (F.col("ct") > 1).cast("int")
     d = (
-        c.join(freq, "chunk")
+        c.withColumn("ct", ct)
         .groupBy("doc_id", "source")
         .agg(
             F.count(F.lit(1)).alias("chunks"),
