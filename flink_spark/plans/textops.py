@@ -2836,11 +2836,13 @@ def t_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     and every cross-row sum runs in exact decimal — bit-identical
     regardless of partitioning, in both engines.
 
-    Scale shape: token counts are one hash aggregation; the
-    token→count join is co-partitioned on the token key (the count
-    table is corpus-vocabulary-sized — too big to assume broadcast,
-    exactly how a real LM scorer shards its table); per-doc and
-    per-source reductions are ordinary partial aggregations.
+    Scale shape: corpus token frequency rides a token-partitioned
+    window over the exploded stream, so the position-sized rows ship
+    through ONE shuffle (an agg + join-back form ships them twice; the
+    vocabulary table would also be too big to assume broadcast —
+    exactly why a real LM scorer shards its table on the token key);
+    per-doc and per-source reductions are ordinary partial
+    aggregations.
     """
     docs = load(spark, sf_dir, "documents")
     from pyspark.sql.types import DecimalType
@@ -2848,13 +2850,18 @@ def t_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = docs.select(
         "doc_id", "source", F.explode(tokenize("text")).alias("w")
     ).filter(F.col("w") != "")
-    ex = track_persist(ex)  # counts + scoring read the same explode
+    ex = track_persist(ex)  # the total count + scoring share the explode
     total = ex.count()
-    cnt = ex.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # corpus frequency via a token-partitioned window — the token
+    # stream shuffles once, instead of the former agg + join-back that
+    # shipped it twice (same single-pass rewrite as t_chunk_dedup /
+    # t_repeated_ngram_coverage); lp stays exact decimal, so per-doc
+    # sums are order-independent either way
+    c = F.count(F.lit(1)).over(Window.partitionBy("w"))
     lp = F.round(
-        F.log(F.col("c").cast("double")) - F.log(F.lit(float(total))), 9
+        F.log(c.cast("double")) - F.log(F.lit(float(total))), 9
     ).cast(DecimalType(24, 9))
-    tok = ex.join(cnt, "w").select("doc_id", "source", lp.alias("lp"))
+    tok = ex.select("doc_id", "source", lp.alias("lp"))
     d = tok.groupBy("doc_id", "source").agg(
         (F.sum("lp").cast("double") / F.count(F.lit(1))).alias("avg_lp")
     )
