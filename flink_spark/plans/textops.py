@@ -3172,3 +3172,78 @@ def t_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("email_hits").cast("long").alias("email_hits"),
         F.countDistinct("shape").alias("distinct_shapes"),
     )
+
+
+_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+@query(
+    "t_table_profile",
+    oracle="\n    UNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS col,
+           COUNT(*) AS row_ct,
+           COUNT({c}) AS non_null,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           CAST(COUNT(*) - COUNT({c}) AS DOUBLE) / COUNT(*) AS null_frac,
+           CAST(MIN({c}) AS VARCHAR) AS min_val,
+           CAST(MAX({c}) AS VARCHAR) AS max_val
+    FROM documents"""
+        for c in _PROFILE_COLS
+    ),
+    tags=("textops", "stats", "profile"),
+)
+def t_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profiler: per-column null / distinct / range.
+
+    The ANALYZE-style audit every large-scale ingestion pipeline runs
+    before training on a new drop: one row per column with row count,
+    non-null count, exact distinct cardinality, null fraction, and
+    min/max rendered as strings. Catching schema drift (a column that
+    went all-NULL, a categorical that grew a new value, an id range
+    that jumped) is the cheapest guard against training on a broken
+    delivery.
+
+    Plan shape: ONE scan. All per-column aggregates go into a single
+    ``agg`` — Catalyst plans the five ``countDistinct`` via Expand
+    (5× row multiplication through one shuffle), then a ``stack``
+    unpivots the 1×25 result row into the long form. The Expand
+    multiplier is the price of EXACT distincts; the production knob at
+    100 TB is swapping ``countDistinct`` for
+    ``approx_count_distinct`` (single-pass HLL, no Expand), which this
+    catalog keeps oracle-exact instead. Min/max compare in the native
+    type (numeric for BIGINT columns) and cast to string only in the
+    output, so the ordering is semantic, not lexicographic.
+    """
+    docs = load(spark, sf_dir, "documents")
+    aggs = [F.count(F.lit(1)).alias("row_ct")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = docs.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stacked}) AS"
+            " (col, non_null, n_distinct, min_val, max_val)"
+        ),
+        "row_ct",
+    ).select(
+        "col",
+        F.col("row_ct").cast("long").alias("row_ct"),
+        F.col("non_null").cast("long").alias("non_null"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        (
+            (F.col("row_ct") - F.col("non_null")).cast("double")
+            / F.col("row_ct")
+        ).alias("null_frac"),
+        "min_val",
+        "max_val",
+    )
