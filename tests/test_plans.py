@@ -342,3 +342,12 @@ def test_approx_sketches_within_tolerance(spark):
         assert abs(a["uv_approx"] - e["uv"]) <= max(2, 0.05 * e["uv"]), e
         span = e["hi"] - e["lo"]
         assert abs(a["value_p50_approx"] - e["p50"]) <= 0.05 * span, e
+
+
+def test_table_profile_single_scan_expand(spark):
+    """The profiler's five exact count-distincts compile to one scan +
+    one Expand (Catalyst's multi-distinct rewrite), never five scans
+    or a union of per-column jobs."""
+    plan = _plan(_Q["t_table_profile"].fn(spark, SF_DIR), "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Expand" in plan and "Union" not in plan
