@@ -150,13 +150,13 @@ _SNAPSHOT_FIRST = (
     # e_pq_adc_topk, e_filtered_topk, e_ivfpq_topk, t_bpe_train,
     # t_bpe_segment, t_shuffle_shards, e_semantic_decontaminate,
     # t_decontaminate_fraction, t_decontaminate_spans,
-    # t_substring_dedup, t_context_chunks —
+    # t_substring_dedup, t_context_chunks, t_table_profile —
     # added after the list was frozen for r6; all are oracle-verified
     # (or reference-trainer-pinned) in pytest this round, and the
     # whole catalog passed local driver-gate mirrors at sf0.01 this
     # round (compare() over every oracle — 0 failures, latest sweep at
     # 109 queries; the ones added after it are sf0.01-compared
-    # individually). r7 bookkeeping: promote these eleven (and any
+    # individually). r7 bookkeeping: promote these twelve (and any
     # other never-checked query) to the head of this list.
 )
 
