@@ -324,25 +324,48 @@ def t_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-width gram formulation is the standard distributed
     approximation (spans ≥ {REPEAT_N} tokens are caught exactly —
     every length-{REPEAT_N} window of a longer repeat is itself
-    repeated). Positional grams cross the shuffle once (the keeper
-    window on the gram key, map-side pre-collapsed by nothing — grams
-    carry positions, so this IS the position stream); the cut stream
-    then collapses per doc. One wide shuffle, integer-exact, no joins
-    of position-sized tables beyond the final per-doc left join of
-    doc-level rows.
+    repeated). "All but the first occurrence" is computed as a
+    per-gram ``min(struct(doc_id, i))`` aggregate joined back on the
+    gram — NOT a per-gram window — because the two differ exactly
+    where 100 TB hurts: a Zipfian boilerplate gram with millions of
+    occurrences is one unsplittable task under a window, while the
+    min-struct aggregate collapses map-side (partial agg) and the
+    join back is an AQE-skew-splittable shuffle (the same shape
+    ``t_repeated_ngram_coverage`` uses for its frequency join). The
+    cut stream then collapses per doc. Integer-exact, identical
+    output to the keeper-window formulation (struct ordering IS
+    (doc_id, i) lexicographic order — pinned by
+    ``test_substring_dedup_keeper_formulations_agree``).
     """
     docs = load(spark, sf_dir, "documents")
     t = docs.select("doc_id", "source", tokenize("text").alias("t")).filter(
         F.size("t") >= REPEAT_N
     )
     g = t.select(
-        "doc_id", "source",
+        "doc_id",
         F.posexplode(word_shingles(F.col("t"), REPEAT_N)).alias("i", "gram"),
+    ).select(
+        "doc_id", "i",
+        # both wide stages key on the gram IDENTITY, never its text:
+        # a 16-byte md5 digest (the same canon t_exact_dedup uses,
+        # collision-free at any corpus size that fits on hardware)
+        # shuffles ~4x less than the ~10-token gram string
+        F.unhex(F.md5("gram")).alias("gk"),
     )
-    w = Window.partitionBy("gram").orderBy("doc_id", "i")
+    first = (
+        g.groupBy("gk")
+        .agg(
+            F.min(F.struct("doc_id", "i")).alias("_first"),
+            F.count(F.lit(1)).alias("_ct"),
+        )
+        # unique grams (the vast majority of a healthy corpus) never
+        # enter the join: a sole occurrence IS its own first. The build
+        # side shrinks to the repeated-gram table.
+        .filter(F.col("_ct") > 1)
+    )
     cuts = (
-        g.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") > 1)
+        g.join(first, "gk")
+        .filter(F.struct("doc_id", "i") != F.col("_first"))
         .select(
             "doc_id",
             F.explode(

@@ -787,3 +787,53 @@ def test_embedding_queries_match_oracle_on_random_vectors(rows):
             release_persisted()
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_substring_dedup_keeper_formulations_agree(tmp_path):
+    """Adversarial hot-gram corpus: one boilerplate span repeated in
+    most documents (the Zipfian shape that makes a per-gram keeper
+    WINDOW a single straggler task at scale). The min-struct
+    formulation must stay oracle-exact — the DuckDB oracle IS the
+    keeper-window formulation (ROW_NUMBER over gram), so the compare
+    pins the two formulations against each other — and the Spark plan
+    must contain no window node on the gram stream."""
+    import os
+
+    import duckdb
+
+    from flink_spark.registry import all_queries, release_persisted
+    from flink_spark.sources import TABLES
+    from flink_spark.testing import compare, duck_connect
+
+    con = duckdb.connect()
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(f"/root/testdata/sf0.001/{t}.parquet",
+                       tmp_path / f"{t}.parquet")
+    # 180 of 200 docs embed the SAME 12-token boilerplate run (every
+    # 10-gram inside it is hot); surrounding tokens are unique per doc.
+    con.execute(f"""
+        COPY (SELECT CAST(i AS BIGINT) AS doc_id,
+                     'u' || i || 'a u' || i || 'b ' ||
+                     CASE WHEN i % 10 < 9 THEN
+                       'terms of service apply to all pages of this '
+                       || 'site without exception thanks '
+                     ELSE 'fresh unique middle content token run '
+                       || 'number ' || i || ' here now ok yes '
+                     END || 'u' || i || 'c u' || i || 'd' AS text,
+                     'src' || (i % 3) AS source
+              FROM range(0, 200) t(i))
+        TO '{tmp_path}/documents.parquet' (FORMAT PARQUET)
+    """)
+    spark = _session()
+    duck = duck_connect(str(tmp_path))
+    q = all_queries()["t_substring_dedup"]
+    errs = compare(spark, duck, q, str(tmp_path))
+    assert not errs, f"hot-gram corpus: {errs[:3]}"
+    release_persisted()
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.fn(spark, str(tmp_path)).explain("formatted")
+    assert "Window" not in buf.getvalue()
