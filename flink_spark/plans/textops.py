@@ -352,6 +352,10 @@ def t_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # shuffles ~4x less than the ~10-token gram string
         F.unhex(F.md5("gram")).alias("gk"),
     )
+    # the first-occurrence agg and the join probe share the positional
+    # gram stream — persist the digest form once (~28 B/row) instead
+    # of re-running tokenize + shingle + md5 for the probe branch
+    g = track_persist(g)
     first = (
         g.groupBy("gk")
         .agg(
@@ -2643,9 +2647,10 @@ def t_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates, the integer-exact ``2·dups > chunks`` rule).
 
     Scale shape: explode is |tokens|/{CHUNK_N} rows (10× cheaper than
-    the sliding-gram table); frequency joins back co-partitioned on
-    the chunk key; per-gram fan-out equals its duplication count —
-    the quantity being measured — never all-pairs.
+    the sliding-gram table); corpus multiplicity is a map-side-combined
+    aggregate on the chunk digest with the repeated-only build side
+    joined back (AQE broadcast when small, skew-split when not) — a
+    hot boilerplate chunk is never one unsplittable window task.
     """
     docs = load(spark, sf_dir, "documents")
     t = docs.select("doc_id", "source", tokenize("text").alias("t")).filter(
@@ -2661,19 +2666,37 @@ def t_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.slice(F.col("t"), i * CHUNK_N + 1, F.lit(CHUNK_N))
         ),
     )
-    c = t.select("doc_id", "source", F.explode(chunks).alias("chunk"))
-    # corpus-wide multiplicity via a chunk-partitioned window: the
-    # chunk stream crosses the wire ONCE (the former freq-agg + join
-    # shuffled it twice and re-ran the tokenizer for the join side —
-    # the same double-scan t_repeated_ngram_coverage had)
-    ct = F.count(F.lit(1)).over(Window.partitionBy("chunk"))
-    dup = (F.col("ct") > 1).cast("int")
+    c = t.select(
+        "doc_id", "source", F.explode(chunks).alias("chunk")
+    ).select(
+        "doc_id", "source",
+        # wide stages key on the chunk IDENTITY (16-byte md5, the
+        # t_exact_dedup canon), never the ~CHUNK_N-token string
+        F.unhex(F.md5("chunk")).alias("ck"),
+    )
+    # the multiplicity agg and the join probe share the tokenized
+    # chunk stream — persist it once (digests + ids only, ~25 B/row)
+    # instead of re-running the tokenizer for the probe branch
+    c = track_persist(c)
+    # corpus-wide multiplicity via a map-side-combined chunk aggregate
+    # joined back, NOT a chunk-partitioned window: a boilerplate
+    # paragraph duplicated a million times is one unsplittable window
+    # task, but is collapsed per-partition by the aggregate's combiner,
+    # and the join back is AQE-native (broadcast while the repeated-
+    # chunk table is small — the healthy-corpus case — skew-split when
+    # it is not). Unique chunks never enter the join: the build side
+    # keeps only ct > 1.
+    rep = (
+        c.groupBy("ck")
+        .agg(F.count(F.lit(1)).alias("_ct"))
+        .filter(F.col("_ct") > 1)
+    )
     d = (
-        c.withColumn("ct", ct)
+        c.join(rep, "ck", "left")
         .groupBy("doc_id", "source")
         .agg(
             F.count(F.lit(1)).alias("chunks"),
-            F.sum(dup).alias("dups"),
+            F.sum(F.col("_ct").isNotNull().cast("int")).alias("dups"),
         )
     )
     return d.groupBy("source").agg(
@@ -2859,13 +2882,18 @@ def t_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     and every cross-row sum runs in exact decimal — bit-identical
     regardless of partitioning, in both engines.
 
-    Scale shape: corpus token frequency rides a token-partitioned
-    window over the exploded stream, so the position-sized rows ship
-    through ONE shuffle (an agg + join-back form ships them twice; the
-    vocabulary table would also be too big to assume broadcast —
-    exactly why a real LM scorer shards its table on the token key);
-    per-doc and per-source reductions are ordinary partial
-    aggregations.
+    Scale shape: corpus token frequency is a map-side-combined
+    vocabulary aggregate joined back onto the token stream — NOT a
+    token-partitioned window, which on natural language is a
+    GUARANTEED straggler, not an adversarial one: Zipf puts several
+    percent of the whole corpus under the single hottest token, and a
+    window must co-locate that token's every occurrence in one
+    unsplittable task. The aggregate collapses hot tokens per
+    partition before its shuffle (the vocabulary is orders of
+    magnitude smaller than the position stream), and the join back is
+    AQE-native: broadcast when the measured vocabulary is small,
+    skew-split otherwise. Per-doc and per-source reductions are
+    ordinary partial aggregations.
     """
     docs = load(spark, sf_dir, "documents")
     from pyspark.sql.types import DecimalType
@@ -2875,16 +2903,11 @@ def t_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("w") != "")
     ex = track_persist(ex)  # the total count + scoring share the explode
     total = ex.count()
-    # corpus frequency via a token-partitioned window — the token
-    # stream shuffles once, instead of the former agg + join-back that
-    # shipped it twice (same single-pass rewrite as t_chunk_dedup /
-    # t_repeated_ngram_coverage); lp stays exact decimal, so per-doc
-    # sums are order-independent either way
-    c = F.count(F.lit(1)).over(Window.partitionBy("w"))
+    vocab = ex.groupBy("w").agg(F.count(F.lit(1)).alias("_ct"))
     lp = F.round(
-        F.log(c.cast("double")) - F.log(F.lit(float(total))), 9
+        F.log(F.col("_ct").cast("double")) - F.log(F.lit(float(total))), 9
     ).cast(DecimalType(24, 9))
-    tok = ex.select("doc_id", "source", lp.alias("lp"))
+    tok = ex.join(vocab, "w").select("doc_id", "source", lp.alias("lp"))
     d = tok.groupBy("doc_id", "source").agg(
         (F.sum("lp").cast("double") / F.count(F.lit(1))).alias("avg_lp")
     )

@@ -827,13 +827,22 @@ def test_substring_dedup_keeper_formulations_agree(tmp_path):
     """)
     spark = _session()
     duck = duck_connect(str(tmp_path))
-    q = all_queries()["t_substring_dedup"]
-    errs = compare(spark, duck, q, str(tmp_path))
-    assert not errs, f"hot-gram corpus: {errs[:3]}"
-    release_persisted()
     import contextlib
     import io
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        q.fn(spark, str(tmp_path)).explain("formatted")
-    assert "Window" not in buf.getvalue()
+
+    # every operator whose corpus-multiplicity step was rewritten off
+    # a content-keyed window (substring keep-first, chunk multiplicity,
+    # token frequency) must stay oracle-exact on the hot corpus AND
+    # keep a window-free plan — the window formulation IS each one's
+    # DuckDB oracle, so the compare pins the two formulations
+    for name in ("t_substring_dedup", "t_chunk_dedup",
+                 "t_unigram_lm_score"):
+        q = all_queries()[name]
+        errs = compare(spark, duck, q, str(tmp_path))
+        assert not errs, f"{name} on hot-gram corpus: {errs[:3]}"
+        release_persisted()
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            q.fn(spark, str(tmp_path)).explain("formatted")
+        assert "Window" not in buf.getvalue(), name
+        release_persisted()
