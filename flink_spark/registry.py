@@ -86,78 +86,88 @@ def release_persisted() -> None:
 # remainder (all green in the latest snapshot) follow in registration
 # order and absorb the cap.
 _SNAPSHOT_FIRST = (
-    # green in r4 only (rotated out of the r5 snapshot) — every one of
-    # these needs a fresh r6 row so the r5+r6 union covers all 74
-    "t_train_val_split",
-    "t_source_mixture",
-    "t_bpe_token_stats",
-    "t_rolling_fingerprint",
-    "t_exact_dedup",
-    "t_quality_score",
-    "t_repetition_filter",
-    "t_lang_id",
-    "t_keyword_counts",
-    "t_cjk_keyword_counts",
-    "t_dup_clusters",
+    # never driver-checked in ANY round (added after the r6 list froze) —
+    # these twelve need their first CORRECTNESS row (VERDICT r6 item #1)
+    "t_substring_dedup",
+    "t_decontaminate_fraction",
+    "t_decontaminate_spans",
+    "t_context_chunks",
+    "t_table_profile",
+    "e_filtered_topk",
+    "e_semantic_decontaminate",
+    "e_pq_adc_topk",
+    "e_ivfpq_topk",
+    "t_shuffle_shards",
+    "t_bpe_train",
+    "t_bpe_segment",
+    # implementation rewritten this round (content-keyed keeper windows
+    # retired, VERDICT r6 item #2) — re-green on the new plans
+    "t_corpus_pipeline",
     "t_training_pipeline",
-    "sql_dwd_topic_db",
-    "e_ann_ivf_topk",
-    "s_daily_unique_users",
-    "s_new_vs_returning",
-    "s_returning_users_7d",
-    "w_tumble_10s_keyed",
-    "w_tumble_10s_global",
-    "w_event_time_fallback",
-    "w_keyword_tumble",
-    "w_agg_distinct_users",
-    # implementation changed this round (banded SRP-LSH / derived
-    # pack shards) — re-green on the new code even though r5 was green.
-    # (t_embedding_neardup / e_ann_lsh_topk also changed, but the
-    # 50-query snapshot cap is exactly exhausted by the never-checked
-    # names below plus the r4-only block above; their banded rewrite is
-    # oracle-verified in pytest (tests/test_oracle.py runs EVERY
-    # catalog query against its DuckDB oracle) and their r5 rows stand.)
-    "t_pack_sequences",
-    "e_dup_clusters",
-    # new this round — need their first row
-    "s_cep_funnel_skip",
-    "t_vocab_prune",
-    "t_length_percentiles",
-    "t_source_overlap",
-    "t_repeated_ngram_coverage",
-    "ads_rollup_matrix",
-    "w_sessionize",
-    "w_hop_windows",
-    "w_cumulate_windows",
-    "j_asof_nearest",
-    "j_range_band",
-    "t_chunk_dedup",
-    "t_distinctive_terms",
-    "j_semi_anti_customers",
-    "s_retention_cohorts",
     "t_cross_source_dedup",
-    "e_centroid_stats",
-    "w_topn_per_window",
-    "p_pivot_event_matrix",
-    "a_approx_sketch_daily",
-    "t_unigram_lm_score",
-    "t_winnow_fingerprints",
-    "s_abandoned_browse",
-    "t_quality_mixture_reweight",
-    "t_pii_redact",
-    "e_semantic_dedup",
-    # NOT listed (the 50 names above exactly fill the driver's cap):
-    # e_pq_adc_topk, e_filtered_topk, e_ivfpq_topk, t_bpe_train,
-    # t_bpe_segment, t_shuffle_shards, e_semantic_decontaminate,
-    # t_decontaminate_fraction, t_decontaminate_spans,
-    # t_substring_dedup, t_context_chunks, t_table_profile —
-    # added after the list was frozen for r6; all are oracle-verified
-    # (or reference-trainer-pinned) in pytest this round, and the
-    # whole catalog passed local driver-gate mirrors at sf0.01 this
-    # round (compare() over every oracle — 0 failures, latest sweep at
-    # 109 queries; the ones added after it are sf0.01-compared
-    # individually). r7 bookkeeping: promote these twelve (and any
-    # other never-checked query) to the head of this list.
+    "t_dup_clusters",
+    # code changed in r6 (banded SRP-LSH rewrite / LRU merge fix) but the
+    # standing green rows are r5 rows on the OLD code — refresh them
+    "t_embedding_neardup",
+    "e_ann_lsh_topk",
+    "j_lru_dim_join",
+    # green in r5 only (rotated out of the r6 snapshot); refresh so the
+    # r6+r7 union keeps full-catalog coverage. Ordered complex-first; the
+    # cap cuts inside this block.
+    "t_minhash_lsh_dups",
+    "t_simhash_dups",
+    "t_ngram_jaccard_dups",
+    "t_decontaminate",
+    "t_token_stats",
+    "m_binary_meta",
+    "m_decode_features",
+    "m_doc_embedding_join",
+    "m_frame_sample",
+    "m_resize_bytes",
+    "e_cosine_topk",
+    "e_norm_stats",
+    "s_cep_browse_buy",
+    "s_cep_jump",
+    "s_dedup_latest",
+    "sql_revenue_forecast",
+    "j_broadcast_dim_join",
+    "j_interval_join",
+    "j_left_outer_enrich",
+    "j_left_outer_interval",
+    "j_two_key_join",
+    "j_wide_order_5way",
+    "j_full_outer_metrics",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "a_salted_hot_key_agg",
+    "p_cdc_map_projection",
+    "p_conditional_delta",
+    "p_split_counts",
+    # --- the driver's 50-query cap lands here (12+4+3+31 above) ---
+    # Still r5-green-only past the cap, on unchanged code: p_json_extract,
+    # p_projection_filter, r_config_routing, f_scalar_datetime,
+    # u_union_metrics, and the nine ads_* aggregations
+    # (category_fullouter, channel_stats, conditional_score, funnel_union,
+    # gmv_topk_brand, hourly_stats, keyword_score, province_stats,
+    # subsidy_rate, topk_users) — simple relational plans whose r5 rows
+    # stand; rotate them forward in r8.
+    "p_json_extract",
+    "p_projection_filter",
+    "r_config_routing",
+    "f_scalar_datetime",
+    "u_union_metrics",
+    "ads_hourly_stats",
+    "ads_channel_stats",
+    "ads_province_stats",
+    "ads_topk_users",
+    "ads_gmv_topk_brand",
+    "ads_subsidy_rate",
+    "ads_keyword_score",
+    "ads_conditional_score",
+    "ads_funnel_union",
+    "ads_category_fullouter",
 )
 
 
