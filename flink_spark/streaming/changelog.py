@@ -29,17 +29,26 @@ this module closes the loop on the consumer side:
 
 Exactly-once is anchored on the PRODUCER epoch, not the consumer's
 micro-batch id: the state manifest records ``applied`` — the highest
-``_epoch`` folded in — and each batch filters ``_epoch > applied``
-before aggregating. Additive state is not idempotent by itself, so the
-watermark is load-bearing; unlike a consumer-batch-id guard it stays
-exact under EVERY re-delivery shape: a crash-retry of the same batch
-(all rows filtered → no-op), a fresh checkpoint over complete state
-(ditto), and a fresh checkpoint over PARTIAL state (only the genuinely
-unapplied epochs survive the filter — a batch-id guard would silently
-skip them). The filter is sound because epochs arrive whole: the
-producer writes each epoch as ONE file and ``changelog_stream`` reads
-with ``maxFilesPerTrigger=1``, so a batch never contains a fraction of
-an epoch.
+``_epoch`` folded in — plus ``missing`` — the holes below it — and
+each batch folds exactly the epochs above the watermark or in the hole
+set. Additive state is not idempotent by itself, so the guard is
+load-bearing; unlike a consumer-batch-id guard it stays exact under
+EVERY re-delivery shape AND every delivery order: a crash-retry of the
+same batch (all rows filtered → no-op), a fresh checkpoint over
+complete state (ditto), a fresh checkpoint over PARTIAL state (only
+the genuinely unapplied epochs survive the filter — a batch-id guard
+would silently skip them), and out-of-order delivery (a higher epoch
+arriving first records the jumped epochs as holes; they fold late
+instead of being lost). Epoch dirs are zero-padded on the producer
+side, so delivery order matches epoch order in practice and the hole
+set stays empty; holes are the insurance, not the steady state. A
+hole that can never be delivered stays in the set harmlessly: an
+epoch whose diff was empty (0-row file — no observable epoch id), or
+epochs below a truncation point for a consumer that skipped
+``init_agg_state``; re-bootstrapping resets the set. The guard is
+sound because epochs arrive whole: the producer writes each epoch as
+ONE file and ``changelog_stream`` reads with ``maxFilesPerTrigger=1``,
+so a batch never contains a fraction of an epoch.
 
 Retractions are load-bearing too: a key whose latest row moves between
 groups (a user whose newest event changes type) must decrement the old
@@ -102,27 +111,60 @@ def _read_state_meta(path: str) -> dict:
         return {}
 
 
-def _commit_state(path: str, version: str, applied: int) -> None:
-    """Atomic pointer swap, same protocol as ``sinks._commit_manifest``."""
-    tmp = os.path.join(path, f".{_STATE_MANIFEST}.{applied}.tmp")
+def _commit_state(
+    path: str, version: str, applied: int,
+    missing: list[int], commit: int,
+) -> None:
+    """Atomic pointer swap, same protocol as ``sinks._commit_manifest``.
+
+    ``missing`` records the HOLES below the ``applied`` watermark:
+    epochs that have not been folded yet even though a higher epoch
+    has. With zero-padded epoch dirs the file source delivers in epoch
+    order and the set stays empty; it exists so that out-of-order
+    delivery (mtime collisions, restored tables) degrades to *late*
+    folding instead of silent loss.
+    """
+    tmp = os.path.join(path, f".{_STATE_MANIFEST}.{commit}.tmp")
     with open(tmp, "w") as f:
-        json.dump({"applied": applied, "version": version}, f)
+        json.dump(
+            {
+                "applied": applied,
+                "missing": sorted(missing),
+                "version": version,
+                "commit": commit,
+            },
+            f,
+        )
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(path, _STATE_MANIFEST))
 
 
-def _write_state(state_path: str, merged: DataFrame, applied: int) -> None:
-    """Write state version ``v{applied}``, commit, GC superseded dirs."""
+def _write_state(
+    state_path: str, merged: DataFrame, applied: int,
+    missing: list[int] = (),
+) -> None:
+    """Write the next state version, commit, GC superseded dirs.
+
+    Versions are named by a monotonic commit counter (NOT by
+    ``applied`` — a late-arriving hole epoch changes state without
+    raising the watermark). GC keeps the previous committed version as
+    a one-version retention window, so a reader that resolved the
+    prior manifest can finish its scan while a new version commits;
+    only versions at least two commits old are removed.
+    """
     os.makedirs(state_path, exist_ok=True)
-    version = f"v{applied}"
+    meta = _read_state_meta(state_path)
+    keep = meta.get("version")
+    commit = meta.get("commit", 0) + 1
+    version = f"v{commit:09d}"
     dst = os.path.join(state_path, version)
     if os.path.isdir(dst):  # debris from a crashed identical attempt
         shutil.rmtree(dst)
     merged.write.parquet(dst)
-    _commit_state(state_path, version, applied)
+    _commit_state(state_path, version, applied, list(missing), commit)
     for name in os.listdir(state_path):
-        if name.startswith("v") and name != version:
+        if name.startswith("v") and name not in (version, keep):
             shutil.rmtree(os.path.join(state_path, name), ignore_errors=True)
 
 
@@ -221,54 +263,101 @@ def changelog_agg_stream(
     sdf = changelog_stream(spark, table)
 
     def apply(batch: DataFrame, _consumer_epoch: int) -> None:
-        meta = _read_state_meta(state_path)
-        applied = meta.get("applied", -1) if meta else -1
-        # producer-epoch watermark: whatever re-delivery shape brought
-        # this batch here, only genuinely unapplied epochs pass
-        fresh = batch.filter(F.col("_epoch") > applied).persist()
-        try:
-            hi = fresh.agg(F.max("_epoch")).collect()[0][0]
-            if hi is None:
-                return  # every row already folded in — no-op replay
-            work = derive(fresh) if derive is not None else fresh
-            sign = F.when(F.col("_op") == "-U", F.lit(-1)).otherwise(F.lit(1))
-            deltas = (
-                work.withColumn("_sign", sign)
-                .groupBy(*group_cols)
-                .agg(
-                    F.sum("_sign").cast("long").alias("_d_ct"),
-                    *[
-                        F.sum(F.col("_sign") * F.col(c)).cast("double")
-                        .alias(f"_d_{c}")
-                        for c in sum_cols
-                    ],
-                )
-            )
-            prev = read_agg_state(spark, state_path)
-            if prev is not None:
-                merged = prev.join(deltas, group_cols, "full_outer").select(
-                    *group_cols,
-                    *[
-                        (
-                            F.coalesce(f"{c}_sum", F.lit(0.0))
-                            + F.coalesce(f"_d_{c}", F.lit(0.0))
-                        ).alias(f"{c}_sum")
-                        for c in sum_cols
-                    ],
-                    (
-                        F.coalesce("row_ct", F.lit(0))
-                        + F.coalesce("_d_ct", F.lit(0))
-                    ).cast("long").alias("row_ct"),
-                )
-            else:
-                merged = deltas.select(
-                    *group_cols,
-                    *[F.col(f"_d_{c}").alias(f"{c}_sum") for c in sum_cols],
-                    F.col("_d_ct").alias("row_ct"),
-                )
-            merged = merged.filter(F.col("row_ct") > 0)
-            _write_state(state_path, merged, int(hi))
-        finally:
-            fresh.unpersist()
+        _fold_changelog_batch(batch, group_cols, sum_cols, state_path, derive)
 
     return sdf.writeStream.foreachBatch(apply).outputMode("append")
+
+
+def _fold_changelog_batch(
+    batch: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+    state_path: str,
+    derive=None,
+) -> None:
+    """Fold one batch of retraction pairs into the state table.
+
+    Module-level (not a closure) so tests can drive epochs in arbitrary
+    delivery orders; ``changelog_agg_stream`` is a thin wrapper.
+    """
+    spark = batch.sparkSession
+    meta = _read_state_meta(state_path)
+    applied = meta.get("applied", -1) if meta else -1
+    missing = meta.get("missing", []) if meta else []
+    # producer-epoch watermark + hole set: whatever re-delivery
+    # shape OR delivery order brought this batch here, exactly the
+    # genuinely unapplied epochs pass — epochs above the watermark,
+    # plus recorded holes below it (an epoch delivered late after a
+    # higher one raised the watermark)
+    unapplied = F.col("_epoch") > applied
+    if missing:
+        unapplied = unapplied | F.col("_epoch").isin(missing)
+    fresh = batch.filter(unapplied).persist()
+    try:
+        present = sorted(
+            r[0] for r in fresh.select("_epoch").distinct().collect()
+        )
+        if not present:
+            return  # every row already folded in — no-op replay
+        hi = max(applied, present[-1])
+        # epochs the watermark is about to jump over without
+        # folding become holes; a delivered hole epoch leaves the set
+        missing = sorted(
+            (set(missing) | set(range(applied + 1, hi)))
+            - set(present)
+        )
+        work = derive(fresh) if derive is not None else fresh
+        sign = F.when(F.col("_op") == "-U", F.lit(-1)).otherwise(F.lit(1))
+        deltas = (
+            work.withColumn("_sign", sign)
+            .groupBy(*group_cols)
+            .agg(
+                F.sum("_sign").cast("long").alias("_d_ct"),
+                *[
+                    F.sum(F.col("_sign") * F.col(c)).cast("double")
+                    .alias(f"_d_{c}")
+                    for c in sum_cols
+                ],
+            )
+        )
+        prev = read_agg_state(spark, state_path)
+        if prev is not None:
+            merged = prev.join(deltas, group_cols, "full_outer").select(
+                *group_cols,
+                *[
+                    (
+                        F.coalesce(f"{c}_sum", F.lit(0.0))
+                        + F.coalesce(f"_d_{c}", F.lit(0.0))
+                    ).alias(f"{c}_sum")
+                    for c in sum_cols
+                ],
+                (
+                    F.coalesce("row_ct", F.lit(0))
+                    + F.coalesce("_d_ct", F.lit(0))
+                ).cast("long").alias("row_ct"),
+            )
+        else:
+            merged = deltas.select(
+                *group_cols,
+                *[F.col(f"_d_{c}").alias(f"{c}_sum") for c in sum_cols],
+                F.col("_d_ct").alias("row_ct"),
+            )
+        # pruning must respect fold commutativity. In the steady state
+        # (no holes) ``row_ct == 0`` means every row left the group —
+        # drop it (any float residue in its sums is cancelled-pair
+        # noise). While holes are outstanding a group can be transiently
+        # negative (retract before its add) or sit at ct 0 with a
+        # NONZERO pending sum (an epoch's -U/+U value change folded
+        # before the group's original +I) — dropping either would lose
+        # the balance, so prune only exact-zero groups until the holes
+        # drain.
+        if not missing:
+            merged = merged.filter(F.col("row_ct") != 0)
+        else:
+            live = F.col("row_ct") != 0
+            for c in sum_cols:
+                live = live | (F.col(f"{c}_sum") != 0.0)
+            merged = merged.filter(live)
+        _write_state(state_path, merged, int(hi), missing)
+    finally:
+        fresh.unpersist()

@@ -110,12 +110,20 @@ def jdbc_exactly_once_sink(sdf: DataFrame, url: str, table: str):
                             "PRIMARY KEY)")
             except Exception:
                 pass  # exists
+            stage = f"{table}_STAGE_{int(epoch)}"
             rs = conn.createStatement().executeQuery(
                 f"SELECT 1 FROM {ledger} WHERE epoch = {int(epoch)}"
             )
             if rs.next():
-                return  # replayed epoch: already applied
-            stage = f"{table}_STAGE_{int(epoch)}"
+                # replayed epoch: already applied. A crash between the
+                # ledger commit and the DROP below leaves the staging
+                # table behind with no later retry reaching the DROP —
+                # sweep it here so crashed epochs leave no debris.
+                try:
+                    _exec(conn, f"DROP TABLE {stage}")
+                except Exception:
+                    pass  # never existed (the common case)
+                return
             batch.write.format("jdbc").option("url", url).option(
                 "dbtable", stage
             ).mode("overwrite").save()
@@ -153,6 +161,11 @@ def jdbc_exactly_once_sink(sdf: DataFrame, url: str, table: str):
 _BUCKET = "_ub"  # key-hash bucket column of the upsert table
 _MANIFEST = "_MANIFEST.json"
 _CHANGELOG = "_changelog"  # per-epoch retraction-pair dirs (opt-in)
+
+
+def _epoch_dir(epoch: int) -> str:
+    """Zero-padded changelog epoch dir name (lexical order ≡ numeric)."""
+    return f"e{int(epoch):012d}"
 
 
 def _read_manifest(path: str) -> dict[str, str]:
@@ -252,8 +265,18 @@ def _emit_changelog(
     that lands AFTER the manifest committed sees an empty diff — in
     that case an existing epoch dir is the durable record of the
     already-applied pairs and is KEPT, never clobbered with emptiness.
-    Either way an epoch's pairs appear exactly once."""
-    dst = os.path.join(path, _CHANGELOG, f"e{epoch}")
+    Either way an epoch's pairs appear exactly once.
+
+    Epoch dirs are ZERO-PADDED (``e000000000010``) so that the lexical
+    ordering any directory listing or mtime-tiebreak produces is the
+    numeric epoch ordering — unpadded names sort ``e10`` before ``e2``,
+    which could hand a file-stream consumer a higher epoch first when
+    mtimes collide (fast micro-batches) or are reset (rsync/backup
+    restore). The consumer's watermark no longer *requires* in-order
+    delivery (``changelog.py`` tracks holes), but ordered delivery keeps
+    its hole set empty."""
+    dst = os.path.join(path, _CHANGELOG, _epoch_dir(epoch))
+    legacy = os.path.join(path, _CHANGELOG, f"e{epoch}")  # pre-padding name
     val = [c for c in latest.columns if c not in keys and c != _BUCKET]
     n = latest.select(*keys, F.struct(*val).alias("_new"))
     if current is not None:
@@ -265,7 +288,9 @@ def _emit_changelog(
         )
     changed = j.filter(~F.col("_old").eqNullSafe(F.col("_new"))).persist()
     try:
-        if changed.limit(1).count() == 0 and os.path.isdir(dst):
+        if changed.limit(1).count() == 0 and (
+            os.path.isdir(dst) or os.path.isdir(legacy)
+        ):
             return  # post-commit replay: the epoch's pairs already stand
         adds = changed.select(
             *keys, F.col("_new").alias("_row"),

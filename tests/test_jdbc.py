@@ -119,6 +119,12 @@ def test_jdbc_exactly_once_sink_survives_replay(spark, tmp_path):
     ev = load(spark, SF_DIR, "events")
     assert back.count() == ev.count()
 
+    # simulate a crash that landed AFTER epoch 1's ledger commit but
+    # BEFORE its staging DROP: the stage table is left behind, and no
+    # later attempt of that epoch reaches the happy-path DROP
+    _exec_sql(spark, url,
+              "CREATE TABLE events_once_STAGE_1 (leak INT)")
+
     # replay everything from a fresh checkpoint: ledger skips all epochs
     run(str(tmp_path / "ckpt_b"))
     back = (
@@ -129,7 +135,14 @@ def test_jdbc_exactly_once_sink_survives_replay(spark, tmp_path):
     got = sorted(tuple(r) for r in back.collect())
     want = sorted(tuple(r) for r in ev.select(*out_cols).collect())
     assert got == want
-    # staging debris cleaned up; ledger holds the three applied epochs
+    # staging debris cleaned up — including the crash-leaked stage
+    # table, swept by the replay's ledger-hit path
+    with pytest.raises(Exception):
+        (
+            spark.read.format("jdbc").option("url", url)
+            .option("dbtable", "events_once_STAGE_1").load()
+        )
+    # ledger holds the three applied epochs
     ledger = (
         spark.read.format("jdbc").option("url", url)
         .option("dbtable", "events_once_EPOCHS").load()

@@ -1284,6 +1284,60 @@ def test_changelog_agg_fresh_checkpoint_over_partial_state(spark, tmp_path):
     )
 
 
+def test_changelog_out_of_order_epoch_delivery(spark, tmp_path):
+    """A higher epoch delivered FIRST (mtime collision / restored
+    table) must not cause the lower epochs to be silently discarded by
+    the watermark: the consumer records them as holes and folds them
+    when they arrive. Delivery order [2, 0, 3, 1] must converge to the
+    same state as in-order delivery, and a replay after convergence
+    must be a no-op."""
+    import json
+    import os
+
+    from flink_spark.streaming import read_agg_state, read_changelog
+    from flink_spark.streaming.changelog import (
+        _STATE_MANIFEST,
+        _fold_changelog_batch,
+    )
+
+    table, produce = _phased_producer(spark, tmp_path)
+    produce(0, 4)
+    state = str(tmp_path / "state")
+
+    # producer side: epoch dirs are zero-padded so any lexical listing
+    # (the file source's mtime tiebreak) is the numeric epoch order
+    names = sorted(os.listdir(os.path.join(table, "_changelog")))
+    assert names == [f"e{i:012d}" for i in range(4)]
+
+    log = read_changelog(spark, table)
+
+    def deliver(epoch):
+        _fold_changelog_batch(
+            log.filter(F.col("_epoch") == epoch),
+            ["event_type"], ["value"], state,
+        )
+
+    def meta():
+        with open(os.path.join(state, _STATE_MANIFEST)) as f:
+            return json.load(f)
+
+    deliver(2)
+    assert meta()["applied"] == 2 and meta()["missing"] == [0, 1]
+    deliver(0)
+    assert meta()["applied"] == 2 and meta()["missing"] == [1]
+    deliver(3)
+    assert meta()["applied"] == 3 and meta()["missing"] == [1]
+    deliver(1)
+    assert meta()["applied"] == 3 and meta()["missing"] == []
+    assert _agg_rows(spark, read_agg_state(spark, state)) == _agg_rows(
+        spark, _batch_truth(spark, table)
+    )
+    # replay after convergence: every epoch filtered, state untouched
+    before = meta()
+    deliver(2)
+    assert meta() == before
+
+
 def test_changelog_bootstrap_and_retention(spark, tmp_path):
     """A consumer joining mid-life bootstraps from the committed table
     (init_agg_state) instead of replaying history — which is what lets
@@ -1385,8 +1439,16 @@ def test_upsert_range_bucketing_equals_hash(spark, tmp_path):
     assert _rows(ranged) == _rows(hashed)
     with open(str(tmp_path / "ranged" / "_MANIFEST.json")) as f:
         bucket_ids = {int(b) for b in json.load(f)["buckets"]}
-    n_events = hashed.count()
-    assert bucket_ids == set(range((n_events - 1) // 2000 + 1))
+    # expected ids derive from the data, not from an assumed-dense id
+    # space — a regenerated fixture with sparse/offset event_ids must
+    # not fail this without a product regression
+    expected = {
+        r[0]
+        for r in hashed.select(
+            F.floor(F.col("event_id") / 2000).cast("long")
+        ).distinct().collect()
+    }
+    assert bucket_ids == expected
 
 
 def test_changelog_stream_requires_producer_first(spark, tmp_path):
