@@ -1809,8 +1809,14 @@ def t_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash-LSH pair graph via ``plans.graph.connected_components``
     (min-label propagation; algorithm + scale notes there). The
     keeper is the longest document per cluster (ties → smallest
-    doc_id) — the usual keep-best heuristic, one window over cluster
-    members.
+    doc_id) — the usual keep-best heuristic, computed as ONE
+    map-side-combined ``max(struct(len, -doc_id))`` aggregate over
+    cluster members (struct ordering IS the (len DESC, doc_id ASC)
+    rank), which carries the cluster size in the same pass. The
+    cluster-keyed window + separate size join this replaces put every
+    member of a cluster into one sorted task — and cluster size is
+    exactly the quantity that blows up on real crawls (a boilerplate
+    page duplicated 10^6x is one cluster).
 
     Oracle: DuckDB's recursive CTE (``CC_SQL_CTES``) walks
     reachability over the same edges; MIN(root) over walkers ≡ the
@@ -1825,18 +1831,18 @@ def t_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.length("text").alias("len")
     )
     memb = labels.join(docs, "doc_id")
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.col("len").desc(), F.col("doc_id").asc()
-    )
-    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_docs"))
     return (
-        memb.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .join(sizes, "cluster_id")
+        memb.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max(
+                F.struct(F.col("len"), (-F.col("doc_id")).alias("_nid"))
+            ).alias("_best"),
+        )
         .select(
             "cluster_id", "n_docs",
-            F.col("doc_id").alias("keep_doc"),
-            F.col("len").cast("long").alias("keep_len"),
+            (-F.col("_best._nid")).alias("keep_doc"),
+            F.col("_best.len").cast("long").alias("keep_len"),
         )
     )
 
@@ -2061,13 +2067,15 @@ def t_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     4. audit rollup  — per-source funnel counts + surviving tokens.
 
     Every stage is the scalable formulation: the quality gate is
-    row-local, exact dedup a window-min over the fingerprint hash,
-    near-dup the banded-LSH join (never all-pairs), and the funnel
-    output is one conditional aggregation over doc-level flags (no
-    re-scans per stage).
+    row-local, exact dedup a per-fingerprint ``min(doc_id)`` AGGREGATE
+    joined back on the fingerprint digest (map-side-combined + AQE
+    skew-splittable — the ``t_substring_dedup`` shape; the
+    fp-partitioned window it replaces made an empty-page fingerprint
+    with 10^6 copies one unsplittable sorted task), near-dup the
+    banded-LSH join (never all-pairs), and the funnel output is one
+    conditional aggregation over doc-level flags (no re-scans per
+    stage).
     """
-    from pyspark.sql import Window
-
     docs = load(spark, sf_dir, "documents")
     # tokenize ONCE: the array is projected first and every quality
     # stat reads the column, then the same array feeds the shingle
@@ -2086,27 +2094,42 @@ def t_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.when(stop_ratio.between(0.02, 0.5), 1).otherwise(0)
         + F.when(avg_len.between(3, 8), 1).otherwise(0)
     )
-    q = t0.select(
-        "doc_id", "source", "t",
-        n_tok.alias("n_tokens"),
-        F.when(score >= 2, 1).otherwise(0).alias("pass_q"),
-        fingerprint("text").alias("fp"),
+    q = track_persist(
+        t0.select(
+            "doc_id", "source", "t",
+            n_tok.alias("n_tokens"),
+            F.when(score >= 2, 1).otherwise(0).alias("pass_q"),
+            fingerprint("text").alias("fp"),
+        )
     )
-    w_fp = Window.partitionBy("fp")
-    e = q.withColumn(
-        "canon",
-        F.when(
-            (F.col("pass_q") == 1)
-            & (
-                F.col("doc_id")
-                == F.min(F.when(F.col("pass_q") == 1, F.col("doc_id"))).over(w_fp)
-            ),
-            1,
-        ).otherwise(0),
+    # exact-dedup keeper by aggregate + digest join, NOT an
+    # fp-partitioned window. The hot-fingerprint key (an empty page
+    # with 10^6 copies) only ever touches SLIM streams: the winner
+    # table is a map-side-combined agg, the canon flag attaches via a
+    # token-free fp join (AQE-splittable), and the token arrays reach
+    # the shingle stage through a join on UNIQUE doc_id — a key an
+    # adversarial corpus cannot skew. The fat stream never shuffles
+    # on fp at all (the window form it replaces shuffled it once and
+    # sorted the hot fingerprint in a single task).
+    winners = track_persist(
+        q.filter(F.col("pass_q") == 1)
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("_keep"))
     )
-    e = track_persist(e)
+    e = (
+        q.drop("t")
+        .join(winners, "fp", "left")
+        .withColumn(
+            "canon",
+            F.when(
+                (F.col("pass_q") == 1) & (F.col("doc_id") == F.col("_keep")),
+                1,
+            ).otherwise(0),
+        )
+        .drop("_keep")
+    )
     sh2 = (
-        e.filter(F.col("canon") == 1)
+        q.join(winners.select(F.col("_keep").alias("doc_id")), "doc_id")
         .select("doc_id", "t")
         .filter(F.size("t") >= SHINGLE_N)
         .select(
@@ -2319,9 +2342,12 @@ def t_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Every stage keeps its individual operator's scale shape (broadcast
     eval set and mixture config; banded LSH, never all-pairs; window
-    ranks per source partition) — composing them adds NO new shuffle
-    pattern: the doc-level flags from stages 1-5 are one persisted
-    table, aggregated once, and stages 6-8 run on the (much smaller)
+    ranks per source partition; exact-dedup keeper by aggregate +
+    digest join rather than an fp-partitioned window — the
+    ``t_substring_dedup`` shape, AQE-splittable on a hot fingerprint)
+    — composing them adds NO new shuffle pattern: the scored doc
+    stream and the canonical survivor token stream are each persisted
+    once, aggregated once, and stages 6-8 run on the (much smaller)
     survivor set.
     """
     from pyspark.sql import Window
@@ -2349,20 +2375,36 @@ def t_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(score >= 2, 1).otherwise(0).alias("pass_q"),
         fingerprint("text").alias("fp"),
     )
-    w_fp = Window.partitionBy("fp")
-    e = q.withColumn(
-        "canon",
-        F.when(
-            (F.col("pass_q") == 1)
-            & (
-                F.col("doc_id")
-                == F.min(F.when(F.col("pass_q") == 1, F.col("doc_id"))).over(w_fp)
-            ),
-            1,
-        ).otherwise(0),
+    q = track_persist(q)
+    # exact-dedup keeper by aggregate + digest join, NOT an
+    # fp-partitioned window. Skew discipline (same as
+    # t_corpus_pipeline): the hot fingerprint only touches slim
+    # streams — map-side-combined winner agg, token-free fp join for
+    # the canon flag — and the token arrays reach the survivor stream
+    # through a join on UNIQUE doc_id, a key no corpus can skew.
+    winners = track_persist(
+        q.filter(F.col("pass_q") == 1)
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("_keep"))
     )
-    e = track_persist(e)
-    canon_toks = e.filter(F.col("canon") == 1).select("doc_id", "t")
+    e = (
+        q.drop("t")
+        .join(winners, "fp", "left")
+        .withColumn(
+            "canon",
+            F.when(
+                (F.col("pass_q") == 1) & (F.col("doc_id") == F.col("_keep")),
+                1,
+            ).otherwise(0),
+        )
+        .drop("_keep")
+    )
+    # three downstream consumers (shingles, bigram gate, 5-gram gate)
+    # read the survivor token stream — persist it once
+    canon_toks = track_persist(
+        q.join(winners.select(F.col("_keep").alias("doc_id")), "doc_id")
+        .select("doc_id", "t")
+    )
     sh2 = canon_toks.filter(F.size("t") >= SHINGLE_N).select(
         "doc_id",
         F.array_distinct(word_shingles(F.col("t"), SHINGLE_N)).alias("sl"),
@@ -2812,21 +2854,40 @@ def t_cross_source_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs ceded to a higher-priority source holding the same content
     fingerprint. ``SUM(kept) + SUM(ceded) = COUNT(*)`` by construction.
 
-    Scale shape: one md5 per doc, one hash shuffle on the fingerprint,
-    and a per-fingerprint window whose partition size equals the
-    duplication count being measured. Contrast ``t_exact_dedup``
+    Scale shape: one md5 per doc, then TWO map-side-combined
+    aggregations — per-fingerprint ``min(struct(source, doc_id))``
+    picks each fingerprint's winner (struct ordering IS the
+    ``ORDER BY source, doc_id`` priority), and the winners regroup by
+    source. No fingerprint-partitioned window and no join back: an
+    empty-page fingerprint with 10^8 copies is a partial-agg cell per
+    task, never one unsplittable sorted partition (the per-fp window
+    this replaces put the entire duplication count being measured into
+    a single task). ``docs_kept`` is the winner count per source;
+    ``docs_ceded`` the remainder. Contrast ``t_exact_dedup``
     (canonical-per-fingerprint view): this is the per-SOURCE ledger a
     mixture rebalance consumes.
     """
     docs = load(spark, sf_dir, "documents")
     fp = docs.select("doc_id", "source", fingerprint("text").alias("fp"))
-    w = Window.partitionBy("fp").orderBy("source", "doc_id")
-    r = fp.withColumn("rn", F.row_number().over(w))
-    kept = (F.col("rn") == 1).cast("int")
-    return r.groupBy("source").agg(
-        F.count(F.lit(1)).alias("docs_total"),
-        F.sum(kept).cast("long").alias("docs_kept"),
-        F.sum(1 - kept).cast("long").alias("docs_ceded"),
+    totals = fp.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs_total")
+    )
+    kept = (
+        fp.groupBy("fp")
+        .agg(F.min(F.struct("source", "doc_id")).alias("_w"))
+        .groupBy(F.col("_w.source").alias("source"))
+        .agg(F.count(F.lit(1)).alias("docs_kept"))
+    )
+    return (
+        totals.join(kept, "source", "left")
+        .select(
+            "source",
+            "docs_total",
+            F.coalesce("docs_kept", F.lit(0)).cast("long")
+            .alias("docs_kept"),
+            (F.col("docs_total") - F.coalesce("docs_kept", F.lit(0)))
+            .cast("long").alias("docs_ceded"),
+        )
     )
 
 
@@ -3223,6 +3284,67 @@ def t_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
 
 
+def table_profile(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "documents",
+    columns: tuple[str, ...] = _PROFILE_COLS,
+    exact_distinct: bool | None = None,
+) -> DataFrame:
+    """Single-pass per-column profile; the distinct strategy is a KNOB.
+
+    ``exact_distinct=True`` → ``countDistinct``: Catalyst plans the N
+    per-column distincts via Expand (N× row multiplication through one
+    shuffle) — oracle-exact, and what the catalog query pins.
+    ``exact_distinct=False`` → ``approx_count_distinct`` (single-pass
+    HLL sketch, relative error ~2.3%): NO Expand, the whole profile is
+    one partial-aggregated scan — the production setting at 100 TB,
+    where the Expand multiplier is the dominant cost (measured at the
+    1000× decade in SCALING.md: the approx profile removes the Expand
+    cliff). ``None`` (default) resolves the env knob
+    ``FLINK_SPARK_PROFILE_EXACT`` (default exact, same resolution
+    discipline as the LSH knobs; the approx form is deliberately NOT
+    oracle-compared — HLL layouts differ across engines, like
+    ``a_approx_sketch_daily``).
+    """
+    if exact_distinct is None:
+        exact_distinct = (
+            os.environ.get("FLINK_SPARK_PROFILE_EXACT", "1") != "0"
+        )
+    nd = F.countDistinct if exact_distinct else F.approx_count_distinct
+    docs = load(spark, sf_dir, table)
+    aggs = [F.count(F.lit(1)).alias("row_ct")]
+    for c in columns:
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            nd(c).alias(f"{c}__nd"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = docs.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, {c}__min, {c}__max" for c in columns
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(columns)}, {stacked}) AS"
+            " (col, non_null, n_distinct, min_val, max_val)"
+        ),
+        "row_ct",
+    ).select(
+        "col",
+        F.col("row_ct").cast("long").alias("row_ct"),
+        F.col("non_null").cast("long").alias("non_null"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        (
+            (F.col("row_ct") - F.col("non_null")).cast("double")
+            / F.col("row_ct")
+        ).alias("null_frac"),
+        "min_val",
+        "max_val",
+    )
+
+
 @query(
     "t_table_profile",
     oracle="\n    UNION ALL\n".join(
@@ -3254,42 +3376,13 @@ def t_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``agg`` — Catalyst plans the five ``countDistinct`` via Expand
     (5× row multiplication through one shuffle), then a ``stack``
     unpivots the 1×25 result row into the long form. The Expand
-    multiplier is the price of EXACT distincts; the production knob at
-    100 TB is swapping ``countDistinct`` for
-    ``approx_count_distinct`` (single-pass HLL, no Expand), which this
-    catalog keeps oracle-exact instead. Min/max compare in the native
-    type (numeric for BIGINT columns) and cast to string only in the
-    output, so the ordering is semantic, not lexicographic.
+    multiplier is the price of EXACT distincts — the catalog pins the
+    exact form so the oracle compares stay exact; ``table_profile``
+    exposes the strategy as a parameter/env knob
+    (``FLINK_SPARK_PROFILE_EXACT=0`` → single-pass HLL, no Expand —
+    the production setting at 100 TB, measured in SCALING.md). Min/max
+    compare in the native type (numeric for BIGINT columns) and cast
+    to string only in the output, so the ordering is semantic, not
+    lexicographic.
     """
-    docs = load(spark, sf_dir, "documents")
-    aggs = [F.count(F.lit(1)).alias("row_ct")]
-    for c in _PROFILE_COLS:
-        aggs += [
-            F.count(c).alias(f"{c}__nn"),
-            F.countDistinct(c).alias(f"{c}__nd"),
-            F.min(c).cast("string").alias(f"{c}__min"),
-            F.max(c).cast("string").alias(f"{c}__max"),
-        ]
-    one = docs.agg(*aggs)
-    stacked = ", ".join(
-        f"'{c}', {c}__nn, {c}__nd, {c}__min, {c}__max"
-        for c in _PROFILE_COLS
-    )
-    return one.select(
-        F.expr(
-            f"stack({len(_PROFILE_COLS)}, {stacked}) AS"
-            " (col, non_null, n_distinct, min_val, max_val)"
-        ),
-        "row_ct",
-    ).select(
-        "col",
-        F.col("row_ct").cast("long").alias("row_ct"),
-        F.col("non_null").cast("long").alias("non_null"),
-        F.col("n_distinct").cast("long").alias("n_distinct"),
-        (
-            (F.col("row_ct") - F.col("non_null")).cast("double")
-            / F.col("row_ct")
-        ).alias("null_frac"),
-        "min_val",
-        "max_val",
-    )
+    return table_profile(spark, sf_dir, exact_distinct=True)

@@ -24,6 +24,7 @@ operator converges to the matching batch query in
 """
 
 from flink_spark.streaming.jobs import (  # noqa: F401
+    cumulate_stream,
     distinct_users_tumble_stream,
     interval_join_stream,
     keyword_tumble_stream,

@@ -84,6 +84,75 @@ def sessionize_stream(
     )
 
 
+def cumulate_stream(
+    sdf: DataFrame,
+    ts_col: str = "ts",
+    step_sec: int = 15,
+    cycle_sec: int = 60,
+    watermark: str = "2 seconds",
+) -> DataFrame:
+    """CUMULATE windows, streaming form (Flink ``CUMULATE`` TVF parity).
+
+    Streaming form of ``w_cumulate_windows`` — identical final table
+    (stream≡batch asserted in tests). Same explode-to-slices trick as
+    the batch plan: an event joins every expanding window
+    [cycle_start, cycle_start + k·step) whose end exceeds it, a pure
+    codegen expression with fan-out ≤ cycle/step.
+
+    Exact-distinct ``uv`` cannot be a streaming COUNT(DISTINCT);
+    instead the plan CHAINS two stateful aggregations (Spark 3.4+
+    multiple-stateful-operator support, append mode): first a
+    per-(window, user) count keyed on the watermarked slice-end
+    timestamp, then a re-window over ``window_time`` that sums the
+    per-user counts into ``pv`` and counts rows into ``uv`` — the
+    reference's keyed-state ``Set<String>`` semantics
+    (rt/app/dws/DwsTradeSkuOrderWindow.java:114-172) as two bounded
+    window states. Both states evict at the watermark; fan-out and
+    state are each bounded by cycle/step × live windows.
+    """
+    steps = cycle_sec // step_sec
+    ms = F.unix_millis(F.col(ts_col))
+    stepped = (
+        sdf.select(F.col(ts_col), "user_id")
+        .withColumn("ms", ms)
+        .withColumn(
+            "start_ms", F.col("ms") - F.col("ms") % F.lit(cycle_sec * 1000)
+        )
+        .withColumn(
+            "k",
+            F.explode(F.array(*[F.lit(k) for k in range(1, steps + 1)])),
+        )
+        .withColumn(
+            "end_ms", F.col("start_ms") + F.col("k") * (step_sec * 1000)
+        )
+        .filter(F.col("ms") < F.col("end_ms"))
+        .select(
+            F.timestamp_millis("end_ms").alias("wend"),
+            "start_ms",
+            "user_id",
+        )
+    )
+    per_user = (
+        stepped.withWatermark("wend", watermark)
+        .groupBy(F.window("wend", f"{step_sec} seconds"), "start_ms", "user_id")
+        .agg(F.count(F.lit(1)).alias("u_pv"))
+    )
+    out = per_user.groupBy(
+        F.window(F.window_time("window"), f"{step_sec} seconds"),
+        "start_ms",
+    ).agg(
+        F.sum("u_pv").cast("long").alias("pv"),
+        F.count(F.lit(1)).alias("uv"),
+    )
+    return out.select(
+        F.date_format(F.timestamp_millis("start_ms"), "yyyy-MM-dd HH:mm:ss")
+        .alias("stt"),
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("edt"),
+        "pv",
+        "uv",
+    )
+
+
 def keyword_tumble_stream(
     sdf: DataFrame,
     docs: DataFrame,

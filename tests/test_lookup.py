@@ -96,6 +96,58 @@ def test_lru_dim_join_batch_wider_than_cache(spark):
     assert all(r.tag == f"t{r.k}" for r in got)
 
 
+def test_lru_dim_join_eviction_churn_across_batches(spark, tmp_path):
+    """Eviction stress across MANY Arrow batches: every batch's
+    distinct-key set exceeds cache_rows and keys recur in later
+    batches after being evicted. Eviction may only cost re-fetches —
+    never a dropped or mis-tagged row, and the fetch log must show
+    the cache actually evicting (more fetches than distinct keys).
+    The getter runs in the Python WORKER, so the log is a file."""
+    log = str(tmp_path / "fetch.log")
+
+    def getter(keys):
+        ks = list(keys)
+        with open(log, "a") as f:
+            f.writelines(f"{k}\n" for k in ks)
+        return pd.DataFrame({"k": ks, "tag": [f"t{k}" for k in ks]})
+
+    n, batches = 40, 6
+    facts = spark.createDataFrame(
+        [(b * n + i, (i * 7 + b) % n) for b in range(batches)
+         for i in range(n)],
+        "fact_id long, k long",
+    ).coalesce(1)
+    out = lru_dim_join(
+        facts, getter, fact_key="k", dim_key="k",
+        dim_fields=[("tag", T.StringType())],
+        cache_rows=5,
+    )
+    with _arrow_batch_rows(spark, 40):
+        got = out.collect()
+    assert len(got) == n * batches
+    assert all(r.tag == f"t{r.k}" for r in got)
+    # the cache (5 slots) cannot hold 40 keys: later batches re-fetch
+    with open(log) as f:
+        fetched = f.read().splitlines()
+    assert len(fetched) > n, len(fetched)
+
+
+class _arrow_batch_rows:
+    """Temporarily set the Arrow batch size so one job yields many
+    batches through mapInPandas."""
+
+    def __init__(self, spark, rows: int):
+        self.spark, self.rows = spark, rows
+        self.key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+
+    def __enter__(self):
+        self.old = self.spark.conf.get(self.key)
+        self.spark.conf.set(self.key, str(self.rows))
+
+    def __exit__(self, *a):
+        self.spark.conf.set(self.key, self.old)
+
+
 def test_lru_dim_join_import_has_no_pickle_side_effect():
     """Importing the module must not globally register by-value pickling
     (that happens inside lru_dim_join, scoped to the closures it ships)."""

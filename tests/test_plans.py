@@ -57,6 +57,47 @@ def test_decontaminate_broadcasts_eval_set(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_no_content_keyed_windows(spark):
+    """README invariant: NO window partitioned on a corpus-content key
+    (gram/chunk/token/fingerprint/cluster). A hot content key — empty
+    page, boilerplate chunk, Zipf-head token — puts its entire corpus
+    multiplicity into one sorted task AQE cannot split; every such
+    step must be a map-side-combined aggregate (+ digest join where a
+    per-row flag is needed). Checked two ways: no ``Window.partitionBy``
+    on an UNBOUNDED content key anywhere in ``plans/`` source, and no
+    ``windowspecdefinition`` over fp/cluster/digest columns in the
+    physical plans of the operators that historically had them. (The
+    one remaining gram-keyed window, t_repeated_ngram_coverage:450,
+    runs over rows PRE-AGGREGATED to (gram, source) — partition size
+    ≤ |sources| by construction, which is the documented exception.)"""
+    import pathlib
+    import re
+
+    plans_dir = pathlib.Path(__file__).parent.parent / "flink_spark" / "plans"
+    banned = re.compile(
+        r'Window\.partitionBy\(\s*"(fp|cluster_id|gk|ck|chunk|token)"\s*\)'
+    )
+    offenders = [
+        f"{p.name}: {m.group(0)}"
+        for p in plans_dir.glob("*.py")
+        for m in banned.finditer(p.read_text())
+    ]
+    assert not offenders, offenders
+
+    for name in ["t_dup_clusters", "t_cross_source_dedup",
+                 "t_corpus_pipeline", "t_training_pipeline",
+                 "t_substring_dedup", "t_chunk_dedup",
+                 "t_unigram_lm_score"]:
+        plan = _plan(_Q[name].fn(spark, SF_DIR))
+        for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+            head = spec.split(",")[0]
+            assert not re.match(r"(fp|cluster_id|gk|ck|chunk)#", head), (
+                name, spec
+            )
+        from flink_spark.registry import release_persisted
+        release_persisted()
+
+
 def test_repeated_ngram_coverage_is_join_free(spark):
     """The repeated-span audit aggregates (gram, source) map-side and
     attaches gram totals with a window — the position stream crosses
@@ -351,3 +392,28 @@ def test_table_profile_single_scan_expand(spark):
     plan = _plan(_Q["t_table_profile"].fn(spark, SF_DIR), "simple")
     assert plan.count("Scan parquet") == 1, plan
     assert "Expand" in plan and "Union" not in plan
+
+
+def test_table_profile_approx_knob_drops_expand(spark):
+    """``table_profile(exact_distinct=False)`` (the production setting
+    at 100 TB, env knob FLINK_SPARK_PROFILE_EXACT=0) must profile in
+    ONE partial-aggregated scan: HLL sketches replace the Expand's
+    5× row multiplication. Counts other than n_distinct stay exact,
+    and the HLL distincts land within the sketch's documented ~2.3%
+    relative error."""
+    from flink_spark.plans.textops import table_profile
+
+    approx = table_profile(spark, SF_DIR, exact_distinct=False)
+    plan = _plan(approx, "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Expand" not in plan, plan
+
+    exact = {r["col"]: r.asDict() for r in
+             table_profile(spark, SF_DIR, exact_distinct=True).collect()}
+    for r in approx.collect():
+        e = exact[r["col"]]
+        assert (r["row_ct"], r["non_null"], r["min_val"], r["max_val"]) \
+            == (e["row_ct"], e["non_null"], e["min_val"], e["max_val"])
+        assert abs(r["n_distinct"] - e["n_distinct"]) \
+            <= max(3, 0.05 * e["n_distinct"]), (r["col"], r["n_distinct"],
+                                                e["n_distinct"])

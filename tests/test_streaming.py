@@ -57,6 +57,25 @@ def test_hop_stream_equals_batch(spark, tmp_path):
     assert _rows(out) == _rows(batch)
 
 
+def test_cumulate_stream_equals_batch(spark, tmp_path):
+    """CUMULATE stream (chained per-user → per-window stateful aggs,
+    append mode) converges to w_cumulate_windows' batch table. A
+    far-future flush sentinel advances the watermark past the last
+    real cycle so append mode finalizes it; the sentinel's own
+    (disjoint, later) windows are dropped by the stt bound."""
+    from flink_spark.streaming import cumulate_stream
+
+    sdf = replay_events(spark, SF_DIR, str(tmp_path / "replay"), slices=5,
+                        sentinel_users=(1,), sentinel_delay_s=300)
+    out = run_to_memory(
+        cumulate_stream(sdf), "cumulate_mem", output_mode="append"
+    )
+    batch = _Q["w_cumulate_windows"].fn(spark, SF_DIR)
+    max_stt = batch.agg(F.max("stt")).collect()[0][0]
+    got = out.filter(F.col("stt") <= max_stt)
+    assert _rows(got) == _rows(batch)
+
+
 def test_asof_stream_handles_out_of_order_purchase(spark, tmp_path):
     """A purchase arriving late (inside the watermark) after a NEWER
     view must still match the latest view at-or-before its own time —
