@@ -91,6 +91,10 @@ HEADLINE = [
     # noise here; segment shares its cached training run)
     "t_shuffle_shards",
     "t_bpe_segment",
+    # round 7
+    "t_bm25_topk",
+    "t_zipf_profile",
+    "t_containment_dups",
 ]
 
 

@@ -3386,3 +3386,298 @@ def t_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexicographic.
     """
     return table_profile(spark, sf_dir, exact_distinct=True)
+
+
+# --------------------------------------------------------------------------
+# BM25 retrieval scoring — the IR primitive behind retrieval-based
+# curation (dedup-against-index, quality-by-query, RAG pre-filtering)
+# --------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("spark", "join", "window")  # fixture-vocabulary query
+BM25_TOPK = 20
+
+
+def _bm25_per_sql() -> str:
+    tf = ",\n             ".join(
+        f"len(list_filter(t, x -> x = '{w}')) AS tf{i}"
+        for i, w in enumerate(BM25_QUERY)
+    )
+    return f"""
+    norm AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+    per AS (
+      SELECT doc_id, source,
+             len(list_filter(t, x -> x <> '')) AS dl,
+             {tf}
+      FROM norm
+    ),
+    st AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+             {", ".join(
+                 f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+                 for i in range(len(BM25_QUERY))
+             )}
+      FROM per
+    )"""
+
+
+def _bm25_contrib_sql(i: int) -> str:
+    k1, b = BM25_K1, BM25_B
+    return (
+        f"CAST(CASE WHEN tf{i} = 0 THEN 0 ELSE "
+        f"round(round(ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1), 9)"
+        f" * (tf{i} * {k1 + 1!r})"
+        f" / (tf{i} + {k1!r} * ({1 - b!r} + {b!r} * dl / avgdl)), 9)"
+        f" END AS DECIMAL(24,9))"
+    )
+
+
+@query(
+    "t_bm25_topk",
+    oracle=f"""
+    WITH {_bm25_per_sql()},
+    sc AS (
+      SELECT doc_id, source,
+             CAST({" + ".join(_bm25_contrib_sql(i)
+                              for i in range(len(BM25_QUERY)))}
+                  AS DOUBLE) AS score
+      FROM per, st
+    )
+    SELECT doc_id, source, score FROM sc
+    ORDER BY score DESC, doc_id LIMIT {BM25_TOPK}
+    """,
+    tags=("textops", "retrieval", "bm25"),
+)
+def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-{BM25_TOPK} over the corpus for a fixed term query.
+
+    The retrieval primitive a curation pipeline runs constantly:
+    score every document against a query (here {BM25_QUERY}, drawn
+    from the fixture vocabulary) with the Robertson/Spärck Jones
+    BM25 weighting — ``idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))``,
+    idf = ln((N−df+0.5)/(df+0.5)+1) — and keep the global top-k by
+    (score DESC, doc_id). Swapping the literal terms for a parameter
+    is the full search surface; this catalog entry pins the math.
+
+    Scale shape: NO token explode and NO join — per-document term
+    frequencies and length come from array expressions in the scan
+    projection (``size(filter(t, = w))``, whole-stage codegen), the
+    corpus statistics (N, Σdl, per-term df) are ONE scalar aggregate
+    broadcast back as a single row, and the top-k is
+    TakeOrderedAndProject, never a global sort. A Zipf-hot query term
+    costs nothing special — tf counting is row-local. Float
+    discipline (the ``t_unigram_lm_score`` recipe): ln rounded to 9
+    decimals, each term's contribution rounded to 9 and summed in
+    exact DECIMAL, so both engines produce bit-identical scores and
+    the SAME top-k set.
+    """
+    docs = load(spark, sf_dir, "documents")
+    from pyspark.sql.types import DecimalType
+
+    toks = docs.select("doc_id", "source", tokenize("text").alias("t"))
+
+    def tf(w):
+        # closure factory, NOT a default-arg lambda: a two-parameter
+        # lambda would select pyspark's (element, index) filter variant
+        return F.size(F.filter("t", lambda x: x == w))
+
+    per = toks.select(
+        "doc_id",
+        "source",
+        F.size(F.filter("t", lambda x: x != "")).alias("dl"),
+        *[tf(w).alias(f"tf{i}") for i, w in enumerate(BM25_QUERY)],
+    )
+    per = track_persist(per)  # slim ints; feeds stats AND scoring
+    stats = per.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("int")).alias(f"df{i}")
+            for i in range(len(BM25_QUERY))
+        ],
+    )
+    scored = per.crossJoin(F.broadcast(stats))
+    k1, b = BM25_K1, BM25_B
+
+    def contrib(i: int):
+        idf = F.round(
+            F.log(
+                (F.col("n") - F.col(f"df{i}") + 0.5)
+                / (F.col(f"df{i}") + 0.5)
+                + 1
+            ),
+            9,
+        )
+        ratio = (F.col(f"tf{i}") * F.lit(k1 + 1)) / (
+            F.col(f"tf{i}")
+            + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+        return (
+            F.when(F.col(f"tf{i}") == 0, F.lit(0))
+            .otherwise(F.round(idf * ratio, 9))
+            .cast(DecimalType(24, 9))
+        )
+
+    score = sum(
+        (contrib(i) for i in range(len(BM25_QUERY))),
+        F.lit(0).cast(DecimalType(24, 9)),
+    ).cast("double")
+    return (
+        scored.select("doc_id", "source", score.alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+# Zipf head profile — the skew-planning audit (which tokens dominate
+# the corpus, how concentrated the mass is)
+# --------------------------------------------------------------------------
+
+ZIPF_TOP = 30
+
+
+@query(
+    "t_zipf_profile",
+    oracle=f"""
+    WITH norm AS (SELECT {_TOKS} AS t FROM documents),
+    ex AS (SELECT unnest(t) AS w FROM norm),
+    ex2 AS (SELECT w FROM ex WHERE w <> ''),
+    tot(total) AS (SELECT COUNT(*) FROM ex2),
+    cnt AS (SELECT w, COUNT(*) AS ct FROM ex2 GROUP BY w),
+    top AS (
+      SELECT w, ct, ROW_NUMBER() OVER (ORDER BY ct DESC, w) AS rank
+      FROM cnt ORDER BY ct DESC, w LIMIT {ZIPF_TOP}
+    )
+    SELECT rank, w AS token, CAST(ct AS BIGINT) AS ct,
+           CAST(ct AS DOUBLE) / total AS share,
+           CAST(SUM(ct) OVER (ORDER BY rank) AS DOUBLE) / total
+               AS cum_share
+    FROM top, tot
+    """,
+    tags=("textops", "stats", "zipf"),
+)
+def t_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf head: top-{ZIPF_TOP} tokens with rank, share, cumulative mass.
+
+    The skew-planning audit behind this engine's own design rules:
+    how much of the corpus sits under the hottest tokens decides
+    whether a token-keyed operation straggles (README's
+    no-content-keyed-window invariant exists because this curve is
+    steep on natural language). Also the ANALYZE input for stop-lists
+    and df-caps.
+
+    Scale shape: one map-side-combined (token → count) aggregate over
+    the exploded stream (the hot token collapses per partition — this
+    audit MUST not itself straggle on the skew it measures), top-k by
+    TakeOrderedAndProject, then rank/cumulative windows over the
+    {ZIPF_TOP}-row result — bounded by construction. The token total
+    rides the same small result via a one-row broadcast.
+    """
+    docs = load(spark, sf_dir, "documents")
+    ex = docs.select(F.explode(tokenize("text")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    ex = track_persist(ex)  # total + counts share the explode
+    total = ex.count()
+    top = (
+        ex.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .orderBy(F.desc("ct"), "w")
+        .limit(ZIPF_TOP)
+    )
+    w_rank = Window.orderBy(F.desc("ct"), "w")
+    w_cum = Window.orderBy("rank").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.withColumn("rank", F.row_number().over(w_rank))
+        .select(
+            "rank",
+            F.col("w").alias("token"),
+            F.col("ct").cast("long").alias("ct"),
+            (F.col("ct").cast("double") / F.lit(total)).alias("share"),
+            (F.sum("ct").over(w_cum).cast("double") / F.lit(total)).alias(
+                "cum_share"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Containment (subset) near-dup — catches quote/repost/wrapper dups
+# that symmetric Jaccard misses when sizes differ
+# --------------------------------------------------------------------------
+
+CONTAIN_THRESHOLD = 0.8
+
+
+@query(
+    "t_containment_dups",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    keep AS (
+      SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= {DF_CAP}
+    ),
+    ex2 AS (SELECT doc_id, s FROM ex JOIN keep USING (s)),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ex2 GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+      FROM ex2 a JOIN ex2 b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2,
+           CAST(shared AS BIGINT) AS shared,
+           CAST(shared AS DOUBLE) / least(s1.sz, s2.sz) AS containment
+    FROM pairs
+    JOIN sizes s1 ON d1 = s1.doc_id
+    JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE CAST(shared AS DOUBLE) / least(s1.sz, s2.sz)
+          >= {CONTAIN_THRESHOLD}
+    """,
+    tags=("textops", "dedup", "neardup", "containment"),
+)
+def t_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup pairs by shingle CONTAINMENT >= {CONTAIN_THRESHOLD}.
+
+    Jaccard under-scores a short document embedded verbatim inside a
+    long one (|A∩B|/|A∪B| shrinks with the size gap) — the
+    quote/repost/boilerplate-wrapper duplication shape. Containment
+    ``|A∩B| / min(|A|,|B|)`` scores the embedded copy at ~1
+    regardless of the wrapper size, which is why dedup stacks (e.g.
+    the suffix-style passes of Lee et al. 2022) pair a symmetric
+    near-dup stage with a containment/substring stage.
+
+    Scale shape: identical to ``t_ngram_jaccard_dups`` — inverted-index
+    self-join on df-capped shingles (the stop-shingle cap bounds
+    fan-out; ``pair_self_join`` grid-splits anything hot that
+    survives), pair multiplicities by map-side-combined count, sizes
+    attached by slim joins. Only the verification formula differs:
+    least() instead of the union size.
+    """
+    _, ex = _shingled(spark, sf_dir, persist=True)
+    keep = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= DF_CAP
+    ).select("s")
+    ex2 = track_persist(ex.join(keep, "s").select("doc_id", "s"))
+    sizes = ex2.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    pairs = (
+        pair_self_join(ex2, "doc_id", ["s"], persist=False)
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
+    cont = F.col("shared").cast("double") / F.least("sz1", "sz2")
+    return (
+        pairs.join(s1, "d1")
+        .join(s2, "d2")
+        .filter(cont >= CONTAIN_THRESHOLD)
+        .select(
+            "d1", "d2",
+            F.col("shared").cast("long").alias("shared"),
+            cont.alias("containment"),
+        )
+    )

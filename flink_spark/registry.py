@@ -111,6 +111,10 @@ _SNAPSHOT_FIRST = (
     "t_embedding_neardup",
     "e_ann_lsh_topk",
     "j_lru_dim_join",
+    # NEW this round — first driver rows
+    "t_bm25_topk",
+    "t_zipf_profile",
+    "t_containment_dups",
     # green in r5 only (rotated out of the r6 snapshot); refresh so the
     # r6+r7 union keeps full-catalog coverage. Ordered complex-first; the
     # cap cuts inside this block.
@@ -142,17 +146,19 @@ _SNAPSHOT_FIRST = (
     "q5_local_supplier_volume",
     "q10_returned_items",
     "a_salted_hot_key_agg",
-    "p_cdc_map_projection",
-    "p_conditional_delta",
-    "p_split_counts",
-    # --- the driver's 50-query cap lands here (12+4+3+31 above) ---
-    # Still r5-green-only past the cap, on unchanged code: p_json_extract,
-    # p_projection_filter, r_config_routing, f_scalar_datetime,
-    # u_union_metrics, and the nine ads_* aggregations
+    # --- the driver's 50-query cap lands here (12+4+3+3+28 above) ---
+    # Still r5-green-only past the cap, on unchanged code:
+    # p_cdc_map_projection, p_conditional_delta, p_split_counts,
+    # p_json_extract, p_projection_filter, r_config_routing,
+    # f_scalar_datetime, u_union_metrics, and the nine ads_*
+    # aggregations
     # (category_fullouter, channel_stats, conditional_score, funnel_union,
     # gmv_topk_brand, hourly_stats, keyword_score, province_stats,
     # subsidy_rate, topk_users) — simple relational plans whose r5 rows
     # stand; rotate them forward in r8.
+    "p_cdc_map_projection",
+    "p_conditional_delta",
+    "p_split_counts",
     "p_json_extract",
     "p_projection_filter",
     "r_config_routing",

@@ -173,6 +173,7 @@ def test_no_cartesian_or_nested_loop_joins(spark):
         "t_shuffle_shards",
         "t_bpe_segment",
         "t_substring_dedup",
+        "t_containment_dups",
     ]:
         plan = _plan(_Q[name].fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
@@ -383,6 +384,38 @@ def test_approx_sketches_within_tolerance(spark):
         assert abs(a["uv_approx"] - e["uv"]) <= max(2, 0.05 * e["uv"]), e
         span = e["hi"] - e["lo"]
         assert abs(a["value_p50_approx"] - e["p50"]) <= 0.05 * span, e
+
+
+def test_bm25_is_scan_stats_takeordered(spark):
+    """BM25: per-doc tf/dl are array expressions in the scan projection
+    (no token explode, no vocab join), corpus stats ride a ONE-ROW
+    broadcast (the only join node), and the top-k compiles to
+    TakeOrderedAndProject — never a global sort."""
+    plan = _plan(_Q["t_bm25_topk"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "Generate" not in plan  # no explode anywhere
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the single BroadcastNestedLoopJoin is the 1-row stats attach
+    # (formatted mode prints each node in tree + detail sections)
+    import re
+
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
+    from flink_spark.registry import release_persisted
+    release_persisted()
+
+
+def test_zipf_profile_is_agg_takeordered(spark):
+    """The Zipf audit must not itself straggle on the skew it measures:
+    token counts are one map-side-combined aggregate, the head is
+    TakeOrderedAndProject, and the rank/cumulative windows run over
+    the bounded top-k rows only (no window before the TakeOrdered)."""
+    plan = _plan(_Q["t_zipf_profile"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    from flink_spark.registry import release_persisted
+    release_persisted()
 
 
 def test_table_profile_single_scan_expand(spark):
