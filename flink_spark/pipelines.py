@@ -345,6 +345,13 @@ OPERATOR_COVERAGE: dict[str, tuple[str, tuple[str, ...]]] = {
     "CHANGELOG-CONSUMER": ("streaming/changelog.py: retract-stream consumer — incremental rollups behind a producer-epoch watermark, bootstrap-from-table, changelog retention", ("tests/test_streaming.py::test_changelog_incremental_agg", "tests/test_streaming.py::test_changelog_bootstrap_and_retention")),
     "JDBC-ONCE": ("streaming/sinks.py:jdbc_exactly_once_sink — staged transaction + epoch ledger", ("tests/test_jdbc.py::test_jdbc_exactly_once_sink_survives_replay",)),
     "UPSERT-RANGE": ("upsert_sink(bucket_expr=...): range-bucketed layout for append-mostly keyed tables (flat merge cost)", ("tests/test_streaming.py::test_upsert_range_bucketing_equals_hash",)),
+    # --- round 7 ---
+    "WIN-CUMULATE-STREAM": ("streaming CUMULATE via chained stateful aggregations (append mode)", ("tests/test_streaming.py::test_cumulate_stream_equals_batch",)),
+    "BM25": ("Okapi BM25 top-k retrieval scoring (scan-projection tf/dl, one-row stats broadcast, TakeOrdered)", ("t_bm25_topk",)),
+    "ZIPF": ("Zipf head profile — token-mass concentration audit", ("t_zipf_profile",)),
+    "DEDUP-CONTAIN": ("containment (subset) near-dup over the df-capped inverted index", ("t_containment_dups",)),
+    "PROFILE": ("single-pass table profiler with exact/approx-distinct knob", ("t_table_profile", "tests/test_plans.py::test_table_profile_approx_knob_drops_expand")),
+    "DECON-STREAM": ("streaming benchmark decontamination (stateless broadcast probe per batch)", ("tests/test_streaming_dedup.py::test_decontaminate_stream_equals_batch",)),
 }
 
 

@@ -61,6 +61,7 @@ _EMPTY_SCHEMA = {
     "shingles": "doc_id bigint, sl array<string>",
     "kept": "doc_id bigint, fp string",
     "vecs": "vec_id bigint, cell int, embedding array<float>, nrm double",
+    "clean": "doc_id bigint, source string",
 }
 
 
@@ -206,6 +207,59 @@ def neardup_dedup_batch(
     _write(sh_new.join(kept_ids, "doc_id"), store_dir, "shingles", epoch_id)
     for df in (sh_new, bands_new, pairs):
         df.unpersist()
+
+
+def decontaminate_batch(
+    batch: DataFrame, epoch_id: int, store_dir: str,
+    eval_shingles: DataFrame,
+) -> None:
+    """foreachBatch body: streaming benchmark decontamination.
+
+    Stateless per batch (unlike the dedup bodies — no cross-batch
+    store read): an arriving training doc is dropped iff it shares a
+    ``SHINGLE_N``-gram with the held-out benchmark set, the
+    ``t_decontaminate`` policy. ``eval_shingles`` is the STATIC
+    distinct eval shingle table — benchmark-sized by definition, so
+    it broadcasts and every batch is one map-side probe; the corpus
+    stream is never shuffled against it. Docs too short to carry a
+    shingle cannot overlap and pass through clean. Appends the
+    survivors to the ``clean`` store table (epoch-dir-per-batch,
+    crash-retry idempotent like every store write here).
+    """
+    toks = batch.select("doc_id", "source", tokenize("text").alias("t"))
+    ex = toks.filter(F.size("t") >= SHINGLE_N).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(F.col("t"), SHINGLE_N))
+        ).alias("s"),
+    )
+    hits = ex.join(F.broadcast(eval_shingles), "s").select("doc_id").distinct()
+    clean = batch.select("doc_id", "source").join(hits, "doc_id", "left_anti")
+    _write(clean, store_dir, "clean", epoch_id)
+
+
+def run_decontaminate_stream(
+    sdf: DataFrame,
+    eval_shingles: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+):
+    """Wire a document stream through benchmark decontamination."""
+    q = (
+        sdf.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            lambda df, eid: decontaminate_batch(df, eid, store_dir,
+                                                eval_shingles)
+        )
+        .start()
+    )
+    return q
+
+
+def clean_docs(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The decontaminated-survivor set accumulated so far."""
+    return _store(spark, store_dir, "clean")
 
 
 def doc_stream(

@@ -1357,6 +1357,37 @@ def test_changelog_out_of_order_epoch_delivery(spark, tmp_path):
     assert meta() == before
 
 
+def test_changelog_fold_commutes_under_random_delivery(spark, tmp_path):
+    """Property: ANY delivery permutation of the epochs — including
+    re-deliveries injected mid-sequence — converges to the batch
+    truth. This is the contract the hole set buys: the fold is
+    effectively commutative and idempotent per epoch."""
+    import random
+
+    from flink_spark.streaming import read_agg_state, read_changelog
+    from flink_spark.streaming.changelog import _fold_changelog_batch
+
+    table, produce = _phased_producer(spark, tmp_path)
+    produce(0, 4)
+    log = read_changelog(spark, table)
+    want = _agg_rows(spark, _batch_truth(spark, table))
+
+    for seed in range(3):
+        rng = random.Random(seed)
+        order = [0, 1, 2, 3]
+        rng.shuffle(order)
+        # inject a replay of an already-delivered epoch mid-sequence
+        order.insert(rng.randrange(1, 4), order[0])
+        state = str(tmp_path / f"state_{seed}")
+        for ep in order:
+            _fold_changelog_batch(
+                log.filter(F.col("_epoch") == ep),
+                ["event_type"], ["value"], state,
+            )
+        got = _agg_rows(spark, read_agg_state(spark, state))
+        assert got == want, (seed, order)
+
+
 def test_changelog_bootstrap_and_retention(spark, tmp_path):
     """A consumer joining mid-life bootstraps from the committed table
     (init_agg_state) instead of replaying history — which is what lets

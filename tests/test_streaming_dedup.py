@@ -60,6 +60,49 @@ def test_exact_stream_first_arrival_wins(spark, tmp_path):
     # drop rows) lives in test_neardup_stream_matches_simulation.
 
 
+def test_decontaminate_stream_equals_batch(spark, tmp_path):
+    """Streaming decontamination (stateless broadcast probe per batch)
+    converges to the batch t_decontaminate truth: the accumulated
+    clean set is exactly the uncontaminated corpus docs, regardless
+    of slicing."""
+    from flink_spark.plans.textops import EVAL_SOURCE
+    from flink_spark.registry import all_queries, release_persisted
+    from flink_spark.sources import load
+    from flink_spark.streaming.dedup import (
+        clean_docs,
+        run_decontaminate_stream,
+    )
+    from flink_spark.functions.text import tokenize, word_shingles
+    from flink_spark.plans.textops import SHINGLE_N
+    from pyspark.sql import functions as F
+
+    docs = load(spark, SF_DIR, "documents")
+    ev = (
+        docs.filter(F.col("source") == EVAL_SOURCE)
+        .select(tokenize("text").alias("t"))
+        .filter(F.size("t") >= SHINGLE_N)
+        .select(F.explode(word_shingles(F.col("t"), SHINGLE_N)).alias("s"))
+        .distinct()
+    )
+    corpus = docs.filter(F.col("source") != EVAL_SOURCE)
+    sdf = doc_stream(spark, corpus, str(tmp_path / "replay"), slices=SLICES)
+    q = run_decontaminate_stream(sdf, ev, str(tmp_path / "store"),
+                                 str(tmp_path / "ck"))
+    q.processAllAvailable(); q.stop()
+
+    got = (
+        clean_docs(spark, str(tmp_path / "store"))
+        .groupBy("source").count()
+    )
+    audit = all_queries()["t_decontaminate"].fn(spark, SF_DIR)
+    want = audit.select(
+        "source", (F.col("total_docs") - F.col("contaminated")).alias("count")
+    ).filter(F.col("count") > 0)  # fully-contaminated sources emit no rows
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+    release_persisted()
+
+
 def test_neardup_stream_matches_simulation(spark, tmp_path):
     from flink_spark.sources import load
 
