@@ -979,6 +979,131 @@ DEFAULT_MIX_PCT = 50
 _MIX_VALUES = ", ".join(f"('{s}', {p})" for s, p in MIXTURE)
 
 
+def _mix_priority(id_col: str):
+    """The mixture selection priority: md5 over the id's decimal string.
+
+    Identical on both engines (DuckDB ``md5(CAST(id AS VARCHAR))``) —
+    lowercase hex, so lexicographic string order is the total order.
+    """
+    return F.md5(F.col(id_col).cast("string").cast("binary"))
+
+
+def hash_quota_heads(
+    df: DataFrame,
+    pct_map: dict[str, int],
+    default_pct: int,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> tuple[DataFrame, dict[str, tuple[int, int]]]:
+    """Per-source top-(pct%) rows by md5 priority — WITHOUT the
+    per-source global sort.
+
+    Selects exactly the rows ``ROW_NUMBER() OVER (PARTITION BY source
+    ORDER BY md5(id), id) <= (pct·n) div 100`` would (the DuckDB
+    oracles keep that formulation — membership is identical by
+    construction), but as a two-phase bucket selection, the standard
+    distributed exact-k-selection: because md5 strings order
+    lexicographically, the rank order refines the order of any hex
+    PREFIX, so per-source counts over the 2-char prefix (256 buckets,
+    one map-side-combined aggregate, |sources|·256 rows to the
+    driver) locate each source's quota boundary bucket; a second
+    count over chars 3-4 WITHIN that bucket refines it 256×; and
+    only the final boundary sliver (~n/65536 rows per source) is
+    rank-windowed. Everything before the sliver is a map-side filter.
+    A source with 10^10 docs costs two tiny aggregates plus one
+    ~150k-row sort — the per-source window this replaces sorted all
+    10^10 rows in ONE task (the straggler AQE cannot split).
+
+    Returns ``(selected_rows, {source: (n, quota)})``; selected rows
+    keep exactly ``df``'s columns.
+    """
+    spark = df.sparkSession
+    pri = _mix_priority(id_col)
+    b1 = F.substring(pri, 1, 2)
+    b2 = F.substring(pri, 3, 2)
+    l1 = (
+        df.groupBy(source_col, b1.alias("_b1"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    per: dict[str, dict[str, int]] = {}
+    for r in l1:
+        per.setdefault(r[0], {})[r["_b1"]] = r["c"]
+    stats: dict[str, tuple[int, int]] = {}
+    bound1: dict[str, tuple[str, int]] = {}  # source -> (B1, need after <B1)
+    meta = []  # (source, all_flag, B1, B2, need2)
+    for src, buckets in per.items():
+        n = sum(buckets.values())
+        pct = pct_map.get(src, default_pct)
+        quota = (pct * n) // 100
+        stats[src] = (n, quota)
+        if quota <= 0:
+            continue
+        if quota >= n:
+            meta.append((src, 1, "", "", 0))
+            continue
+        acc = 0
+        for hb in sorted(buckets):
+            if acc + buckets[hb] >= quota:
+                bound1[src] = (hb, quota - acc)
+                break
+            acc += buckets[hb]
+    if bound1:
+        b1df = spark.createDataFrame(
+            [(s, hb) for s, (hb, _) in bound1.items()],
+            f"{source_col} string, _B1 string",
+        )
+        l2 = (
+            df.join(F.broadcast(b1df), source_col)
+            .filter(b1 == F.col("_B1"))
+            .groupBy(source_col, b2.alias("_b2"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        per2: dict[str, dict[str, int]] = {}
+        for r in l2:
+            per2.setdefault(r[0], {})[r["_b2"]] = r["c"]
+        for src, (hb, need1) in bound1.items():
+            acc = 0
+            for hb2 in sorted(per2[src]):
+                if acc + per2[src][hb2] >= need1:
+                    meta.append((src, 0, hb, hb2, need1 - acc))
+                    break
+                acc += per2[src][hb2]
+    if not meta:
+        return df.limit(0), stats
+    bc = F.broadcast(
+        spark.createDataFrame(
+            meta,
+            f"{source_col} string, _all int, _B1 string, _B2 string,"
+            " _need2 long",
+        )
+    )
+    j = df.join(bc, source_col)
+    head = j.filter(
+        (F.col("_all") == 1)
+        | (b1 < F.col("_B1"))
+        | ((b1 == F.col("_B1")) & (b2 < F.col("_B2")))
+    )
+    sliver = (
+        j.filter(
+            (F.col("_all") == 0)
+            & (b1 == F.col("_B1"))
+            & (b2 == F.col("_B2"))
+        )
+        .withColumn(
+            "_rn2",
+            F.row_number().over(
+                Window.partitionBy(source_col).orderBy(pri, F.col(id_col))
+            ),
+        )
+        .filter(F.col("_rn2") <= F.col("_need2"))
+        .drop("_rn2")
+    )
+    drop = ["_all", "_B1", "_B2", "_need2"]
+    return head.unionByName(sliver).drop(*drop).select(*df.columns), stats
+
+
 @query(
     "t_source_mixture",
     oracle=f"""
@@ -1017,39 +1142,40 @@ def t_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     without storing a sample seed. ``kept_id_sum`` pins the EXACT
     selected set in the oracle compare, not just its size.
 
-    Shape: broadcast the mixture config (the reference's
-    table_process pattern), one window rank per source partition, one
-    aggregate. Quota math is integer end-to-end (``(pct·n) div
-    100``). At 100 TB the rank is the only per-source sort; a source
-    too large for one task shards like packing does — or the rank is
-    replaced by the equivalent threshold-on-hash (keep iff
-    md5-bucket < pct), which is fully map-side; the rank form is used
-    here because it hits exact quotas on small sources.
+    Shape: quota math is integer end-to-end (``(pct·n) div 100``) and
+    the selection runs as ``hash_quota_heads`` — the two-phase exact
+    head selection (bucket counts locate the boundary, only a
+    ~n/65536 sliver is rank-windowed) — NOT a per-source global rank
+    window, which puts a billion-doc source into one sorted task. The
+    oracle keeps the ROW_NUMBER formulation: membership is identical
+    by construction (pinned by
+    ``test_hash_quota_heads_equals_rank_window``), so the compare
+    also proves the two-phase selection exact.
     """
-    docs = load(spark, sf_dir, "documents")
-    mix = spark.createDataFrame(MIXTURE, "source string, pct int")
-    d = docs.join(F.broadcast(mix), "source", "left").select(
-        "source", "doc_id",
-        F.coalesce("pct", F.lit(DEFAULT_MIX_PCT)).alias("pct"),
+    docs = load(spark, sf_dir, "documents").select("source", "doc_id")
+    sel, stats = hash_quota_heads(
+        docs, dict(MIXTURE), DEFAULT_MIX_PCT
     )
-    order = Window.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string").cast("binary")), F.col("doc_id")
+    spark_stats = spark.createDataFrame(
+        [(s, n, q, dict(MIXTURE).get(s, DEFAULT_MIX_PCT))
+         for s, (n, q) in stats.items()],
+        "source string, n_docs long, quota long, pct long",
     )
-    part = Window.partitionBy("source")
-    ranked = d.select(
-        "source", "pct", "doc_id",
-        F.row_number().over(order).alias("rn"),
-        F.count(F.lit(1)).over(part).alias("n"),
+    kept = sel.groupBy("source").agg(
+        F.count(F.lit(1)).alias("kept"),
+        F.sum("doc_id").alias("kept_id_sum"),
     )
-    quota = F.expr("(pct * n) div 100")
-    kept = F.col("rn") <= quota
-    return ranked.groupBy("source").agg(
-        F.max("pct").cast("long").alias("pct"),
-        F.count(F.lit(1)).alias("n_docs"),
-        F.max(quota).cast("long").alias("quota"),
-        F.sum(kept.cast("int")).cast("long").alias("kept"),
-        F.sum(F.when(kept, F.col("doc_id")).otherwise(0)).cast("long")
-        .alias("kept_id_sum"),
+    return (
+        spark_stats.join(kept, "source", "left")
+        .select(
+            "source",
+            "pct",
+            "n_docs",
+            "quota",
+            F.coalesce("kept", F.lit(0)).cast("long").alias("kept"),
+            F.coalesce("kept_id_sum", F.lit(0)).cast("long")
+            .alias("kept_id_sum"),
+        )
     )
 
 
@@ -2178,7 +2304,8 @@ def t_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "t_training_pipeline",
     oracle=f"""
-    WITH t0 AS (
+    WITH {_PACK_SHARDS_CTE},
+    t0 AS (
       SELECT doc_id, source, text, {_TOKS} AS t FROM documents
       WHERE source <> '{EVAL_SOURCE}'
     ),
@@ -2280,19 +2407,27 @@ def t_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     mk AS (
       SELECT source, doc_id, n_tokens,
              (pct * n) // 100 AS quota,
+             doc_id % shards AS shard,
              CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
                                    1, 4)) AS BIGINT) % 100 < {TRAIN_PCT}
                   THEN 1 ELSE 0 END AS is_train,
-             (SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             (SUM(n_tokens) OVER (PARTITION BY source, doc_id % shards
+                                  ORDER BY doc_id
                                   ROWS UNBOUNDED PRECEDING) - n_tokens)
                // {PACK_BUDGET} AS pack_id
-      FROM ranked WHERE rn <= (pct * n) // 100
+      FROM ranked, ps WHERE rn <= (pct * n) // 100
+    ),
+    mctx AS (
+      SELECT source, SUM(ctx) AS n_contexts FROM (
+        SELECT source, shard, MAX(pack_id) + 1 AS ctx
+        FROM mk GROUP BY source, shard
+      ) GROUP BY source
     ),
     m AS (
-      SELECT source, MAX(quota) AS mix_quota, COUNT(*) AS mix_kept,
+      SELECT mk.source, MAX(quota) AS mix_quota, COUNT(*) AS mix_kept,
              SUM(is_train) AS train_docs, SUM(1 - is_train) AS val_docs,
-             SUM(n_tokens) AS kept_tokens, MAX(pack_id) + 1 AS n_contexts
-      FROM mk GROUP BY source
+             SUM(n_tokens) AS kept_tokens, MAX(mctx.n_contexts) AS n_contexts
+      FROM mk JOIN mctx ON mk.source = mctx.source GROUP BY mk.source
     ),
     funnel AS (
       SELECT source, COUNT(*) AS total_docs,
@@ -2341,14 +2476,17 @@ def t_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     context counts. All columns integer ⇒ the oracle compare is exact.
 
     Every stage keeps its individual operator's scale shape (broadcast
-    eval set and mixture config; banded LSH, never all-pairs; window
-    ranks per source partition; exact-dedup keeper by aggregate +
-    digest join rather than an fp-partitioned window — the
-    ``t_substring_dedup`` shape, AQE-splittable on a hot fingerprint)
-    — composing them adds NO new shuffle pattern: the scored doc
-    stream and the canonical survivor token stream are each persisted
-    once, aggregated once, and stages 6-8 run on the (much smaller)
-    survivor set.
+    eval set; banded LSH, never all-pairs; exact-dedup keeper by
+    aggregate + digest join rather than an fp-partitioned window —
+    the ``t_substring_dedup`` shape, AQE-splittable on a hot
+    fingerprint; mixture selection via ``hash_quota_heads`` two-phase
+    bucket selection rather than a per-source global rank window;
+    packing cumsum sharded by the derived ``pack_shards_for`` rule,
+    mirrored by the oracle's ``ps(shards)`` CTE) — composing them
+    adds NO new shuffle pattern: the scored doc stream and the
+    canonical survivor token stream are each persisted once,
+    aggregated once, and stages 6-8 run on the (much smaller)
+    survivor set with no unbounded sort anywhere.
     """
     from pyspark.sql import Window
 
@@ -2484,37 +2622,30 @@ def t_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     fs = track_persist(fs)
-    mix = spark.createDataFrame(MIXTURE, "source string, pct int")
-    ranked = (
+    # mixture selection WITHOUT the per-source global rank window:
+    # hash_quota_heads selects exactly the ROW_NUMBER()<=quota set via
+    # two-phase bucket counting (only a boundary sliver is sorted) —
+    # the oracle keeps the rank formulation, so the compare proves
+    # membership equality. The packing cumsum shards like
+    # t_pack_sequences (derived rule, ps(shards) CTE on both sides),
+    # so no source ever sorts on one core.
+    sel, mix_stats = hash_quota_heads(
         fs.filter(F.col("survivor") == 1)
-        .join(F.broadcast(mix), "source", "left")
-        .select(
-            "source", "doc_id", "n_tokens",
-            F.coalesce("pct", F.lit(DEFAULT_MIX_PCT)).alias("pct"),
-        )
-        .select(
-            "source", "doc_id", "n_tokens", "pct",
-            F.row_number().over(
-                Window.partitionBy("source").orderBy(
-                    F.md5(F.col("doc_id").cast("string").cast("binary")),
-                    F.col("doc_id"),
-                )
-            ).alias("rn"),
-            F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
-        )
+        .select("source", "doc_id", "n_tokens"),
+        dict(MIXTURE),
+        DEFAULT_MIX_PCT,
     )
-    quota = F.expr("(pct * n) div 100")
+    shards = _active_pack_shards(spark, sf_dir)
     split_bucket = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4),
         16, 10,
     ).cast("long") % 100
     w_pack = (
-        Window.partitionBy("source").orderBy("doc_id")
+        Window.partitionBy("source", "shard").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     mk = (
-        ranked.filter(F.col("rn") <= quota)
-        .withColumn("quota", quota)
+        sel.withColumn("shard", F.col("doc_id") % shards)
         .withColumn(
             "is_train", F.when(split_bucket < TRAIN_PCT, 1).otherwise(0)
         )
@@ -2523,14 +2654,24 @@ def t_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pack_id", F.expr(f"(cum - n_tokens) div {PACK_BUDGET}")
         )
     )
-    m = mk.groupBy("source").agg(
-        F.max("quota").alias("mix_quota"),
+    mk = track_persist(mk)  # the per-source and per-shard aggs share it
+    quotas = spark.createDataFrame(
+        [(s, q) for s, (_, q) in mix_stats.items()],
+        "source string, mix_quota long",
+    )
+    m0 = mk.groupBy("source").agg(
         F.count(F.lit(1)).alias("mix_kept"),
         F.sum("is_train").alias("train_docs"),
         F.sum(1 - F.col("is_train")).alias("val_docs"),
         F.sum("n_tokens").alias("kept_tokens"),
-        (F.max("pack_id") + 1).alias("n_contexts"),
     )
+    mc = (
+        mk.groupBy("source", "shard")
+        .agg((F.max("pack_id") + 1).alias("ctx"))
+        .groupBy("source")
+        .agg(F.sum("ctx").alias("n_contexts"))
+    )
+    m = m0.join(mc, "source").join(F.broadcast(quotas), "source")
     funnel = fs.groupBy("source").agg(
         F.count(F.lit(1)).alias("total_docs"),
         F.sum("pass_q").alias("quality_docs"),
@@ -2793,8 +2934,13 @@ def t_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     term); df aggregates a (doc, term)-distinct projection of the
     same exploded pass. The tf⋈df join runs on term-hashed
     partitions of two AGGREGATED tables (≪ token stream), and the
-    final rank is one window per source partition — no global sort.
+    final rank is ``grouped_topk`` — partial top-{TOP_TERMS} per
+    input slice, then a rank over the bounded survivors — so a
+    source's vocabulary (10⁸ terms at crawl scale) never sorts in
+    one task.
     """
+    from flink_spark.plans.topk import grouped_topk
+
     docs = load(spark, sf_dir, "documents")
     total = table_rows(spark, sf_dir, "documents")
     ex = docs.select(
@@ -2806,10 +2952,8 @@ def t_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = ex.groupBy("source", "w").agg(F.count(F.lit(1)).alias("tf"))
     rare = tf.join(dfreq, "w").filter(RARE_DF_DIVISOR * F.col("df") <= total)
-    w = Window.partitionBy("source").orderBy(F.desc("tf"), "w")
     return (
-        rare.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOP_TERMS)
+        grouped_topk(rare, ["source"], [F.desc("tf"), "w"], TOP_TERMS)
         .select(
             "source",
             F.col("w").alias("term"),

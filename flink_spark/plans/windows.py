@@ -429,26 +429,27 @@ def w_topn_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Flink SQL's canonical "TopN on a window" job (the hot-items
     pattern: window TVF → ROW_NUMBER over the window key → rn <= N).
-    Spark's shape is identical — windowed aggregate, then one
-    ``row_number`` partitioned by the window bucket. The rank reads a
-    decimal-exact ``amount``, so ordering is partition-independent;
-    ties break on user_id, making the cut a total order. At scale the
-    rank shuffle carries the AGGREGATED (window, user) rows, never raw
-    events, and each window's partition holds only that window's
-    users — no global sort anywhere.
+    Spark's shape: windowed aggregate, then ``grouped_topk`` — a
+    partial top-N per input slice followed by a rank over the bounded
+    survivors, identical output to one ``row_number`` over the window
+    bucket (the oracle's formulation) but with no task ever sorting a
+    whole window's users (a hot window holds millions at event
+    scale). The rank reads a decimal-exact ``amount``, so ordering is
+    partition-independent; ties break on user_id, making the cut a
+    total order. The rank stages carry only AGGREGATED (window, user)
+    rows, never raw events.
     """
+    from flink_spark.plans.topk import grouped_topk
+
     ev = load(spark, sf_dir, "events")
     agg = _windowed(ev, "user_id").agg(
         F.count(F.lit(1)).alias("pv"), dsum("value", "amount")
     )
     agg = agg.select(_stamp(agg)[0], "user_id", "pv", "amount")
-    from pyspark.sql import Window as W
-
-    r = F.row_number().over(
-        W.partitionBy("stt").orderBy(F.desc("amount"), "user_id")
-    )
-    return (
-        agg.withColumn("rnk", r)
-        .filter(F.col("rnk") <= TOPN_PER_WINDOW)
-        .select("stt", "user_id", "pv", "amount", F.col("rnk").cast("long").alias("rnk"))
+    return grouped_topk(
+        agg, ["stt"], [F.desc("amount"), "user_id"], TOPN_PER_WINDOW,
+        rank_col="rnk",
+    ).select(
+        "stt", "user_id", "pv", "amount",
+        F.col("rnk").cast("long").alias("rnk"),
     )

@@ -115,6 +115,11 @@ _SNAPSHOT_FIRST = (
     "t_bm25_topk",
     "t_zipf_profile",
     "t_containment_dups",
+    # also rewritten this round (two-phase mixture selection / sharded
+    # inline packing / grouped_topk ranks) — re-green on the new plans
+    "t_source_mixture",
+    "t_distinctive_terms",
+    "w_topn_per_window",
     # green in r5 only (rotated out of the r6 snapshot); refresh so the
     # r6+r7 union keeps full-catalog coverage. Ordered complex-first; the
     # cap cuts inside this block.
@@ -143,11 +148,10 @@ _SNAPSHOT_FIRST = (
     "j_full_outer_metrics",
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q10_returned_items",
-    "a_salted_hot_key_agg",
-    # --- the driver's 50-query cap lands here (12+4+3+3+28 above) ---
+    # --- the driver's 50-query cap lands here (12+4+3+3+3+25 above;
+    # the cap cuts inside the r5-only block) ---
     # Still r5-green-only past the cap, on unchanged code:
+    # q5_local_supplier_volume, q10_returned_items, a_salted_hot_key_agg,
     # p_cdc_map_projection, p_conditional_delta, p_split_counts,
     # p_json_extract, p_projection_filter, r_config_routing,
     # f_scalar_datetime, u_union_metrics, and the nine ads_*
@@ -156,6 +160,9 @@ _SNAPSHOT_FIRST = (
     # gmv_topk_brand, hourly_stats, keyword_score, province_stats,
     # subsidy_rate, topk_users) — simple relational plans whose r5 rows
     # stand; rotate them forward in r8.
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "a_salted_hot_key_agg",
     "p_cdc_map_projection",
     "p_conditional_delta",
     "p_split_counts",

@@ -129,7 +129,10 @@ def test_derived_pack_shards_stay_oracle_symmetric():
     script = _SCRIPT.format(
         repo=repo,
         sf_dir="/root/testdata/sf0.001",
-        queries=["t_pack_sequences"],
+        # t_training_pipeline's inline packing stage shards by the same
+        # rule (and the same ps(shards) oracle CTE) — both must stay
+        # symmetric with the rule engaged
+        queries=["t_pack_sequences", "t_training_pipeline"],
     ) + """
 from flink_spark.plans.textops import _active_pack_shards
 assert _active_pack_shards(spark, '/root/testdata/sf0.001') > 1, "rule idle"

@@ -138,12 +138,17 @@ def test_repetition_filter_plan_shape(spark):
 
 
 def test_source_mixture_plan_shape(spark):
-    """The mixture config broadcasts (table_process pattern); the rank
-    is one window over the source partition, no global sort."""
+    """Two-phase head selection: the tiny boundary table broadcasts,
+    and the only window is the boundary-SLIVER rank (its input is
+    filtered to one hash bucket per source before the sort — never
+    the full source). No cartesian degradation."""
     plan = _plan(_Q["t_source_mixture"].fn(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "Window" in plan
+    # the window's input must carry the bucket-boundary columns — the
+    # structural proof the sort is over the sliver, not the source
+    assert "_B1" in plan and "_B2" in plan
 
 
 def test_topk_is_take_ordered(spark):

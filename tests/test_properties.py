@@ -846,3 +846,83 @@ def test_substring_dedup_keeper_formulations_agree(tmp_path):
             q.fn(spark, str(tmp_path)).explain("formatted")
         assert "Window" not in buf.getvalue(), name
         release_persisted()
+
+
+def test_hash_quota_heads_equals_rank_window():
+    """The two-phase bucket selection must pick EXACTLY the rows the
+    per-source rank window would, at every quota shape: 0%, 100%,
+    boundary-splitting percentages, a dominant source (the straggler
+    case the rewrite exists for), and single-row sources."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flink_spark.plans.textops import _mix_priority, hash_quota_heads
+
+    spark = _session()
+    rows = (
+        [(i, "big") for i in range(5000)]
+        + [(10_000 + i, "mid") for i in range(137)]
+        + [(20_000, "one")]
+        + [(30_000 + i, "none") for i in range(50)]
+        + [(40_000 + i, "all") for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    pct = {"big": 37, "mid": 61, "one": 99, "none": 0, "all": 100}
+
+    sel, stats = hash_quota_heads(df, pct, 50)
+    got = {(r.source, r.doc_id) for r in sel.collect()}
+
+    w = Window.partitionBy("source").orderBy(
+        _mix_priority("doc_id"), F.col("doc_id")
+    )
+    n_w = Window.partitionBy("source")
+    ranked = df.select(
+        "source", "doc_id",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(n_w).alias("n"),
+    ).collect()
+    want = {
+        (r.source, r.doc_id)
+        for r in ranked
+        if r.rn <= (pct[r.source] * r.n) // 100
+    }
+    assert got == want
+    assert stats["big"] == (5000, 1850) and stats["none"] == (50, 0)
+    assert stats["all"] == (50, 50) and stats["one"] == (1, 0)
+
+
+def test_grouped_topk_equals_single_window():
+    """grouped_topk must equal the single-window ROW_NUMBER form for
+    any slicing: a dominant group spread across many input partitions
+    (the straggler case), heavy ties resolved by the tiebreak, groups
+    smaller than k, and k=1."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flink_spark.plans.topk import grouped_topk
+
+    spark = _session()
+    rows = (
+        [(i, "hot", float(i % 7)) for i in range(4000)]   # heavy ties
+        + [(10_000 + i, "mid", float(i)) for i in range(37)]
+        + [(20_000, "tiny", 1.0)]
+    )
+    df = spark.createDataFrame(
+        rows, "id long, g string, v double"
+    ).repartition(16)  # dominant group spans every slice
+
+    for k in (1, 5, 50):
+        got = sorted(
+            tuple(r)
+            for r in grouped_topk(
+                df, ["g"], [F.desc("v"), "id"], k
+            ).collect()
+        )
+        w = Window.partitionBy("g").orderBy(F.desc("v"), "id")
+        want = sorted(
+            tuple(r)
+            for r in df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .collect()
+        )
+        assert got == want, k
