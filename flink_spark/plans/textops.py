@@ -994,6 +994,7 @@ def hash_quota_heads(
     default_pct: int,
     id_col: str = "doc_id",
     source_col: str = "source",
+    persist: bool = True,
 ) -> tuple[DataFrame, dict[str, tuple[int, int]]]:
     """Per-source top-(pct%) rows by md5 priority — WITHOUT the
     per-source global sort.
@@ -1015,9 +1016,14 @@ def hash_quota_heads(
     10^10 rows in ONE task (the straggler AQE cannot split).
 
     Returns ``(selected_rows, {source: (n, quota)})``; selected rows
-    keep exactly ``df``'s columns.
+    keep exactly ``df``'s columns. ``df`` is consumed four times
+    (two count phases, head filter, sliver rank) — ``persist=True``
+    (default) caches it for the query's lifetime; pass ``False`` when
+    the caller already persisted the lineage.
     """
     spark = df.sparkSession
+    if persist:
+        df = track_persist(df)
     pri = _mix_priority(id_col)
     b1 = F.substring(pri, 1, 2)
     b2 = F.substring(pri, 3, 2)
@@ -2634,6 +2640,7 @@ def t_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", "n_tokens"),
         dict(MIXTURE),
         DEFAULT_MIX_PCT,
+        persist=False,  # fs is already persisted
     )
     shards = _active_pack_shards(spark, sf_dir)
     split_bucket = F.conv(
