@@ -1738,37 +1738,100 @@ def t_cjk_keyword_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by exact 3-gram Jaccard >= 0.8.
 
-    The scalable formulation: an inverted-index self-join on shingles
-    (each doc pair is generated only via shingles they share), with a
-    document-frequency cap dropping shingles in >100 docs — the
-    stop-shingle filter that bounds worst-case join fan-out at 100 TB.
+    The scalable formulation: a PREFIX-FILTERED inverted-index
+    self-join (Bayardo et al. 2007 / PPJoin prefix principle). Under
+    any global total order on shingles, two sets with Jaccard ≥ t
+    must share an element inside their ``|X| − ⌈t·|X|⌉ + 1`` prefixes
+    — so only those prefixes enter the index, cutting postings ~5×
+    and candidate pairs ~25× at t=0.8 WITHOUT losing a single
+    qualifying pair (the filter is exact, not approximate; the oracle
+    keeps the full-index formulation and stays value-identical). The
+    canonical order is (document frequency ASC, digest): prefixes
+    hold each doc's RAREST shingles, so the surviving buckets are the
+    small ones. A df cap (>{DF_CAP} docs) still drops stop-shingles
+    first — it is semantic (mirrored in the oracle), bounding the
+    shingle UNIVERSE the similarity is defined over. Verification
+    computes the exact intersection of the full (capped) digest sets
+    per candidate. The index keys on the shingle's 16-byte md5
+    digest, not its ~25-byte token string.
     Jaccard = shared / (|A| + |B| - shared), exact integer ratio.
     """
+    from fractions import Fraction
+
     _, ex = _shingled(spark, sf_dir, persist=True)
-    keep = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(
-        F.col("df") <= DF_CAP
-    ).select("s")
-    # ex2 feeds sizes and BOTH sides of the pair join — persist so the
-    # df-cap join runs once, not three times
-    ex2 = track_persist(ex.join(keep, "s").select("doc_id", "s"))
-    sizes = ex2.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    # DF_CAP already bounds per-shingle fan-out; the shared guard is
-    # belt-and-suspenders (g=1 everywhere under the cap — plain join)
-    pairs = (
-        pair_self_join(ex2, "doc_id", ["s"], persist=False)
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("shared"))
+    exd = ex.select("doc_id", F.unhex(F.md5("s")).alias("s"))
+    dfreq = exd.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    keep = dfreq.filter(F.col("df") <= DF_CAP)
+    # ex2 feeds sizes, the per-doc set rebuild, and the prefix rank —
+    # persist so the df-cap join runs once
+    ex2 = track_persist(exd.join(keep, "s").select("doc_id", "s", "df"))
+    # verification sets hold HEX STRINGS: array_intersect has a
+    # hash-set fast path for string elements but degrades to nested
+    # byte-array scans for binary — measured 10× on the verify leg.
+    # The index/shuffle keys stay 16-byte binary.
+    sets = track_persist(
+        ex2.groupBy("doc_id").agg(
+            F.sort_array(F.collect_list(F.hex("s"))).alias("ss"),
+            F.count(F.lit(1)).alias("sz"),
+        )
     )
-    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
-    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
-    jac = F.col("shared").cast("double") / (
-        F.col("sz1") + F.col("sz2") - F.col("shared")
+    # integer-exact ⌈t·sz⌉ (0.8·5 in doubles is 4.000…2 — ceil lies)
+    fr = Fraction(str(JACCARD_THRESHOLD))
+    min_ov = (
+        (F.lit(fr.numerator) * F.col("sz") + F.lit(fr.denominator - 1))
+        / F.lit(fr.denominator)
+    ).cast("long")
+    w_doc = Window.partitionBy("doc_id").orderBy("df", "s")  # per-doc: bounded
+    prefix = track_persist(
+        ex2.withColumn("_rn", F.row_number().over(w_doc))
+        .join(sets.select("doc_id", "sz"), "doc_id")
+        .filter(F.col("_rn") <= F.col("sz") - min_ov + 1)
+        .select("doc_id", "s", "_rn", "sz")
+    )
+    # positional filter (PPJoin): a shared prefix element at positions
+    # (p1, p2) bounds the overlap by 1 + min(sz1−p1, sz2−p2); a pair
+    # whose best bound misses the pair's required overlap
+    # ⌈t·(sz1+sz2)/(1+t)⌉ can't qualify — pruned BEFORE the exact
+    # verification, so the fat set arrays only travel for plausible
+    # pairs. All filters here are lossless; only the exact
+    # intersection decides membership.
+    hits = pair_self_join(
+        prefix, "doc_id", ["s"], payload=["_rn", "sz"], persist=False
+    )
+    ub = F.least(
+        F.col("sz1") - F.col("_rn1"), F.col("sz2") - F.col("_rn2")
+    ) + 1
+    pnum, pden = fr.numerator, fr.numerator + fr.denominator
+    cand = (
+        hits.groupBy("d1", "d2")
+        .agg(
+            F.max(ub).alias("_ub"),
+            F.first("sz1").alias("sz1"),
+            F.first("sz2").alias("sz2"),
+        )
+        .filter(
+            F.col("_ub")
+            >= (
+                (F.lit(pnum) * (F.col("sz1") + F.col("sz2"))
+                 + F.lit(pden - 1))
+                / F.lit(pden)
+            ).cast("long")
+        )
+        .select("d1", "d2")
+    )
+    a = sets.select(F.col("doc_id").alias("d1"), F.col("ss").alias("ss1"),
+                    F.col("sz").alias("sz1"))
+    b = sets.select(F.col("doc_id").alias("d2"), F.col("ss").alias("ss2"),
+                    F.col("sz").alias("sz2"))
+    shared = F.size(F.array_intersect("ss1", "ss2"))
+    jac = shared.cast("double") / (
+        F.col("sz1") + F.col("sz2") - shared
     )
     return (
-        pairs.join(s1, "d1")
-        .join(s2, "d2")
+        cand.join(a, "d1")
+        .join(b, "d2")
         .filter(jac >= JACCARD_THRESHOLD)
-        .select("d1", "d2", F.col("shared").cast("long").alias("shared"),
+        .select("d1", "d2", shared.cast("long").alias("shared"),
                 jac.alias("jaccard"))
     )
 
@@ -3801,18 +3864,23 @@ def t_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     the suffix-style passes of Lee et al. 2022) pair a symmetric
     near-dup stage with a containment/substring stage.
 
-    Scale shape: identical to ``t_ngram_jaccard_dups`` — inverted-index
-    self-join on df-capped shingles (the stop-shingle cap bounds
-    fan-out; ``pair_self_join`` grid-splits anything hot that
-    survives), pair multiplicities by map-side-combined count, sizes
-    attached by slim joins. Only the verification formula differs:
-    least() instead of the union size.
+    Scale shape: full inverted-index self-join on df-capped shingle
+    DIGESTS (the stop-shingle cap bounds fan-out; ``pair_self_join``
+    grid-splits anything hot that survives), pair multiplicities by
+    map-side-combined count, sizes attached by slim joins.
+    ``t_ngram_jaccard_dups``' prefix filter deliberately does NOT
+    transfer: the prefix principle needs a per-record lower bound on
+    the qualifying overlap, and containment's bound is
+    ``t·min(|A|,|B|)`` — from one record's perspective the partner
+    can be arbitrarily small, so no non-trivial prefix is safe. The
+    df cap is the operator's fan-out bound instead.
     """
     _, ex = _shingled(spark, sf_dir, persist=True)
-    keep = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(
+    exd = ex.select("doc_id", F.unhex(F.md5("s")).alias("s"))
+    keep = exd.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= DF_CAP
     ).select("s")
-    ex2 = track_persist(ex.join(keep, "s").select("doc_id", "s"))
+    ex2 = track_persist(exd.join(keep, "s").select("doc_id", "s"))
     sizes = ex2.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     pairs = (
         pair_self_join(ex2, "doc_id", ["s"], persist=False)

@@ -116,16 +116,17 @@ _SNAPSHOT_FIRST = (
     "t_zipf_profile",
     "t_containment_dups",
     # also rewritten this round (two-phase mixture selection / sharded
-    # inline packing / grouped_topk ranks) — re-green on the new plans
+    # inline packing / grouped_topk ranks / prefix+positional-filtered
+    # Jaccard) — re-green on the new plans
     "t_source_mixture",
     "t_distinctive_terms",
     "w_topn_per_window",
+    "t_ngram_jaccard_dups",
     # green in r5 only (rotated out of the r6 snapshot); refresh so the
     # r6+r7 union keeps full-catalog coverage. Ordered complex-first; the
     # cap cuts inside this block.
     "t_minhash_lsh_dups",
     "t_simhash_dups",
-    "t_ngram_jaccard_dups",
     "t_decontaminate",
     "t_token_stats",
     "m_binary_meta",
@@ -148,7 +149,7 @@ _SNAPSHOT_FIRST = (
     "j_full_outer_metrics",
     "q1_pricing_summary",
     "q3_shipping_priority",
-    # --- the driver's 50-query cap lands here (12+4+3+3+3+25 above;
+    # --- the driver's 50-query cap lands here (12+4+3+3+4+24 above;
     # the cap cuts inside the r5-only block) ---
     # Still r5-green-only past the cap, on unchanged code:
     # q5_local_supplier_volume, q10_returned_items, a_salted_hot_key_agg,
