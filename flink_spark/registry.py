@@ -86,81 +86,9 @@ def release_persisted() -> None:
 # remainder (all green in the latest snapshot) follow in registration
 # order and absorb the cap.
 _SNAPSHOT_FIRST = (
-    # never driver-checked in ANY round (added after the r6 list froze) —
-    # these twelve need their first CORRECTNESS row (VERDICT r6 item #1)
-    "t_substring_dedup",
-    "t_decontaminate_fraction",
-    "t_decontaminate_spans",
-    "t_context_chunks",
-    "t_table_profile",
-    "e_filtered_topk",
-    "e_semantic_decontaminate",
-    "e_pq_adc_topk",
-    "e_ivfpq_topk",
-    "t_shuffle_shards",
-    "t_bpe_train",
-    "t_bpe_segment",
-    # implementation rewritten this round (content-keyed keeper windows
-    # retired, VERDICT r6 item #2) — re-green on the new plans
-    "t_corpus_pipeline",
-    "t_training_pipeline",
-    "t_cross_source_dedup",
-    "t_dup_clusters",
-    # code changed in r6 (banded SRP-LSH rewrite / LRU merge fix) but the
-    # standing green rows are r5 rows on the OLD code — refresh them
-    "t_embedding_neardup",
-    "e_ann_lsh_topk",
-    "j_lru_dim_join",
-    # NEW this round — first driver rows
-    "t_bm25_topk",
-    "t_zipf_profile",
-    "t_containment_dups",
-    # also rewritten this round (two-phase mixture selection / sharded
-    # inline packing / grouped_topk ranks / prefix+positional-filtered
-    # Jaccard) — re-green on the new plans
-    "t_source_mixture",
-    "t_distinctive_terms",
-    "w_topn_per_window",
-    "t_ngram_jaccard_dups",
-    # green in r5 only (rotated out of the r6 snapshot); refresh so the
-    # r6+r7 union keeps full-catalog coverage. Ordered complex-first; the
-    # cap cuts inside this block.
-    "t_minhash_lsh_dups",
-    "t_simhash_dups",
-    "t_decontaminate",
-    "t_token_stats",
-    "m_binary_meta",
-    "m_decode_features",
-    "m_doc_embedding_join",
-    "m_frame_sample",
-    "m_resize_bytes",
-    "e_cosine_topk",
-    "e_norm_stats",
-    "s_cep_browse_buy",
-    "s_cep_jump",
-    "s_dedup_latest",
-    "sql_revenue_forecast",
-    "j_broadcast_dim_join",
-    "j_interval_join",
-    "j_left_outer_enrich",
-    "j_left_outer_interval",
-    "j_two_key_join",
-    "j_wide_order_5way",
-    "j_full_outer_metrics",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    # --- the driver's 50-query cap lands here (12+4+3+3+4+24 above;
-    # the cap cuts inside the r5-only block) ---
-    # Still r5-green-only past the cap, on unchanged code:
-    # q5_local_supplier_volume, q10_returned_items, a_salted_hot_key_agg,
-    # p_cdc_map_projection, p_conditional_delta, p_split_counts,
-    # p_json_extract, p_projection_filter, r_config_routing,
-    # f_scalar_datetime, u_union_metrics, and the nine ads_*
-    # aggregations
-    # (category_fullouter, channel_stats, conditional_score, funnel_union,
-    # gmv_topk_brand, hourly_stats, keyword_score, province_stats,
-    # subsidy_rate, topk_users) — simple relational plans whose r5 rows
-    # stand; rotate them forward in r8.
+    # r8 rotation (VERDICT r7 item #1): these 21 queries' only green rows
+    # are from r5 — three rounds stale. Code unchanged since r5, but the
+    # staleness limit says re-green them first.
     "q5_local_supplier_volume",
     "q10_returned_items",
     "a_salted_hot_key_agg",
@@ -182,6 +110,64 @@ _SNAPSHOT_FIRST = (
     "ads_conditional_score",
     "ads_funnel_union",
     "ads_category_fullouter",
+    # code changed in r8 — re-green on the new plans:
+    # containment asymmetric prefix filter, zipf lazy-stats rewrite,
+    # dup-clusters CC acceleration, BPE oracle work, topk name guards
+    "t_containment_dups",
+    "t_zipf_profile",
+    "t_dup_clusters",
+    "t_bpe_train",
+    "t_bpe_segment",
+    "w_topn_per_window",
+    "t_source_mixture",
+    "t_distinctive_terms",
+    "t_ngram_jaccard_dups",
+    # r7-green rows on unchanged code, freshest-coverage order; the 50-cap
+    # cuts inside this block (21+9 above → 20 slots remain)
+    "t_corpus_pipeline",
+    "t_training_pipeline",
+    "t_cross_source_dedup",
+    "t_embedding_neardup",
+    "e_ann_lsh_topk",
+    "j_lru_dim_join",
+    "t_bm25_topk",
+    "t_minhash_lsh_dups",
+    "t_simhash_dups",
+    "t_decontaminate",
+    "t_token_stats",
+    "t_substring_dedup",
+    "t_decontaminate_fraction",
+    "t_decontaminate_spans",
+    "t_context_chunks",
+    "t_table_profile",
+    "e_filtered_topk",
+    "e_semantic_decontaminate",
+    "e_pq_adc_topk",
+    "e_ivfpq_topk",
+    # --- the driver's 50-query cap lands here ---
+    # Everything below is r6/r7-green on unchanged code; registration
+    # order absorbs the cap.
+    "t_shuffle_shards",
+    "m_binary_meta",
+    "m_decode_features",
+    "m_doc_embedding_join",
+    "m_frame_sample",
+    "m_resize_bytes",
+    "e_cosine_topk",
+    "e_norm_stats",
+    "s_cep_browse_buy",
+    "s_cep_jump",
+    "s_dedup_latest",
+    "sql_revenue_forecast",
+    "j_broadcast_dim_join",
+    "j_interval_join",
+    "j_left_outer_enrich",
+    "j_left_outer_interval",
+    "j_two_key_join",
+    "j_wide_order_5way",
+    "j_full_outer_metrics",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
 )
 
 
