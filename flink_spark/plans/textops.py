@@ -1021,6 +1021,12 @@ def hash_quota_heads(
     (default) caches it for the query's lifetime; pass ``False`` when
     the caller already persisted the lineage.
     """
+    reserved = {"_all", "_B1", "_B2", "_need2", "_rn2"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"hash_quota_heads: input columns {sorted(reserved)} collide "
+            "with internal names; rename them before calling"
+        )
     spark = df.sparkSession
     if persist:
         df = track_persist(df)
@@ -3788,19 +3794,23 @@ def t_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit MUST not itself straggle on the skew it measures), top-k by
     TakeOrderedAndProject, then rank/cumulative windows over the
     {ZIPF_TOP}-row result — bounded by construction. The token total
-    rides the same small result via a one-row broadcast.
+    rides the top-k rows as a one-row broadcast cross-join (the
+    ``t_bm25_topk`` recipe) — the plan stays fully lazy, so the
+    returned DataFrame re-executes against current data instead of
+    baking a plan-build-time count in as a stale literal.
     """
     docs = load(spark, sf_dir, "documents")
     ex = docs.select(F.explode(tokenize("text")).alias("w")).filter(
         F.col("w") != ""
     )
     ex = track_persist(ex)  # total + counts share the explode
-    total = ex.count()
+    tot = ex.agg(F.count(F.lit(1)).alias("_total"))
     top = (
         ex.groupBy("w")
         .agg(F.count(F.lit(1)).alias("ct"))
         .orderBy(F.desc("ct"), "w")
         .limit(ZIPF_TOP)
+        .crossJoin(F.broadcast(tot))
     )
     w_rank = Window.orderBy(F.desc("ct"), "w")
     w_cum = Window.orderBy("rank").rowsBetween(
@@ -3812,8 +3822,8 @@ def t_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
             F.col("w").alias("token"),
             F.col("ct").cast("long").alias("ct"),
-            (F.col("ct").cast("double") / F.lit(total)).alias("share"),
-            (F.sum("ct").over(w_cum).cast("double") / F.lit(total)).alias(
+            (F.col("ct").cast("double") / F.col("_total")).alias("share"),
+            (F.sum("ct").over(w_cum).cast("double") / F.col("_total")).alias(
                 "cum_share"
             ),
         )

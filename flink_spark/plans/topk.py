@@ -42,6 +42,12 @@ def grouped_topk(
     partitioning (any slicing works), so task retries or AQE
     re-planning cannot change the result, only the slice boundaries.
     """
+    reserved = {"_pid", "_r1", rank_col} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"grouped_topk: input columns {sorted(reserved)} collide with "
+            "internal/rank names; rename them or pass a different rank_col"
+        )
     group = list(group_cols)
     order = list(order_cols)
     w1 = Window.partitionBy(*group, "_pid").orderBy(*order)

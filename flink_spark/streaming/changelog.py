@@ -69,6 +69,7 @@ from pyspark.sql import functions as F
 from flink_spark.streaming.sinks import (
     _CHANGELOG,
     _MANIFEST,
+    _epoch_dir,
     read_changelog,
     read_upsert_table,
 )
@@ -263,9 +264,52 @@ def changelog_agg_stream(
     sdf = changelog_stream(spark, table)
 
     def apply(batch: DataFrame, _consumer_epoch: int) -> None:
-        _fold_changelog_batch(batch, group_cols, sum_cols, state_path, derive)
+        _fold_changelog_batch(
+            batch, group_cols, sum_cols, state_path, derive, table=table
+        )
 
     return sdf.writeStream.foreachBatch(apply).outputMode("append")
+
+
+def _resolve_dead_holes(
+    spark: SparkSession, table: str, missing: list[int]
+) -> list[int]:
+    """Drop holes that can never deliver rows.
+
+    A hole is DEAD — no future batch will ever carry its epoch id — in
+    exactly two observable cases: the epoch dir is absent (truncated by
+    retention, or a producer epoch-counter gap that never wrote one),
+    or the dir exists but holds zero rows (an empty-diff epoch: the
+    producer committed but emitted nothing observable, so the watermark
+    jumped it). Keeping a dead hole would pin the consumer in the
+    lenient prune branch forever — row_ct==0 groups with cancelled-pair
+    float residue would accumulate as phantom state. A hole whose dir
+    has real rows is a genuine pending late delivery and is kept.
+
+    Cost: one bounded parquet probe per outstanding hole, only on
+    batches that fold fresh rows while holes exist — holes are the
+    out-of-order insurance path, empty in the steady state.
+    """
+    alive: list[int] = []
+    cdir = os.path.join(table, _CHANGELOG)
+    for ep in missing:
+        dirs = [
+            d
+            for d in (
+                os.path.join(cdir, _epoch_dir(ep)),
+                os.path.join(cdir, f"e{ep}"),  # pre-padding legacy name
+            )
+            if os.path.isdir(d)
+        ]
+        if not dirs:
+            continue  # unresolvable: nothing on disk can deliver it
+        try:
+            if spark.read.parquet(*dirs).limit(1).count() == 0:
+                continue  # verifiably empty epoch: nothing to fold
+        except Exception:
+            pass  # unreadable (e.g. no parquet footer yet): keep waiting
+        alive.append(ep)
+    return alive
 
 
 def _fold_changelog_batch(
@@ -274,11 +318,16 @@ def _fold_changelog_batch(
     sum_cols: list[str],
     state_path: str,
     derive=None,
+    table: str | None = None,
 ) -> None:
     """Fold one batch of retraction pairs into the state table.
 
     Module-level (not a closure) so tests can drive epochs in arbitrary
-    delivery orders; ``changelog_agg_stream`` is a thin wrapper.
+    delivery orders; ``changelog_agg_stream`` is a thin wrapper. When
+    ``table`` (the producer path) is known, dead holes — epochs that
+    can never deliver rows — are resolved against the changelog dirs
+    (``_resolve_dead_holes``) so the hole set cannot grow without
+    bound and the strict ``row_ct != 0`` prune re-engages.
     """
     spark = batch.sparkSession
     meta = _read_state_meta(state_path)
@@ -306,6 +355,8 @@ def _fold_changelog_batch(
             (set(missing) | set(range(applied + 1, hi)))
             - set(present)
         )
+        if missing and table is not None:
+            missing = _resolve_dead_holes(spark, table, missing)
         work = derive(fresh) if derive is not None else fresh
         sign = F.when(F.col("_op") == "-U", F.lit(-1)).otherwise(F.lit(1))
         deltas = (

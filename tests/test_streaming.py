@@ -1357,6 +1357,67 @@ def test_changelog_out_of_order_epoch_delivery(spark, tmp_path):
     assert meta() == before
 
 
+def test_changelog_dead_holes_resolved(spark, tmp_path):
+    """Holes that can never be delivered must not pin the hole set
+    forever. Two dead shapes exist: an empty-diff epoch (the producer
+    committed a 0-row file — no row ever carries its epoch id, so the
+    watermark jumps it) and an epoch dir dropped by retention (or a
+    producer epoch-counter gap). With the producer table known, the
+    fold resolves both against the changelog dirs and the strict
+    row_ct prune re-engages; a hole whose dir holds real rows is a
+    genuine pending delivery and stays."""
+    import json
+    import os
+    import shutil
+
+    from flink_spark.streaming import read_changelog, truncate_changelog
+    from flink_spark.streaming.changelog import (
+        _STATE_MANIFEST,
+        _fold_changelog_batch,
+    )
+
+    table, produce = _phased_producer(spark, tmp_path)
+    produce(0, 4)
+    log = read_changelog(spark, table)
+    # decouple delivery batches from the files we are about to mutate
+    batches = {
+        ep: spark.createDataFrame(
+            log.filter(F.col("_epoch") == ep).collect(), log.schema
+        )
+        for ep in range(4)
+    }
+
+    # rewrite epoch 1 as a genuinely empty diff (0-row file, schema kept)
+    e1 = os.path.join(table, "_changelog", f"e{1:012d}")
+    shutil.rmtree(e1)
+    spark.createDataFrame([], log.schema).write.parquet(e1)
+
+    def deliver(state, ep):
+        _fold_changelog_batch(
+            batches[ep], ["event_type"], ["value"], state, table=table
+        )
+
+    def meta(state):
+        with open(os.path.join(state, _STATE_MANIFEST)) as f:
+            return json.load(f)
+
+    # case 1: empty-diff hole dies at record time; real hole survives
+    s1 = str(tmp_path / "s1")
+    deliver(s1, 2)  # jumps 0 and 1
+    assert meta(s1)["applied"] == 2
+    assert meta(s1)["missing"] == [0]  # e1 verifiably empty → dead
+    deliver(s1, 0)  # the live hole drains normally
+    assert meta(s1)["missing"] == []
+
+    # case 2: retention removes the hole epochs' dirs → unresolvable
+    truncate_changelog(table, 2)  # e0 (and empty e1) gone
+    s2 = str(tmp_path / "s2")
+    deliver(s2, 2)
+    assert meta(s2)["applied"] == 2 and meta(s2)["missing"] == []
+    deliver(s2, 3)
+    assert meta(s2)["applied"] == 3 and meta(s2)["missing"] == []
+
+
 def test_changelog_fold_commutes_under_random_delivery(spark, tmp_path):
     """Property: ANY delivery permutation of the epochs — including
     re-deliveries injected mid-sequence — converges to the batch
