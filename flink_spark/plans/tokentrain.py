@@ -157,6 +157,10 @@ def t_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- BPE trainer knobs ---
 
+from flink_spark.functions.text import toks_sql  # noqa: E402
+
+_TOKS = toks_sql("text")
+
 # Merge-table size. 24 rounds is enough to surface real subword
 # structure on the fixture corpus while keeping the iterative query
 # inside a correctness-gate budget; production training passes
@@ -170,6 +174,110 @@ BPE_MERGES = int(os.environ.get("FLINK_SPARK_BPE_MERGES", "24"))
 # corpus size. The CAP is computed distributed (TakeOrdered over the
 # full word-count table); only the bounded vocab iterates.
 BPE_VOCAB_WORDS = int(os.environ.get("FLINK_SPARK_BPE_VOCAB", "20000"))
+
+
+def _fold_sql(s: str, lft: str, rgt: str) -> str:
+    """DuckDB mirror of ``_apply_merge``: one greedy merge pass.
+
+    Same left fold, string accumulator: tokens join with single
+    spaces, every appended token carries a leading space, so
+    ``ends_with(acc, ' ' || lft)`` is an EXACT last-token test
+    (symbols never contain spaces) and rewriting the suffix to the
+    merged token reproduces the scan — including the no-remerge
+    property (the merged token ≠ lft since rgt is non-empty).
+    """
+    return (
+        f"trim(list_reduce(list_prepend('', str_split({s}, ' ')), "
+        f"(acc, x) -> CASE WHEN ends_with(acc, ' ' || {lft}) "
+        f"AND x = {rgt} "
+        f"THEN left(acc, length(acc) - length({lft}) - 1) "
+        f"|| ' ' || {lft} || {rgt} "
+        f"ELSE acc || ' ' || x END))"
+    )
+
+
+def _bpe_train_ctes() -> str:
+    """The WHOLE trainer, unrolled to {BPE_MERGES} materialized CTEs.
+
+    SQL can't loop, but the round count is a compile-time constant, so
+    the iterative argmax loop unrolls exactly: ``v{{i}}`` is the vocab
+    after i merges, ``b{{i}}`` the (≤1-row) round-i argmax with the
+    trainer's total tie order (count DESC, pair lexicographic) and its
+    stop rule (``n >= 2``; once a round is empty every later round sees
+    an unchanged vocab and stays empty — the unrolled form of break).
+    ``AS MATERIALIZED`` pins each vocab to evaluate once (each is
+    referenced by the next round's argmax AND rewrite; inlining would
+    re-derive the whole chain per reference).
+    """
+    parts = [
+        f"""words AS MATERIALIZED (
+      SELECT w, COUNT(*) AS cnt
+      FROM (SELECT unnest({_TOKS}) AS w FROM documents)
+      GROUP BY w ORDER BY cnt DESC, w LIMIT {BPE_VOCAB_WORDS})""",
+        """v0 AS MATERIALIZED (
+      SELECT w, cnt,
+             array_to_string(list_transform(range(1, length(w) + 1),
+                                            i -> substr(w, i, 1)),
+                             ' ') AS s
+      FROM words)""",
+    ]
+    for i in range(BPE_MERGES):
+        parts.append(
+            f"""b{i} AS MATERIALIZED (
+      SELECT lft, rgt, n FROM (
+        SELECT l[i] AS lft, l[i + 1] AS rgt, SUM(cnt) AS n
+        FROM (SELECT cnt, str_split(s, ' ') AS l FROM v{i}),
+             UNNEST(range(1, len(l))) AS t(i)
+        GROUP BY 1, 2)
+      WHERE n >= 2 ORDER BY n DESC, lft, rgt LIMIT 1)"""
+        )
+        parts.append(
+            f"""v{i + 1} AS MATERIALIZED (
+      SELECT v.w, v.cnt,
+             CASE WHEN b.lft IS NULL THEN v.s
+                  ELSE {_fold_sql('v.s', 'b.lft', 'b.rgt')} END AS s
+      FROM v{i} v LEFT JOIN b{i} b ON TRUE)"""
+        )
+    return ",\n    ".join(parts)
+
+
+def _bpe_merges_sql() -> str:
+    rows = "\n      UNION ALL ".join(
+        f"SELECT CAST({i} AS INTEGER) AS rank, lft, rgt, n FROM b{i}"
+        for i in range(BPE_MERGES)
+    )
+    return f"""
+    WITH {_bpe_train_ctes()}
+    SELECT rank, lft AS "left", rgt AS "right",
+           lft || rgt AS merged, CAST(n AS BIGINT) AS pair_count
+    FROM ({rows})
+    """
+
+
+def _bpe_segment_sql() -> str:
+    return f"""
+    WITH {_bpe_train_ctes()},
+    seg AS MATERIALIZED (
+      SELECT w, len(list_filter(str_split(s, ' '), x -> x <> '')) AS n_sym
+      FROM v{BPE_MERGES}),
+    corpus AS (
+      SELECT source, w, COUNT(*) AS occ
+      FROM (SELECT source, unnest({_TOKS}) AS w FROM documents)
+      GROUP BY 1, 2),
+    j AS (
+      SELECT source, occ,
+             occ * length(c.w) AS chars,
+             occ * coalesce(n_sym, length(c.w)) AS toks,
+             CASE WHEN n_sym IS NULL THEN occ ELSE 0 END AS oov
+      FROM corpus c LEFT JOIN seg USING (w))
+    SELECT source,
+           CAST(SUM(occ) AS BIGINT) AS word_occurrences,
+           CAST(SUM(toks) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(chars) AS BIGINT) AS chars,
+           CAST(SUM(chars) AS DOUBLE) / SUM(toks) AS chars_per_token,
+           CAST(SUM(oov) AS DOUBLE) / SUM(occ) AS oov_rate
+    FROM j GROUP BY source
+    """
 
 
 def _chars(col):
@@ -297,10 +405,12 @@ def _trained(spark: SparkSession, sf_dir: str):
 
 @query(
     "t_bpe_train",
-    # No DuckDB oracle: the trainer is an iterative argmax loop (each
-    # round's input depends on the previous round's winner) — the
-    # non-SQL-expressible category. Verified instead against a pure
-    # Python reference implementation in tests/test_tokentrain.py.
+    # The trainer is an iterative argmax loop — but the round count is
+    # a compile-time constant, so the loop UNROLLS into {BPE_MERGES}
+    # materialized CTE rounds and the whole training run becomes
+    # value-checkable SQL (also pinned against a pure-Python Sennrich
+    # reference in tests/test_tokentrain.py).
+    oracle=_bpe_merges_sql(),
     tags=("tokentrain", "bpe", "iterative"),
 )
 def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -330,9 +440,12 @@ def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "t_bpe_segment",
-    # Rows-only for the same reason as t_bpe_train (segmentation is a
-    # function of the learned merge table); value-pinned against the
-    # reference trainer + encoder in tests/test_tokentrain.py.
+    # Re-derives the FULL unrolled training run (same CTE chain as
+    # t_bpe_train's oracle), segments the capped vocab from the final
+    # round's symbol strings, and mirrors the corpus-stats join —
+    # value-checking segmentation end-to-end, not just under a pinned
+    # merge table. Also pytest-pinned (tests/test_tokentrain.py).
+    oracle=_bpe_segment_sql(),
     tags=("tokentrain", "bpe", "segmentation", "iterative"),
 )
 def t_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
