@@ -3874,38 +3874,94 @@ def t_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     the suffix-style passes of Lee et al. 2022) pair a symmetric
     near-dup stage with a containment/substring stage.
 
-    Scale shape: full inverted-index self-join on df-capped shingle
-    DIGESTS (the stop-shingle cap bounds fan-out; ``pair_self_join``
-    grid-splits anything hot that survives), pair multiplicities by
-    map-side-combined count, sizes attached by slim joins.
-    ``t_ngram_jaccard_dups``' prefix filter deliberately does NOT
-    transfer: the prefix principle needs a per-record lower bound on
-    the qualifying overlap, and containment's bound is
-    ``t·min(|A|,|B|)`` — from one record's perspective the partner
-    can be arbitrarily small, so no non-trivial prefix is safe. The
-    df cap is the operator's fan-out bound instead.
+    Scale shape: the ASYMMETRIC prefix scheme of the overlap-join
+    literature (the R-S containment case of Xiao et al.'s PPJoin
+    line). The symmetric Jaccard prefix does not transfer — from one
+    record's view the partner can be arbitrarily small, so no prefix
+    of the LARGER set is safe — but every qualifying pair has a
+    unique smaller side S, and its required overlap ``⌈t·|S|⌉``
+    depends on |S| alone. Hence: probe with each doc's
+    ``|S| − ⌈t·|S|⌉ + 1`` prefix (rarest-first order) against the
+    FULL df-capped postings of strictly-larger docs ((sz, doc_id)
+    lexicographic, so equal-size pairs are generated exactly once).
+    A PPJoin positional bound ``1 + min(|S|−rs, |T|−rt)`` then prunes
+    candidates before verification. Exact verification never carries
+    set ARRAYS (per-candidate array rows blow shuffle volume on a
+    dense-dup corpus — measured out-of-disk at a 500k-doc replica
+    with 256k qualifying pairs): instead the candidate's SMALLER
+    side's postings are re-exploded (|S| slim rows per candidate,
+    |S| = the containment denominator, so this is the minimal data
+    that can decide the score) and counted against the larger side's
+    (doc, digest)-keyed postings — joins on 16-byte digests, map-side
+    combined count, AQE-splittable, no fat rows anywhere. Every
+    filter is lossless, pinned by the unchanged full-index oracle on
+    each driver compare. The df cap (semantic, mirrored in the
+    oracle) still bounds per-shingle fan-out to ≤ {DF_CAP}
+    postings/side.
     """
+    from fractions import Fraction
+
     _, ex = _shingled(spark, sf_dir, persist=True)
     exd = ex.select("doc_id", F.unhex(F.md5("s")).alias("s"))
-    keep = exd.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(
-        F.col("df") <= DF_CAP
-    ).select("s")
-    ex2 = track_persist(exd.join(keep, "s").select("doc_id", "s"))
+    dfreq = exd.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    keep = dfreq.filter(F.col("df") <= DF_CAP)
+    ex2 = track_persist(exd.join(keep, "s").select("doc_id", "s", "df"))
     sizes = ex2.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    pairs = (
-        pair_self_join(ex2, "doc_id", ["s"], persist=False)
-        .groupBy("d1", "d2")
+    fr = Fraction(str(CONTAIN_THRESHOLD))
+
+    def req(sz):  # ⌈t·sz⌉ integer-exact (float ceil(0.8·5) over-prunes)
+        return (
+            (F.lit(fr.numerator) * sz + F.lit(fr.denominator - 1))
+            / F.lit(fr.denominator)
+        ).cast("long")
+
+    w_doc = Window.partitionBy("doc_id").orderBy("df", "s")  # per-doc: bounded
+    ranked = track_persist(
+        ex2.withColumn("_rn", F.row_number().over(w_doc))
+        .join(sizes, "doc_id")
+        .select("doc_id", "s", "_rn", "sz")
+    )
+    probe = ranked.filter(
+        F.col("_rn") <= F.col("sz") - req(F.col("sz")) + 1
+    ).select(
+        F.col("doc_id").alias("dp"), "s",
+        F.col("_rn").alias("rp"), F.col("sz").alias("szp"),
+    )
+    full = ranked.select(
+        F.col("doc_id").alias("dq"), "s",
+        F.col("_rn").alias("rq"), F.col("sz").alias("szq"),
+    )
+    # probe = canonical smaller side; per-shingle bucket ≤ DF_CAP rows
+    # per side, so the join needs no grid split — fan-out is df-bounded
+    hits = full.join(probe, "s").filter(
+        (F.col("szp") < F.col("szq"))
+        | ((F.col("szp") == F.col("szq")) & (F.col("dp") < F.col("dq")))
+    )
+    ub = F.lit(1) + F.least(
+        F.col("szp") - F.col("rp"), F.col("szq") - F.col("rq")
+    )
+    cand = (
+        hits.groupBy("dp", "dq")
+        .agg(F.max(ub).alias("_ub"), F.first("szp").alias("szp"))
+        .filter(F.col("_ub") >= req(F.col("szp")))
+        .select("dp", "dq", "szp")
+    )
+    p_post = ranked.select(F.col("doc_id").alias("dp"), "s")
+    q_post = ranked.select(F.col("doc_id").alias("dq"), "s")
+    shared_tbl = (
+        cand.select("dp", "dq")
+        .join(p_post, "dp")
+        .join(q_post, ["dq", "s"])
+        .groupBy("dp", "dq")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
-    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
-    cont = F.col("shared").cast("double") / F.least("sz1", "sz2")
+    cont = F.col("shared").cast("double") / F.col("szp")
     return (
-        pairs.join(s1, "d1")
-        .join(s2, "d2")
+        shared_tbl.join(cand, ["dp", "dq"])
         .filter(cont >= CONTAIN_THRESHOLD)
         .select(
-            "d1", "d2",
+            F.least("dp", "dq").alias("d1"),
+            F.greatest("dp", "dq").alias("d2"),
             F.col("shared").cast("long").alias("shared"),
             cont.alias("containment"),
         )
