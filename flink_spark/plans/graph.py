@@ -44,10 +44,23 @@ def connected_components(
 ) -> DataFrame:
     """labels(doc_id, cluster_id) for the graph given by pairs(d1, d2).
 
-    Two-phase: min-label propagation first (one join + one
-    groupBy-min per round, converges in diameter rounds — LSH
-    components are band-clique unions, so tiny in practice), and if
-    that has not converged after ``star_after`` rounds, the graph has
+    Three-phase. Phase 0 is ONE closed-neighborhood-min contraction
+    pass: every node maps to ``min(N(u) ∪ {u})`` (a single
+    groupBy-min over the symmetric edges) and the edge set is
+    rewritten over those labels. Duplicate-cluster graphs are
+    band-clique unions — near-cliques collapse to single labels in
+    this pass, so the graph the ITERATIVE phases see is a small
+    quotient (hub-and-spoke components vanish entirely), which is
+    what bounds round cost when the pair graph is millions of rows.
+    The pass is sound for any graph: nodes sharing a label share a
+    component, the quotient preserves connectivity, and a component's
+    global min m always maps to itself (its neighborhood has no
+    smaller id), so the quotient component's min IS m and composing
+    the two maps yields min-of-component labels.
+
+    Then min-label propagation on the quotient (one join + one
+    groupBy-min per round, converges in diameter rounds), and if that
+    has not converged after ``star_after`` rounds, the graph has
     chain-shaped components and the algorithm switches to the
     alternating large-star/small-star contraction of Kiveris et al.
     (SOCC'14), which converges in O(log² n) rounds regardless of
@@ -58,18 +71,59 @@ def connected_components(
     ``localCheckpoint`` cuts the iterative lineage (swap for a
     reliable HDFS checkpoint on a real cluster).
 
-    ``pairs`` must already be persisted/cheap: both phases re-read it.
+    ``pairs`` must already be persisted/cheap: phase 0 re-reads it.
     """
-    edges = pairs.select(F.col("d1").alias("u"), F.col("d2").alias("v")).union(
-        pairs.select(F.col("d2").alias("u"), F.col("d1").alias("v"))
+    edges0 = pairs.select(
+        F.col("d1").alias("u"), F.col("d2").alias("v")
+    ).union(pairs.select(F.col("d2").alias("u"), F.col("d1").alias("v")))
+    first = (
+        edges0.groupBy("u")
+        .agg(F.min("v").alias("_mn"))
+        .select("u", F.least("_mn", "u").alias("lbl"))
+        .localCheckpoint(eager=False)
     )
+    lu = first.select(F.col("u").alias("_eu"), F.col("lbl").alias("_lu"))
+    lv = first.select(F.col("u").alias("_ev"), F.col("lbl").alias("_lv"))
+    edges = (
+        edges0.join(lu, edges0.u == lu._eu)
+        .join(lv, edges0.v == lv._ev)
+        .select(F.col("_lu").alias("u"), F.col("_lv").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    core = _propagate(edges, min(star_after, max_rounds))
+    if core is None:
+        core = _star_contraction(
+            edges.filter(F.col("u") < F.col("v")).select(
+                F.col("u").alias("d1"), F.col("v").alias("d2")
+            ),
+            max_rounds,
+        )
+    core = core.select(
+        F.col("doc_id").alias("_lbl"), F.col("cluster_id").alias("_root")
+    )
+    return first.join(
+        core, first.lbl == core._lbl, "left"
+    ).select(
+        F.col("u").alias("doc_id"),
+        F.coalesce("_root", "lbl").alias("cluster_id"),
+    )
+
+
+def _propagate(edges: DataFrame, rounds: int) -> DataFrame | None:
+    """Min-label propagation over symmetric ``edges(u, v)``.
+
+    Returns labels(doc_id, cluster_id) on convergence, None if the
+    round budget ran out (caller falls back to star contraction).
+    """
     labels = (
         edges.select(F.col("u").alias("doc_id")).distinct()
         .withColumn("cluster_id", F.col("doc_id"))
         .localCheckpoint(eager=False)
     )
-    prev = None
-    for _ in range(min(star_after, max_rounds)):
+    prev: object = object()  # sentinel: never equals a real first sum
+    for _ in range(rounds):
         prop = edges.join(labels, edges.u == labels.doc_id).select(
             F.col("v").alias("doc_id"), "cluster_id"
         )
@@ -85,7 +139,11 @@ def connected_components(
         if cur == prev:
             return labels
         prev = cur
-    return _star_contraction(pairs, max_rounds)
+    # an EDGELESS quotient (every component collapsed in phase 0) has
+    # nothing to iterate: zero rounds is already converged
+    if rounds == 0 and labels.limit(1).count() == 0:
+        return labels
+    return None
 
 
 def _edge_signature(edges: DataFrame):
