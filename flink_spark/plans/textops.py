@@ -3874,95 +3874,62 @@ def t_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     the suffix-style passes of Lee et al. 2022) pair a symmetric
     near-dup stage with a containment/substring stage.
 
-    Scale shape: the ASYMMETRIC prefix scheme of the overlap-join
-    literature (the R-S containment case of Xiao et al.'s PPJoin
-    line). The symmetric Jaccard prefix does not transfer — from one
-    record's view the partner can be arbitrarily small, so no prefix
-    of the LARGER set is safe — but every qualifying pair has a
-    unique smaller side S, and its required overlap ``⌈t·|S|⌉``
-    depends on |S| alone. Hence: probe with each doc's
-    ``|S| − ⌈t·|S|⌉ + 1`` prefix (rarest-first order) against the
-    FULL df-capped postings of strictly-larger docs ((sz, doc_id)
-    lexicographic, so equal-size pairs are generated exactly once).
-    A PPJoin positional bound ``1 + min(|S|−rs, |T|−rt)`` then prunes
-    candidates before verification. Exact verification never carries
-    set ARRAYS (per-candidate array rows blow shuffle volume on a
-    dense-dup corpus — measured out-of-disk at a 500k-doc replica
-    with 256k qualifying pairs): instead the candidate's SMALLER
-    side's postings are re-exploded (|S| slim rows per candidate,
-    |S| = the containment denominator, so this is the minimal data
-    that can decide the score) and counted against the larger side's
-    (doc, digest)-keyed postings — joins on 16-byte digests, map-side
-    combined count, AQE-splittable, no fat rows anywhere. Every
-    filter is lossless, pinned by the unchanged full-index oracle on
-    each driver compare. The df cap (semantic, mirrored in the
-    oracle) still bounds per-shingle fan-out to ≤ {DF_CAP}
-    postings/side.
-    """
-    from fractions import Fraction
+    Scale shape: a SINGLE-PASS asymmetric count over the df-capped
+    inverted index — each co-bucket pair is generated exactly once
+    (smaller side first, (sz, doc_id)-lexicographic join predicate),
+    with both sizes riding the postings as payloads, so the count
+    stream map-side-combines straight into (pair, shared, szp) and
+    the threshold applies with NO post-joins. ``containment =
+    shared / szp`` because the probe side IS min(|A|,|B|) by
+    construction.
 
+    The Jaccard PPJoin prefix/positional scheme (``baaf316``)
+    provably does NOT transfer, and not merely for lack of a safe
+    prefix on the larger side: measured on a dense 500k-doc replica
+    (260M capped postings, 256k qualifying pairs), the asymmetric
+    smaller-side prefix admitted 55M probe rows (21%, as designed)
+    but 148.77M of 157M candidate pair-groups SURVIVED the
+    positional bound — for containment the requirement
+    ``1 + min(szp−rp, szq−rq) ≥ ⌈t·szp⌉`` degenerates to
+    ``rp ≤ szp − ⌈t·szp⌉ + 1``, i.e. the whole prefix, whenever the
+    partner is larger (the common case by construction). With ~580×
+    more candidates than answers, any per-candidate verification
+    (set arrays, or re-exploding the smaller side's postings —
+    7.49B rows measured) dwarfs the count stream it was meant to
+    avoid. Counting co-occurrences directly needs no candidate
+    materialization at all: the stream is ``Σ C(df,2)`` slim rows,
+    df-cap-bounded per shingle (≤ {DF_CAP} postings/side per key,
+    so no single join task can exceed ~{DF_CAP}²/2 pairs per key —
+    hash-spread across the key space, no grid split needed), and the
+    partial-aggregated shuffle carries only distinct pairs.
+    """
     _, ex = _shingled(spark, sf_dir, persist=True)
     exd = ex.select("doc_id", F.unhex(F.md5("s")).alias("s"))
-    dfreq = exd.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    keep = dfreq.filter(F.col("df") <= DF_CAP)
-    ex2 = track_persist(exd.join(keep, "s").select("doc_id", "s", "df"))
+    keep = exd.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= DF_CAP
+    ).select("s")
+    ex2 = track_persist(exd.join(keep, "s").select("doc_id", "s"))
     sizes = ex2.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    fr = Fraction(str(CONTAIN_THRESHOLD))
-
-    def req(sz):  # ⌈t·sz⌉ integer-exact (float ceil(0.8·5) over-prunes)
-        return (
-            (F.lit(fr.numerator) * sz + F.lit(fr.denominator - 1))
-            / F.lit(fr.denominator)
-        ).cast("long")
-
-    w_doc = Window.partitionBy("doc_id").orderBy("df", "s")  # per-doc: bounded
-    ranked = track_persist(
-        ex2.withColumn("_rn", F.row_number().over(w_doc))
-        .join(sizes, "doc_id")
-        .select("doc_id", "s", "_rn", "sz")
+    posts = ex2.join(sizes, "doc_id")
+    a = posts.select(
+        "s", F.col("doc_id").alias("dp"), F.col("sz").alias("szp")
     )
-    probe = ranked.filter(
-        F.col("_rn") <= F.col("sz") - req(F.col("sz")) + 1
-    ).select(
-        F.col("doc_id").alias("dp"), "s",
-        F.col("_rn").alias("rp"), F.col("sz").alias("szp"),
+    b = posts.select(
+        "s", F.col("doc_id").alias("dq"), F.col("sz").alias("szq")
     )
-    full = ranked.select(
-        F.col("doc_id").alias("dq"), "s",
-        F.col("_rn").alias("rq"), F.col("sz").alias("szq"),
-    )
-    # probe = canonical smaller side; per-shingle bucket ≤ DF_CAP rows
-    # per side, so the join needs no grid split — fan-out is df-bounded
-    hits = full.join(probe, "s").filter(
-        (F.col("szp") < F.col("szq"))
-        | ((F.col("szp") == F.col("szq")) & (F.col("dp") < F.col("dq")))
-    )
-    ub = F.lit(1) + F.least(
-        F.col("szp") - F.col("rp"), F.col("szq") - F.col("rq")
-    )
-    cand = (
-        hits.groupBy("dp", "dq")
-        .agg(F.max(ub).alias("_ub"), F.first("szp").alias("szp"))
-        .filter(F.col("_ub") >= req(F.col("szp")))
-        .select("dp", "dq", "szp")
-    )
-    p_post = ranked.select(F.col("doc_id").alias("dp"), "s")
-    q_post = ranked.select(F.col("doc_id").alias("dq"), "s")
-    shared_tbl = (
-        cand.select("dp", "dq")
-        .join(p_post, "dp")
-        .join(q_post, ["dq", "s"])
+    pairs = (
+        a.join(b, "s")
+        .filter(
+            (F.col("szp") < F.col("szq"))
+            | ((F.col("szp") == F.col("szq")) & (F.col("dp") < F.col("dq")))
+        )
         .groupBy("dp", "dq")
-        .agg(F.count(F.lit(1)).alias("shared"))
+        .agg(F.count(F.lit(1)).alias("shared"), F.first("szp").alias("szp"))
     )
     cont = F.col("shared").cast("double") / F.col("szp")
-    return (
-        shared_tbl.join(cand, ["dp", "dq"])
-        .filter(cont >= CONTAIN_THRESHOLD)
-        .select(
-            F.least("dp", "dq").alias("d1"),
-            F.greatest("dp", "dq").alias("d2"),
-            F.col("shared").cast("long").alias("shared"),
-            cont.alias("containment"),
-        )
+    return pairs.filter(cont >= CONTAIN_THRESHOLD).select(
+        F.least("dp", "dq").alias("d1"),
+        F.greatest("dp", "dq").alias("d2"),
+        F.col("shared").cast("long").alias("shared"),
+        cont.alias("containment"),
     )
