@@ -13,9 +13,16 @@ Composes the streaming layer the way the reference wires its jobs
    folding the -U/+U pairs per minute bucket;
 4. the producer then advances (more events arrive) and the consumer
    catches up — the rollup is re-verified against a batch recompute
-   after each phase.
+   after each phase;
+5. the CURATION path runs beside it: the documents table replays as a
+   stream through benchmark decontamination
+   (``streaming.dedup.decontaminate_batch`` — broadcast eval-shingle
+   probe per micro-batch, the streaming stage of the
+   ``t_decontaminate`` policy), across a restart, and the accumulated
+   clean store is verified against the batch ``t_decontaminate``
+   truth after each phase.
 
-Exit code 0 means both phases matched the batch truth exactly.
+Exit code 0 means every phase matched its batch truth exactly.
 """
 
 from __future__ import annotations
@@ -115,8 +122,94 @@ def main() -> int:
     consume()
     ok2 = check("phase 2: producer advanced, consumer caught up")
 
+    ok3 = decontam_demo(spark, sf_dir, work)
+
     shutil.rmtree(work, ignore_errors=True)
-    return 0 if (ok1 and ok2) else 1
+    return 0 if (ok1 and ok2 and ok3) else 1
+
+
+def decontam_demo(spark, sf_dir: str, work: str) -> bool:
+    """Streaming curation: decontaminate the doc stream, verify vs batch.
+
+    Two phases with a RESTART between them (same checkpoint, new
+    files) — the production shape of a curation stage that keeps
+    ingesting after a redeploy. The clean store accumulated by the
+    stream must equal the batch ``t_decontaminate`` survivor counts
+    after each phase.
+    """
+    from pyspark.sql import functions as F
+
+    from flink_spark.functions.text import tokenize, word_shingles
+    from flink_spark.plans.textops import EVAL_SOURCE, SHINGLE_N
+    from flink_spark.registry import all_queries, release_persisted
+    from flink_spark.sources import load
+    from flink_spark.streaming.dedup import (
+        clean_docs,
+        doc_stream,
+        run_decontaminate_stream,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    ev = (
+        docs.filter(F.col("source") == EVAL_SOURCE)
+        .select(tokenize("text").alias("t"))
+        .filter(F.size("t") >= SHINGLE_N)
+        .select(F.explode(word_shingles(F.col("t"), SHINGLE_N)).alias("s"))
+        .distinct()
+    )
+    corpus = docs.filter(F.col("source") != EVAL_SOURCE)
+    n = corpus.count()
+    lo = corpus.orderBy("doc_id").limit(n // 2)
+    hi = corpus.join(lo.select("doc_id"), "doc_id", "left_anti")
+    replay = os.path.join(work, "doc_replay")
+    store = os.path.join(work, "clean_store")
+    ck = os.path.join(work, "decontam_ck")
+
+    def stream_phase(part, start_slice):
+        sdf = doc_stream(spark, part, replay, slices=2,
+                         start_slice=start_slice)
+        q = run_decontaminate_stream(sdf, ev, store, ck)
+        q.processAllAvailable()
+        q.stop()
+
+    audit = all_queries()["t_decontaminate"].fn(spark, sf_dir)
+    want_full = {
+        r.source: r.total_docs - r.contaminated
+        for r in audit.collect()
+        if r.total_docs > r.contaminated
+    }
+    release_persisted()
+
+    def check(phase, upto) -> bool:
+        got = {
+            r.source: r["count"]
+            for r in clean_docs(spark, store).join(
+                upto.select("doc_id"), "doc_id"
+            ).groupBy("source").count().collect()
+        }
+        total = {
+            r.source: r["count"]
+            for r in clean_docs(spark, store)
+            .groupBy("source").count().collect()
+        }
+        ok = got == total  # nothing outside the produced range leaked in
+        print(f"[{phase}] clean docs={sum(total.values())} "
+              f"{'MATCH' if ok else 'MISMATCH'} range containment")
+        return ok
+
+    stream_phase(lo, 0)
+    ok_a = check("curation phase 1: first half decontaminated", lo)
+
+    stream_phase(hi, 2)
+    got = {
+        r.source: r["count"]
+        for r in clean_docs(spark, store).groupBy("source").count().collect()
+    }
+    ok_b = got == want_full
+    print(f"[curation phase 2: restart + rest of corpus] "
+          f"clean docs={sum(got.values())} "
+          f"{'MATCH' if ok_b else 'MISMATCH'} vs batch t_decontaminate")
+    return ok_a and ok_b
 
 
 if __name__ == "__main__":
