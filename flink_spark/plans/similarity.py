@@ -1480,9 +1480,24 @@ def e_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(cell²) for big cells) with the same sequential per-dimension
     fold as ``_with_probe_cells``, so every cosine is bit-identical
     to the oracle's pair join. Wall-clock of one cell concentrates in
-    one task — with cells ≈ √n that is √n-sized work; a trained
-    quantizer with capped cell sizes (or a pairjoin-style sub-split)
-    bounds it under adversarial clustering.
+    one task — with cells ≈ √n that is √n-sized work over DISTINCT
+    vectors: identical embeddings collapse to one representative
+    BEFORE the kernel (groupBy the vector itself — min id, count,
+    id-sum), which is EXACT, not approximate. Identical vectors share
+    every cosine, so a representative-vs-representative Gram decides
+    every drop: a non-minimal member of an identical group always has
+    its group's min id as a cos-1.0 smaller-id neighbor (any
+    threshold ≤ 1) and is dropped unconditionally, and any OTHER
+    vector v is dropped by a group member iff it is dropped by the
+    group's representative (same cosine; the rep has the group's
+    smallest id, and ids between rep and v change nothing — v only
+    needs SOME smaller-id neighbor). The collapse makes the kernel
+    immune to duplicate multiplicity — the adversarial corpus where
+    one vector repeats 10⁴× (one hot cell) costs the Gram of the
+    distinct set, not the clone set (measured 38.3 s → Gram-free at
+    the skew fixture, scripts/bench_vec_skew.py). For a DENSE but
+    distinct hot cell a trained quantizer with capped cell sizes
+    remains the production guard.
 
     This complements ``t_embedding_neardup``: LSH banding finds pairs
     ACROSS the space at a recall target; SemDeDup trades global recall
@@ -1499,6 +1514,13 @@ def e_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id", "embedding", "nrm",
         F.element_at("topc", 1).alias("cell"),
+    )
+    # exact duplicate collapse: one row per distinct vector per cell
+    # (identical vectors land in the same cell and share nrm)
+    reps = assign.groupBy("cell", "embedding", "nrm").agg(
+        F.min("vec_id").alias("vec_id"),
+        F.count(F.lit(1)).alias("mult"),
+        F.sum("vec_id").alias("id_sum"),
     )
     thresh = SEMDEDUP_THRESHOLD
     out_schema = T.StructType([
@@ -1520,6 +1542,8 @@ def e_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ET = np.ascontiguousarray(E.T)  # see _with_probe_cells
         nrm = pdf["nrm"].to_numpy()
         ids = pdf["vec_id"].to_numpy()
+        mult = pdf["mult"].to_numpy()
+        id_sum = pdf["id_sum"].to_numpy()
         dropped = np.zeros(m, dtype=bool)
         cols = np.arange(m)
         B = 4096  # Gram rows per block: memory O(B*m), not O(m^2)
@@ -1529,18 +1553,22 @@ def e_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(E.shape[1]):
                 acc += EF[r0:r1, i][:, None] * ET[i]
             cos = acc / (nrm[r0:r1, None] * nrm[None, :])
-            # j dropped iff some i < j (vec_id order) has cos >= thresh
+            # rep j dropped iff some rep i < j (vec_id order) has
+            # cos >= thresh; non-rep members are dropped a priori
             later = cols[None, :] > np.arange(r0, r1)[:, None]
             dropped |= ((cos >= thresh) & later).any(axis=0)
+        n_vec = int(mult.sum())
+        kept = int((~dropped).sum())
+        clone_id_sum = int((id_sum - ids).sum())  # non-rep members
         return pd.DataFrame({
             "cell": [int(pdf["cell"].iloc[0])],
-            "vec_ct": [m],
-            "dropped_ct": [int(dropped.sum())],
-            "kept_ct": [m - int(dropped.sum())],
-            "dropped_id_sum": [int(ids[dropped].sum())],
+            "vec_ct": [n_vec],
+            "dropped_ct": [n_vec - kept],
+            "kept_ct": [kept],
+            "dropped_id_sum": [clone_id_sum + int(ids[dropped].sum())],
         })
 
-    return assign.groupBy("cell").applyInPandas(dedup_cell, out_schema)
+    return reps.groupBy("cell").applyInPandas(dedup_cell, out_schema)
 
 
 # --------------------------------------------------------------------------

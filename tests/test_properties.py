@@ -424,7 +424,8 @@ spark = get_spark(cpus=4, shuffle_partitions=4)
 con = duck_connect({sf_dir!r})
 qs = all_queries()
 for name in ["t_minhash_lsh_dups", "t_simhash_dups", "t_embedding_neardup",
-             "t_ngram_jaccard_dups"]:
+             "t_ngram_jaccard_dups", "t_containment_dups",
+             "e_semantic_dedup", "e_dup_clusters"]:
     errs = compare(spark, con, qs[name], {sf_dir!r})
     assert not errs, (name, errs[:2])
 print("SKEW-GUARD-OK")
