@@ -1744,101 +1744,67 @@ def t_cjk_keyword_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by exact 3-gram Jaccard >= 0.8.
 
-    The scalable formulation: a PREFIX-FILTERED inverted-index
-    self-join (Bayardo et al. 2007 / PPJoin prefix principle). Under
-    any global total order on shingles, two sets with Jaccard ≥ t
-    must share an element inside their ``|X| − ⌈t·|X|⌉ + 1`` prefixes
-    — so only those prefixes enter the index, cutting postings ~5×
-    and candidate pairs ~25× at t=0.8 WITHOUT losing a single
-    qualifying pair (the filter is exact, not approximate; the oracle
-    keeps the full-index formulation and stays value-identical). The
-    canonical order is (document frequency ASC, digest): prefixes
-    hold each doc's RAREST shingles, so the surviving buckets are the
-    small ones. A df cap (>{DF_CAP} docs) still drops stop-shingles
-    first — it is semantic (mirrored in the oracle), bounding the
-    shingle UNIVERSE the similarity is defined over. Verification
-    computes the exact intersection of the full (capped) digest sets
-    per candidate. The index keys on the shingle's 16-byte md5
-    digest, not its ~25-byte token string.
+    A SINGLE-PASS co-occurrence count over the df-capped inverted
+    index (the ``t_containment_dups`` plan): per-shingle postings
+    join against themselves once per pair (``d1 < d2``), both sizes
+    ride the postings as payloads, and the pair fan-out collapses
+    INSIDE the join stage via map-side partial aggregation — only
+    distinct pairs ever cross a shuffle, and the threshold applies
+    straight off the (pair, shared, sz1, sz2) aggregate with zero
+    post-joins. The df cap (>{DF_CAP} docs) is semantic (mirrored in
+    the oracle), bounding both the shingle universe the similarity
+    is defined over and the per-key join fan-out (≤ {DF_CAP}
+    postings/side — no task exceeds ~{DF_CAP}²/2 pairs per key,
+    hash-spread across the digest key space). Index keys are the
+    shingle's 16-byte md5 digest, never the ~25-byte token string.
     Jaccard = shared / (|A| + |B| - shared), exact integer ratio.
-    """
-    from fractions import Fraction
 
+    This REPLACES the round-7 PPJoin prefix+positional formulation,
+    on measurements, not taste. The prefix principle is real (55M of
+    260M postings enter the index at t=0.8; the positional bound cut
+    122M co-hit groups to 12.79M candidates on a dense 500k-doc
+    replica) — but every way of VERIFYING those candidates lost to
+    the count stream it was meant to avoid, because candidate
+    density, not corpus size, is the decisive quantity. On a corpus
+    with 256k qualifying pairs the filters still passed 50× more
+    candidates than answers: per-candidate set arrays are ~13B hex
+    elements (~440 GB of traffic — measured out of disk), and even
+    slim per-candidate postings re-explosion is a 938M-row EXCHANGE
+    (out of disk again, on 69 GB free). The count form's fan-out
+    never leaves its join stage, so its footprint stays ~10 GB on
+    the same corpus. Cost of the robustness where the prefix DID
+    win: 1.56× on a sparse replica (190.6 s vs 122.2 s, r7
+    SCALING.md) — against a data-dependent plan that can exceed any
+    disk budget; at toy scale the count form is the faster one
+    (no collect_list set build, no rank window).
+    """
     _, ex = _shingled(spark, sf_dir, persist=True)
     exd = ex.select("doc_id", F.unhex(F.md5("s")).alias("s"))
-    dfreq = exd.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    keep = dfreq.filter(F.col("df") <= DF_CAP)
-    # ex2 feeds sizes, the per-doc set rebuild, and the prefix rank —
-    # persist so the df-cap join runs once
-    ex2 = track_persist(exd.join(keep, "s").select("doc_id", "s", "df"))
-    # verification sets hold HEX STRINGS: array_intersect has a
-    # hash-set fast path for string elements but degrades to nested
-    # byte-array scans for binary — measured 10× on the verify leg.
-    # The index/shuffle keys stay 16-byte binary.
-    sets = track_persist(
-        ex2.groupBy("doc_id").agg(
-            F.sort_array(F.collect_list(F.hex("s"))).alias("ss"),
-            F.count(F.lit(1)).alias("sz"),
-        )
+    keep = exd.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= DF_CAP
+    ).select("s")
+    ex2 = track_persist(exd.join(keep, "s").select("doc_id", "s"))
+    sizes = ex2.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    posts = ex2.join(sizes, "doc_id")
+    a = posts.select(
+        "s", F.col("doc_id").alias("d1"), F.col("sz").alias("sz1")
     )
-    # integer-exact ⌈t·sz⌉ (0.8·5 in doubles is 4.000…2 — ceil lies)
-    fr = Fraction(str(JACCARD_THRESHOLD))
-    min_ov = (
-        (F.lit(fr.numerator) * F.col("sz") + F.lit(fr.denominator - 1))
-        / F.lit(fr.denominator)
-    ).cast("long")
-    w_doc = Window.partitionBy("doc_id").orderBy("df", "s")  # per-doc: bounded
-    prefix = track_persist(
-        ex2.withColumn("_rn", F.row_number().over(w_doc))
-        .join(sets.select("doc_id", "sz"), "doc_id")
-        .filter(F.col("_rn") <= F.col("sz") - min_ov + 1)
-        .select("doc_id", "s", "_rn", "sz")
+    b = posts.select(
+        "s", F.col("doc_id").alias("d2"), F.col("sz").alias("sz2")
     )
-    # positional filter (PPJoin): a shared prefix element at positions
-    # (p1, p2) bounds the overlap by 1 + min(sz1−p1, sz2−p2); a pair
-    # whose best bound misses the pair's required overlap
-    # ⌈t·(sz1+sz2)/(1+t)⌉ can't qualify — pruned BEFORE the exact
-    # verification, so the fat set arrays only travel for plausible
-    # pairs. All filters here are lossless; only the exact
-    # intersection decides membership.
-    hits = pair_self_join(
-        prefix, "doc_id", ["s"], payload=["_rn", "sz"], persist=False
+    pairs = (
+        a.join(b, "s")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("shared"),
+             F.first("sz1").alias("sz1"), F.first("sz2").alias("sz2"))
     )
-    ub = F.least(
-        F.col("sz1") - F.col("_rn1"), F.col("sz2") - F.col("_rn2")
-    ) + 1
-    pnum, pden = fr.numerator, fr.numerator + fr.denominator
-    cand = (
-        hits.groupBy("d1", "d2")
-        .agg(
-            F.max(ub).alias("_ub"),
-            F.first("sz1").alias("sz1"),
-            F.first("sz2").alias("sz2"),
-        )
-        .filter(
-            F.col("_ub")
-            >= (
-                (F.lit(pnum) * (F.col("sz1") + F.col("sz2"))
-                 + F.lit(pden - 1))
-                / F.lit(pden)
-            ).cast("long")
-        )
-        .select("d1", "d2")
+    jac = F.col("shared").cast("double") / (
+        F.col("sz1") + F.col("sz2") - F.col("shared")
     )
-    a = sets.select(F.col("doc_id").alias("d1"), F.col("ss").alias("ss1"),
-                    F.col("sz").alias("sz1"))
-    b = sets.select(F.col("doc_id").alias("d2"), F.col("ss").alias("ss2"),
-                    F.col("sz").alias("sz2"))
-    shared = F.size(F.array_intersect("ss1", "ss2"))
-    jac = shared.cast("double") / (
-        F.col("sz1") + F.col("sz2") - shared
-    )
-    return (
-        cand.join(a, "d1")
-        .join(b, "d2")
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("d1", "d2", shared.cast("long").alias("shared"),
-                jac.alias("jaccard"))
+    return pairs.filter(jac >= JACCARD_THRESHOLD).select(
+        "d1", "d2", F.col("shared").cast("long").alias("shared"),
+        jac.alias("jaccard"),
     )
 
 
