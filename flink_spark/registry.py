@@ -111,8 +111,11 @@ _SNAPSHOT_FIRST = (
     "ads_funnel_union",
     "ads_category_fullouter",
     # code changed in r8 — re-green on the new plans:
-    # containment asymmetric prefix filter, zipf lazy-stats rewrite,
-    # dup-clusters CC acceleration, BPE oracle work, topk name guards
+    # containment/Jaccard count-form verifies, zipf lazy-stats rewrite,
+    # CC phase-0 contraction (both cluster consumers), SemDeDup
+    # rep-collapse, BPE oracle work, topk name guards
+    "e_dup_clusters",
+    "e_semantic_dedup",
     "t_containment_dups",
     "t_zipf_profile",
     "t_dup_clusters",
