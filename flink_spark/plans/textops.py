@@ -1892,7 +1892,25 @@ _MINHASH_PAIRS_CTES = f"""{_SHINGLE_CTE},
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified MinHash-LSH near-dup pairs (d1 < d2, jaccard) — the
     Spark twin of ``_MINHASH_PAIRS_CTES``; see ``t_minhash_lsh_dups``
-    for the algorithm notes."""
+    for the algorithm notes.
+
+    The verify leg is the COUNT form (round 9): the round-8 plan
+    joined both docs' full shingle arrays onto every LSH candidate —
+    the exact shape measured OUT OF DISK for its Jaccard sibling on a
+    candidate-dense replica (~440 GB of array traffic, SCALING.md
+    §R8). Here instead the inverted index is restricted to docs that
+    appear in ≥1 band collision, self-joined per shingle digest with
+    both sizes riding as payloads (the proven ``t_ngram_jaccard_dups``
+    kernel), and the pair fan-out collapses INSIDE the join stage via
+    map-side partial aggregation; the (pair, shared, sz1, sz2)
+    aggregate then inner-joins the candidate set, so only LSH
+    candidates are scored. Intermediate state never exceeds the
+    distinct co-occurring pairs among CANDIDATE docs — LSH recall
+    bounds that set, and the shingle self-join is grid-split by
+    ``pair_self_join`` so a stop-shingle shared by every candidate doc
+    cannot produce one quadratic task. The array-based DuckDB oracle
+    is unchanged: it remains the losslessness proof for the rewrite.
+    """
     sh, ex = _shingled(spark, sf_dir, persist=True)
     sigs = _hashed_shingles_spark(ex).groupBy("doc_id").agg(*_minhash_cols_spark())
     bands = sigs.select(
@@ -1901,16 +1919,32 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # skew-guarded band-key self-join (plans.pairjoin): a boilerplate
     # page duplicated millions of times lands every copy in one band
     # bucket — the guard grid-splits it instead of one quadratic task
-    cand = pair_self_join(bands, "doc_id", ["bkey"]).distinct()
-    x = sh.select(F.col("doc_id").alias("d1"), F.col("sl").alias("sl1"))
-    y = sh.select(F.col("doc_id").alias("d2"), F.col("sl").alias("sl2"))
-    shared = F.size(F.array_intersect("sl1", "sl2"))
-    jac = shared.cast("double") / (F.size("sl1") + F.size("sl2") - shared)
-    # no explicit broadcast: at corpus scale the shingle table is the
-    # big side and candidates the small one — AQE picks the build side.
+    cand = track_persist(pair_self_join(bands, "doc_id", ["bkey"]).distinct())
+    # restrict the verify index to candidate docs: on a well-deduped
+    # corpus most docs never collide in any band and pay nothing here
+    cdocs = (
+        cand.select(F.col("d1").alias("doc_id"))
+        .union(cand.select(F.col("d2").alias("doc_id")))
+        .distinct()
+    )
+    sizes = sh.select("doc_id", F.size("sl").alias("sz"))
+    posts = (
+        ex.join(cdocs, "doc_id")
+        # 16-byte md5 digests as index keys, never the ~25-byte strings
+        .select("doc_id", F.unhex(F.md5("s")).alias("s"))
+        .join(sizes, "doc_id")
+    )
+    co = pair_self_join(posts, "doc_id", ["s"], payload=["sz"])
+    counts = co.groupBy("d1", "d2").agg(
+        F.count(F.lit(1)).alias("shared"),
+        F.first("sz1").alias("sz1"),
+        F.first("sz2").alias("sz2"),
+    )
+    jac = F.col("shared").cast("double") / (
+        F.col("sz1") + F.col("sz2") - F.col("shared")
+    )
     return (
-        cand.join(x, "d1")
-        .join(y, "d2")
+        counts.join(cand, ["d1", "d2"])
         .filter(jac >= JACCARD_THRESHOLD)
         .select("d1", "d2", jac.alias("jaccard"))
     )
@@ -1932,7 +1966,8 @@ def t_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature (one aggregation over its shingles), docs are joined on 4
     band keys — candidate generation is O(docs x bands), never
     all-pairs — and only candidates pay the exact-Jaccard verification
-    (array_intersect of two ~100-element arrays, JVM-side).
+    (a single-pass co-occurrence COUNT over the candidate-restricted
+    inverted index; see ``_minhash_pairs`` for why arrays lost).
 
     Determinism: one md5 per shingle split into two 32-bit ints
     (h1, h2); MinHash_j = min(h1 + j*h2) — pure integer min, identical

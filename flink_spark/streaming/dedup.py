@@ -151,12 +151,47 @@ def neardup_dedup_batch(
     bands_old = _store(spark, store_dir, "bands", before_epoch=epoch_id)
 
     def verified(cand: DataFrame, left_sh: DataFrame, right_sh: DataFrame):
-        x = left_sh.select(F.col("doc_id").alias("d1"), F.col("sl").alias("sl1"))
-        y = right_sh.select(F.col("doc_id").alias("d2"), F.col("sl").alias("sl2"))
-        shared = F.size(F.array_intersect("sl1", "sl2"))
-        jac = shared.cast("double") / (F.size("sl1") + F.size("sl2") - shared)
+        # Count-form verify (the t_ngram_jaccard_dups kernel; SCALING.md
+        # §R8): joining shingle ARRAYS onto candidates is quadratic in
+        # candidate density — the batch setting softens but does not
+        # remove that (a near-dup-heavy batch against a big store is
+        # exactly the dense case). Instead: restrict each side's
+        # inverted index to docs appearing in a candidate, join per
+        # shingle digest with sizes as payloads, and let the pair
+        # fan-out collapse map-side in the count aggregate. Per-key
+        # fan-out is bounded by (candidate docs per side) — the d2 side
+        # is batch-bounded, and the d1 side only holds stored docs that
+        # band-collided with THIS batch.
+        def posts(side_sh: DataFrame, keep: DataFrame, idc: str, szc: str):
+            return (
+                side_sh.join(keep, "doc_id")
+                .select(
+                    F.col("doc_id").alias(idc),
+                    F.size("sl").alias(szc),
+                    F.explode("sl").alias("s"),
+                )
+                .select(idc, szc, F.unhex(F.md5("s")).alias("s"))
+            )
+
+        a = posts(left_sh, cand.select(F.col("d1").alias("doc_id")).distinct(),
+                  "d1", "sz1")
+        b = posts(right_sh, cand.select(F.col("d2").alias("doc_id")).distinct(),
+                  "d2", "sz2")
+        counts = (
+            a.join(b, "s")
+            .filter(F.col("d1") != F.col("d2"))
+            .groupBy("d1", "d2")
+            .agg(
+                F.count(F.lit(1)).alias("shared"),
+                F.first("sz1").alias("sz1"),
+                F.first("sz2").alias("sz2"),
+            )
+        )
+        jac = F.col("shared").cast("double") / (
+            F.col("sz1") + F.col("sz2") - F.col("shared")
+        )
         return (
-            cand.join(x, "d1").join(y, "d2")
+            counts.join(cand, ["d1", "d2"])
             .filter(jac >= JACCARD_THRESHOLD)
             .select("d1", "d2")
         )
