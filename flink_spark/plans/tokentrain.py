@@ -210,9 +210,16 @@ def _bpe_train_ctes() -> str:
     re-derive the whole chain per reference).
     """
     parts = [
+        # w <> '' mirrors the trainer: text that normalizes to empty
+        # tokenizes to [''], and the two engines split '' differently
+        # (Spark sequence(1,0) auto-reverses into a ['',''] symbol
+        # pair; range(1,1) yields none) — the empty word is never a
+        # real vocab entry, so both sides drop it (the t_zipf_profile
+        # pattern)
         f"""words AS MATERIALIZED (
       SELECT w, COUNT(*) AS cnt
       FROM (SELECT unnest({_TOKS}) AS w FROM documents)
+      WHERE w <> ''
       GROUP BY w ORDER BY cnt DESC, w LIMIT {BPE_VOCAB_WORDS})""",
         """v0 AS MATERIALIZED (
       SELECT w, cnt,
@@ -263,6 +270,7 @@ def _bpe_segment_sql() -> str:
     corpus AS (
       SELECT source, w, COUNT(*) AS occ
       FROM (SELECT source, unnest({_TOKS}) AS w FROM documents)
+      WHERE w <> ''
       GROUP BY 1, 2),
     j AS (
       SELECT source, occ,
@@ -391,6 +399,11 @@ def _trained(spark: SparkSession, sf_dir: str):
     docs = load(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(tokenize("text")).alias("w"))
+        # empty-normalizing docs tokenize to ['']; the empty word is
+        # not a trainable vocab entry and its _chars split degenerates
+        # (sequence(1,0) reverses into ['','']) — drop it, mirrored in
+        # the oracle's words CTE
+        .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.desc("cnt"), "w")
@@ -471,6 +484,10 @@ def t_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     corpus = (
         docs.select("source", F.explode(tokenize("text")).alias("w"))
+        # the empty word is not a word occurrence (it is the tokenizer
+        # artifact of an empty-normalizing doc) and would zero a
+        # source's token sum — filtered on both sides
+        .filter(F.col("w") != "")
         .groupBy("source", "w")
         .agg(F.count(F.lit(1)).alias("occ"))
     )

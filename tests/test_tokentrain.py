@@ -195,6 +195,56 @@ def test_t_bpe_train_query_shape(spark):
     assert all(a >= b for a, b in zip(counts, counts[1:]))
 
 
+def test_bpe_oracle_survives_empty_normalizing_docs(spark, tmp_path):
+    """A doc whose text normalizes to EMPTY tokenizes to [''] — the
+    two engines split '' differently (Spark's sequence(1,0) reverses
+    into ['',''], DuckDB's range(1,1) yields no symbols), so an ''
+    word reaching the vocab desyncs trainer and oracle. Both sides now
+    filter it; this corpus makes '' the single most frequent word, so
+    any regression flips the vocab and the merge table."""
+    import duckdb
+
+    from flink_spark.registry import all_queries
+
+    docs = [(i, "!!! ...", "punct") for i in range(40)] + [
+        (100, "the quick brown fox jumps over the lazy dog", "web"),
+        (101, "the quick brown fox jumps over the lazy cat", "web"),
+        (102, "pack my box with five dozen liquor jugs", "books"),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, source string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    qs = all_queries()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    try:
+        got = [
+            (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+            for r in qs["t_bpe_train"].fn(spark, str(tmp_path)).collect()
+        ]
+        want = con.execute(qs["t_bpe_train"].oracle).fetchall()
+        assert got == want and got, "trainer/oracle merge tables diverged"
+        assert all("" not in (l, r) for _, l, r, _, _ in got)
+
+        seg = {
+            r["source"]: (r["word_occurrences"], r["bpe_tokens"], r["chars"])
+            for r in qs["t_bpe_segment"].fn(spark, str(tmp_path)).collect()
+        }
+        seg_o = {
+            s: (occ, toks, chars)
+            for s, occ, toks, chars, _, _ in con.execute(
+                qs["t_bpe_segment"].oracle
+            ).fetchall()
+        }
+        assert seg == seg_o
+    finally:
+        con.close()
+
+
 def test_shuffle_breaks_source_runs(spark):
     """The shuffled read order interleaves sources: adjacent
     same-source pairs must be well below the ingest-order worst case
