@@ -1345,13 +1345,31 @@ def p_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "a_approx_sketch_daily",
-    oracle=None,  # sketch results are estimator-specific by design:
-    # DuckDB's approx_count_distinct and Spark's HLL++ share the
-    # algorithm family but not register layouts, so cross-engine value
-    # equality is undefined. The driver records the rows-only check;
-    # the ACCURACY contract (≤5% relative error vs the exact
-    # aggregates) is pinned in tests/test_plans.py.
-    tags=("sketch", "approx", "rows-only"),
+    # Raw sketch values are estimator-specific by design (DuckDB's
+    # approx_count_distinct and Spark's HLL++ share the algorithm
+    # family but not register layouts), so the value-checked columns
+    # are the EXACT companions (pv, uv_exact) plus per-engine accuracy
+    # PREDICATES: each engine computes its own sketch and asserts its
+    # relative error against its own exact aggregate — the booleans
+    # must agree (TRUE) for the driver's hash to match, so a sketch
+    # drifting out of tolerance in either engine now fails the gate.
+    oracle="""
+    SELECT date_id, pv, uv_exact,
+           abs(uv_approx - uv_exact) <= greatest(2, 0.05 * uv_exact)
+             AS uv_sketch_ok,
+           abs(p50_approx - p50_exact) <= 0.05 * (hi - lo)
+             AS p50_sketch_ok
+    FROM (
+      SELECT strftime(ts, '%Y-%m-%d') AS date_id,
+             COUNT(*) AS pv,
+             COUNT(DISTINCT user_id) AS uv_exact,
+             approx_count_distinct(user_id) AS uv_approx,
+             approx_quantile(value, 0.5) AS p50_approx,
+             quantile_cont(value, 0.5) AS p50_exact,
+             MAX(value) AS hi, MIN(value) AS lo
+      FROM events GROUP BY 1)
+    """,
+    tags=("sketch", "approx"),
 )
 def a_approx_sketch_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily HLL distinct-user and quantile-sketch value percentiles.
@@ -1366,12 +1384,46 @@ def a_approx_sketch_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of cardinality. Exact twins in the catalog
     (``s_daily_unique_users``, ``t_length_percentiles``) remain the
     correctness oracles of record.
+
+    Output contract (round 9, closing the catalog's last rows-only
+    oracle): exact companions ``pv``/``uv_exact`` are value-checked
+    directly; the sketches are checked by ACCURACY predicates —
+    ``uv_sketch_ok`` (HLL within 5% relative, ±2 floor) and
+    ``p50_sketch_ok`` (median sketch within 5% of the day's value
+    span) — computed per-engine over that engine's own sketch. The
+    exact per-day caveat: computing uv_exact alongside costs the
+    two-stage distinct the sketch exists to avoid; at 100 TB you ship
+    only the sketch columns and this query is the parity harness.
+    Raw sketch values stay pinned in tests/test_plans.py.
     """
     ev = load(spark, sf_dir, "events")
-    return ev.groupBy(
+    agg = ev.groupBy(
         F.date_format("ts", "yyyy-MM-dd").alias("date_id")
     ).agg(
-        F.approx_count_distinct("user_id").alias("uv_approx"),
-        F.percentile_approx("value", 0.5).alias("value_p50_approx"),
         F.count(F.lit(1)).alias("pv"),
+        F.countDistinct("user_id").alias("uv_exact"),
+        # rsd=0.01 (≈1σ at 1%) against the 5% gate: the default 0.05
+        # puts the gate at 1σ and a 30-day corpus WILL cross it
+        # (measured 5.19% on one sf0.01 day). DuckDB's HLL is fixed
+        # at ~0.8% error, so both engines sit ≥5σ inside the predicate.
+        # Cost: ~16 KB of registers per group partial — the mergeable-
+        # state bound the docstring's scale argument already assumes.
+        F.approx_count_distinct("user_id", rsd=0.01).alias("uv_approx"),
+        F.percentile_approx("value", 0.5).alias("p50_approx"),
+        F.expr("percentile(value, 0.5)").alias("p50_exact"),
+        F.max("value").alias("hi"),
+        F.min("value").alias("lo"),
+    )
+    return agg.select(
+        "date_id",
+        "pv",
+        "uv_exact",
+        (
+            F.abs(F.col("uv_approx") - F.col("uv_exact"))
+            <= F.greatest(F.lit(2.0), 0.05 * F.col("uv_exact"))
+        ).alias("uv_sketch_ok"),
+        (
+            F.abs(F.col("p50_approx") - F.col("p50_exact"))
+            <= 0.05 * (F.col("hi") - F.col("lo"))
+        ).alias("p50_sketch_ok"),
     )

@@ -363,32 +363,40 @@ def test_pair_join_guard_keeps_plain_path_when_unskewed(spark):
 
 
 def test_approx_sketches_within_tolerance(spark):
-    """a_approx_sketch_daily has no cross-engine oracle (sketch
-    layouts differ); its contract is accuracy: HLL distinct within 5%
-    of exact, median sketch within the value span's 5%."""
-    rows = {
+    """a_approx_sketch_daily's sketch accuracy, pinned on RAW sketch
+    values (the query's own output carries only the accuracy
+    predicates — re-derive the sketches here so a tolerance bug in the
+    predicate columns can't hide a drifting estimator), plus the
+    output contract: exact companions match an independent exact
+    aggregation and every per-day predicate is TRUE."""
+    from flink_spark.sources import load
+
+    out = {
         r["date_id"]: r
         for r in _Q["a_approx_sketch_daily"].fn(spark, SF_DIR).collect()
     }
-    from flink_spark.sources import load
-
-    exact = (
+    raw = (
         load(spark, SF_DIR, "events")
         .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("date_id"))
         .agg(
+            F.count(F.lit(1)).alias("pv"),
             F.countDistinct("user_id").alias("uv"),
+            F.approx_count_distinct("user_id", rsd=0.01).alias("uv_approx"),
+            F.percentile_approx("value", 0.5).alias("p50_approx"),
             F.expr("percentile(value, 0.5)").alias("p50"),
             F.max("value").alias("hi"),
             F.min("value").alias("lo"),
         )
         .collect()
     )
-    assert rows and len(exact) == len(rows)
-    for e in exact:
-        a = rows[e["date_id"]]
-        assert abs(a["uv_approx"] - e["uv"]) <= max(2, 0.05 * e["uv"]), e
+    assert out and len(raw) == len(out)
+    for e in raw:
+        a = out[e["date_id"]]
+        assert abs(e["uv_approx"] - e["uv"]) <= max(2, 0.05 * e["uv"]), e
         span = e["hi"] - e["lo"]
-        assert abs(a["value_p50_approx"] - e["p50"]) <= 0.05 * span, e
+        assert abs(e["p50_approx"] - e["p50"]) <= 0.05 * span, e
+        assert (a["pv"], a["uv_exact"]) == (e["pv"], e["uv"])
+        assert a["uv_sketch_ok"] and a["p50_sketch_ok"], e
 
 
 def test_bm25_is_scan_stats_takeordered(spark):
