@@ -5,15 +5,39 @@ Prints ONE JSON line:
 
 Each query is fully executed via the no-op sink (forces every stage,
 no driver-side collect cost skewing the numbers). A full untimed pass
-absorbs JVM startup and per-plan codegen so the timed pass reflects
-steady-state data processing, not session boot or Janino compiles.
+absorbs JVM startup and per-plan codegen; the timed result is then the
+MIN over N timed passes (default 2, env ``SPARK_GRAFT_BENCH_RUNS``) —
+round 8 measured a 1.11x median phantom drift on untouched queries
+from machine state alone, and min-of-N is the standard way to read
+through transient interference (page-cache misses, compaction, another
+process's burst). Stale shuffle/scratch dirs from killed runs are
+swept first: they eat the disk margin the big queries spill into.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import shutil
 import time
+
+
+def _sweep_stale_scratch(max_age_sec: float = 3600.0) -> None:
+    """Best-effort removal of /tmp spark scratch left by DEAD runs.
+
+    Only dirs untouched for ``max_age_sec`` go (a live session keeps
+    its block-manager dirs fresh); errors are ignored — the sweep is
+    hygiene, not correctness.
+    """
+    now = time.time()
+    for pat in ("/tmp/blockmgr-*", "/tmp/spark-*"):
+        for d in glob.glob(pat):
+            try:
+                if now - os.path.getmtime(d) > max_age_sec:
+                    shutil.rmtree(d, ignore_errors=True)
+            except OSError:
+                pass
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -101,6 +125,8 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    _sweep_stale_scratch()
 
     from flink_spark.registry import release_persisted, spark_queries
     from flink_spark.session import get_spark
@@ -125,14 +151,21 @@ def main() -> None:
     # JVM; a partial warmup list charged that one-time cost to whichever
     # big plan ran first (round 4: 9-12 s of compile booked against
     # t_simhash_dups/t_corpus_pipeline). Warming everything means the
-    # timed pass measures data processing — the quantity that actually
-    # scales with sf — at the cost of ~2x bench wall-clock.
+    # timed passes measure data processing — the quantity that actually
+    # scales with sf — at the cost of (1 + n_runs)x bench wall-clock.
     for name in HEADLINE:
         run(name)
 
+    # min over n_runs timed passes: whole PASSES alternate (rather than
+    # running one query back-to-back n times) so a transient system
+    # burst can't depress every sample of the same query.
     times: dict[str, float] = {}
-    for name in HEADLINE:
-        times[name] = round(run(name), 3)
+    for _ in range(n_runs):
+        for name in HEADLINE:
+            t = run(name)
+            if name not in times or t < times[name]:
+                times[name] = t
+    times = {n: round(t, 3) for n, t in times.items()}
 
     total = round(sum(times.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

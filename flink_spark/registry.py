@@ -86,71 +86,74 @@ def release_persisted() -> None:
 # remainder (all green in the latest snapshot) follow in registration
 # order and absorb the cap.
 _SNAPSHOT_FIRST = (
-    # r8 rotation (VERDICT r7 item #1): these 21 queries' only green rows
-    # are from r5 — three rounds stale. Code unchanged since r5, but the
-    # staleness limit says re-green them first.
-    "q5_local_supplier_volume",
-    "q10_returned_items",
-    "a_salted_hot_key_agg",
-    "p_cdc_map_projection",
-    "p_conditional_delta",
-    "p_split_counts",
-    "p_json_extract",
-    "p_projection_filter",
-    "r_config_routing",
-    "f_scalar_datetime",
-    "u_union_metrics",
-    "ads_hourly_stats",
-    "ads_channel_stats",
-    "ads_province_stats",
-    "ads_topk_users",
-    "ads_gmv_topk_brand",
-    "ads_subsidy_rate",
-    "ads_keyword_score",
-    "ads_conditional_score",
-    "ads_funnel_union",
-    "ads_category_fullouter",
-    # code changed in r8 — re-green on the new plans:
-    # containment/Jaccard count-form verifies, zipf lazy-stats rewrite,
-    # CC phase-0 contraction (both cluster consumers), SemDeDup
-    # rep-collapse, BPE oracle work, topk name guards
-    "e_dup_clusters",
-    "e_semantic_dedup",
-    "t_containment_dups",
-    "t_zipf_profile",
+    # r9 rotation, block 1 — code changed THIS round (5): the MinHash
+    # verify legs are count-formed (t_minhash_lsh_dups + its
+    # t_dup_clusters consumer), the BPE pair drops empty tokens, and
+    # a_approx_sketch_daily gained its first value-checked oracle
+    # (exact companions + per-engine sketch-accuracy predicates).
+    "t_minhash_lsh_dups",
     "t_dup_clusters",
     "t_bpe_train",
     "t_bpe_segment",
-    "w_topn_per_window",
-    "t_source_mixture",
-    "t_distinctive_terms",
-    "t_ngram_jaccard_dups",
-    # r7-green rows on unchanged code, freshest-coverage order; the 50-cap
-    # cuts inside this block (21+9 above → 20 slots remain)
-    "t_corpus_pipeline",
-    "t_training_pipeline",
-    "t_cross_source_dedup",
-    "t_embedding_neardup",
-    "e_ann_lsh_topk",
-    "j_lru_dim_join",
-    "t_bm25_topk",
-    "t_minhash_lsh_dups",
-    "t_simhash_dups",
-    "t_decontaminate",
-    "t_token_stats",
-    "t_substring_dedup",
-    "t_decontaminate_fraction",
-    "t_decontaminate_spans",
-    "t_context_chunks",
-    "t_table_profile",
-    "e_filtered_topk",
-    "e_semantic_decontaminate",
+    "a_approx_sketch_daily",
+    # block 2 — ADVICE r8: these two were meant to re-green in r8 but
+    # the old cap marker was two entries too low and they fell outside
+    # the 50-query snapshot (their newest green row is r7).
     "e_pq_adc_topk",
     "e_ivfpq_topk",
-    # --- the driver's 50-query cap lands here ---
-    # Everything below is r6/r7-green on unchanged code; registration
-    # order absorbs the cap.
+    # block 3 — the 41 queries whose newest green row is r6 (two
+    # rounds stale; VERDICT r8 item #2). Code unchanged since then.
+    "ads_rollup_matrix",
+    "e_ann_ivf_topk",
+    "e_centroid_stats",
+    "j_asof_nearest",
+    "j_range_band",
+    "j_semi_anti_customers",
+    "p_pivot_event_matrix",
+    "s_abandoned_browse",
+    "s_cep_funnel_skip",
+    "s_daily_unique_users",
+    "s_new_vs_returning",
+    "s_retention_cohorts",
+    "s_returning_users_7d",
+    "sql_dwd_topic_db",
+    "t_bpe_token_stats",
+    "t_chunk_dedup",
+    "t_cjk_keyword_counts",
+    "t_exact_dedup",
+    "t_keyword_counts",
+    "t_lang_id",
+    "t_length_percentiles",
+    "t_pack_sequences",
+    "t_pii_redact",
+    "t_quality_mixture_reweight",
+    "t_quality_score",
+    "t_repeated_ngram_coverage",
+    "t_repetition_filter",
+    "t_rolling_fingerprint",
+    "t_source_overlap",
+    "t_train_val_split",
+    "t_unigram_lm_score",
+    "t_vocab_prune",
+    "t_winnow_fingerprints",
+    "w_agg_distinct_users",
+    "w_cumulate_windows",
+    "w_event_time_fallback",
+    "w_hop_windows",
+    "w_keyword_tumble",
+    "w_sessionize",
+    "w_tumble_10s_global",
+    "w_tumble_10s_keyed",
+    # block 4 — 5+2+41 = 48 above, so exactly 2 slots remain; fill
+    # them with two of the 21 r7-green queries (t_shuffle_shards rides
+    # the changed tokentrain module; q1 is the flagship).
     "t_shuffle_shards",
+    "q1_pricing_summary",
+    # --- the driver's 50-query cap lands here ---
+    # Everything below is r7/r8-green on unchanged code; after this
+    # round the oldest green row anywhere is r7 (19 queries), queued
+    # first here for the r10 rotation. Registration order absorbs the
+    # rest of the cap.
     "m_binary_meta",
     "m_decode_features",
     "m_doc_embedding_join",
@@ -169,7 +172,6 @@ _SNAPSHOT_FIRST = (
     "j_two_key_join",
     "j_wide_order_5way",
     "j_full_outer_metrics",
-    "q1_pricing_summary",
     "q3_shipping_priority",
 )
 
