@@ -1894,25 +1894,34 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark twin of ``_MINHASH_PAIRS_CTES``; see ``t_minhash_lsh_dups``
     for the algorithm notes.
 
-    The verify leg is the COUNT form (round 9): the round-8 plan
-    joined both docs' full shingle arrays onto every LSH candidate —
-    the exact shape measured OUT OF DISK for its Jaccard sibling on a
-    candidate-dense replica (~440 GB of array traffic, SCALING.md
-    §R8). Here instead the inverted index is restricted to docs that
-    appear in ≥1 band collision, self-joined per shingle digest with
-    both sizes riding as payloads (the proven ``t_ngram_jaccard_dups``
-    kernel), and the pair fan-out collapses INSIDE the join stage via
-    map-side partial aggregation; the (pair, shared, sz1, sz2)
-    aggregate then inner-joins the candidate set, so only LSH
-    candidates are scored. Intermediate state never exceeds the
-    distinct co-occurring pairs among CANDIDATE docs — LSH recall
-    bounds that set, and the shingle self-join is grid-split by
-    ``pair_self_join`` so a stop-shingle shared by every candidate doc
-    cannot produce one quadratic task. The array-based DuckDB oracle
-    is unchanged: it remains the losslessness proof for the rewrite.
+    The verify leg is the candidate-pair-keyed COUNT (round 9): the
+    round-8 plan joined both docs' full shingle arrays onto every LSH
+    candidate — the shape measured OUT OF DISK for its Jaccard sibling
+    on a candidate-dense replica (~440 GB of array traffic, SCALING.md
+    §R8). Here each side's postings stream through a (d1, d2, digest)
+    equijoin instead: the join is 1:1 PER KEY by construction
+    (shingles are distinct per doc, candidate pairs are distinct), so
+    there is no fan-out anywhere, the exchange is Σ|sl| narrow rows
+    per side — candidates × doc-length, the minimum any exact verify
+    must read — and the shared count collapses map-side. Sizes ride
+    the postings as payloads; the threshold applies straight off the
+    (pair, shared, sz1, sz2) aggregate.
+
+    Three verify forms measured on the dense 500k-doc replica (1.27M
+    LSH candidates, 25,086 qualifying pairs, SCALING.md §R9): arrays
+    45.7 s but wide-row traffic ∝ candidates × doc-length that a
+    moderately-similar corpus (LSH false positives at jaccard ≈ 0.5
+    band-collide at ~23% with 4x4 banding) can push past any disk
+    budget; co-occurrence count over candidate docs 91.2 s AND
+    df-uncapped (a stop-shingle shared by the candidate docs re-opens
+    the quadratic per-key fan-out); pair-keyed count 79.7 s with both
+    failure modes closed. The array-based DuckDB oracle is unchanged:
+    it remains the losslessness proof for the rewrite.
     """
     sh, ex = _shingled(spark, sf_dir, persist=True)
-    sigs = _hashed_shingles_spark(ex).groupBy("doc_id").agg(*_minhash_cols_spark())
+    sigs = _hashed_shingles_spark(ex).groupBy("doc_id").agg(
+        *_minhash_cols_spark()
+    )
     bands = sigs.select(
         "doc_id", F.explode(F.array(*_band_keys_spark())).alias("bkey")
     )
@@ -1920,33 +1929,32 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # page duplicated millions of times lands every copy in one band
     # bucket — the guard grid-splits it instead of one quadratic task
     cand = track_persist(pair_self_join(bands, "doc_id", ["bkey"]).distinct())
-    # restrict the verify index to candidate docs: on a well-deduped
-    # corpus most docs never collide in any band and pay nothing here
-    cdocs = (
-        cand.select(F.col("d1").alias("doc_id"))
-        .union(cand.select(F.col("d2").alias("doc_id")))
-        .distinct()
+    posts = sh.select(
+        "doc_id", F.size("sl").alias("sz"), F.explode("sl").alias("s")
+    ).select(
+        # 16-byte md5 digests as join keys, never the ~25-byte strings
+        "doc_id", "sz", F.unhex(F.md5("s")).alias("s")
     )
-    sizes = sh.select("doc_id", F.size("sl").alias("sz"))
-    posts = (
-        ex.join(cdocs, "doc_id")
-        # 16-byte md5 digests as index keys, never the ~25-byte strings
-        .select("doc_id", F.unhex(F.md5("s")).alias("s"))
-        .join(sizes, "doc_id")
+    p1 = cand.join(posts, cand.d1 == posts.doc_id).select(
+        "d1", "d2", "s", F.col("sz").alias("sz1")
     )
-    co = pair_self_join(posts, "doc_id", ["s"], payload=["sz"])
-    counts = co.groupBy("d1", "d2").agg(
-        F.count(F.lit(1)).alias("shared"),
-        F.first("sz1").alias("sz1"),
-        F.first("sz2").alias("sz2"),
+    p2 = cand.join(posts, cand.d2 == posts.doc_id).select(
+        "d1", "d2", "s", F.col("sz").alias("sz2")
+    )
+    counts = (
+        p1.join(p2, ["d1", "d2", "s"])
+        .groupBy("d1", "d2")
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.first("sz1").alias("sz1"),
+            F.first("sz2").alias("sz2"),
+        )
     )
     jac = F.col("shared").cast("double") / (
         F.col("sz1") + F.col("sz2") - F.col("shared")
     )
-    return (
-        counts.join(cand, ["d1", "d2"])
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("d1", "d2", jac.alias("jaccard"))
+    return counts.filter(jac >= JACCARD_THRESHOLD).select(
+        "d1", "d2", jac.alias("jaccard")
     )
 
 

@@ -151,35 +151,30 @@ def neardup_dedup_batch(
     bands_old = _store(spark, store_dir, "bands", before_epoch=epoch_id)
 
     def verified(cand: DataFrame, left_sh: DataFrame, right_sh: DataFrame):
-        # Count-form verify (the t_ngram_jaccard_dups kernel; SCALING.md
-        # §R8): joining shingle ARRAYS onto candidates is quadratic in
-        # candidate density — the batch setting softens but does not
-        # remove that (a near-dup-heavy batch against a big store is
-        # exactly the dense case). Instead: restrict each side's
-        # inverted index to docs appearing in a candidate, join per
-        # shingle digest with sizes as payloads, and let the pair
-        # fan-out collapse map-side in the count aggregate. Per-key
-        # fan-out is bounded by (candidate docs per side) — the d2 side
-        # is batch-bounded, and the d1 side only holds stored docs that
-        # band-collided with THIS batch.
-        def posts(side_sh: DataFrame, keep: DataFrame, idc: str, szc: str):
-            return (
-                side_sh.join(keep, "doc_id")
-                .select(
-                    F.col("doc_id").alias(idc),
-                    F.size("sl").alias(szc),
-                    F.explode("sl").alias("s"),
-                )
-                .select(idc, szc, F.unhex(F.md5("s")).alias("s"))
-            )
+        # Candidate-pair-keyed count verify (the _minhash_pairs kernel;
+        # measured three-way in SCALING.md §R9): joining shingle ARRAYS
+        # onto candidates is the shape that exceeded disk for the dense
+        # batch corpus, and counting co-occurrence over candidate DOCS
+        # re-opens a df-uncapped per-shingle fan-out. Streaming each
+        # side's postings through a (d1, d2, digest) equijoin has
+        # neither failure mode: the join is 1:1 per key (distinct
+        # shingles per doc, distinct candidate pairs), the exchange is
+        # candidates x doc-length narrow rows — the minimum any exact
+        # verify must read — and the count collapses map-side.
+        def posts(side_sh: DataFrame) -> DataFrame:
+            return side_sh.select(
+                "doc_id", F.size("sl").alias("sz"), F.explode("sl").alias("s")
+            ).select("doc_id", "sz", F.unhex(F.md5("s")).alias("s"))
 
-        a = posts(left_sh, cand.select(F.col("d1").alias("doc_id")).distinct(),
-                  "d1", "sz1")
-        b = posts(right_sh, cand.select(F.col("d2").alias("doc_id")).distinct(),
-                  "d2", "sz2")
+        pl, pr = posts(left_sh), posts(right_sh)
+        p1 = cand.join(pl, cand.d1 == pl.doc_id).select(
+            "d1", "d2", "s", F.col("sz").alias("sz1")
+        )
+        p2 = cand.join(pr, cand.d2 == pr.doc_id).select(
+            "d1", "d2", "s", F.col("sz").alias("sz2")
+        )
         counts = (
-            a.join(b, "s")
-            .filter(F.col("d1") != F.col("d2"))
+            p1.join(p2, ["d1", "d2", "s"])
             .groupBy("d1", "d2")
             .agg(
                 F.count(F.lit(1)).alias("shared"),
@@ -190,11 +185,7 @@ def neardup_dedup_batch(
         jac = F.col("shared").cast("double") / (
             F.col("sz1") + F.col("sz2") - F.col("shared")
         )
-        return (
-            counts.join(cand, ["d1", "d2"])
-            .filter(jac >= JACCARD_THRESHOLD)
-            .select("d1", "d2")
-        )
+        return counts.filter(jac >= JACCARD_THRESHOLD).select("d1", "d2")
 
     a, b = bands_new.alias("a"), bands_new.alias("b")
     cand_in = (

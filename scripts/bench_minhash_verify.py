@@ -67,6 +67,40 @@ def old_pairs(spark, sf_dir):
     )
 
 
+def pairkey_pairs(spark, sf_dir):
+    """Candidate-pair-keyed count: postings streamed through a
+    (d1, d2, s) equijoin — 1:1 per key by construction (distinct
+    shingles per doc, distinct candidate pairs), so no fan-out
+    anywhere; exchange is Σ|sl| narrow rows per side and the shared
+    count collapses in partial agg."""
+    from flink_spark.plans.textops import JACCARD_THRESHOLD
+    from flink_spark.registry import track_persist
+
+    sh, cand = _bands_cand(spark, sf_dir)
+    cand = track_persist(cand)
+    posts = sh.select(
+        "doc_id", F.size("sl").alias("sz"), F.explode("sl").alias("s")
+    ).select("doc_id", "sz", F.unhex(F.md5("s")).alias("s"))
+    p1 = cand.join(
+        posts, cand.d1 == posts.doc_id
+    ).select("d1", "d2", "s", F.col("sz").alias("sz1"))
+    p2 = cand.join(
+        posts, cand.d2 == posts.doc_id
+    ).select("d1", "d2", "s", F.col("sz").alias("sz2"))
+    counts = (
+        p1.join(p2, ["d1", "d2", "s"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("shared"),
+             F.first("sz1").alias("sz1"), F.first("sz2").alias("sz2"))
+    )
+    jac = F.col("shared").cast("double") / (
+        F.col("sz1") + F.col("sz2") - F.col("shared")
+    )
+    return counts.filter(jac >= JACCARD_THRESHOLD).select(
+        "d1", "d2", jac.alias("jaccard")
+    )
+
+
 def main() -> None:
     leg = sys.argv[1]
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else (
@@ -96,6 +130,9 @@ def main() -> None:
 
         n = _minhash_pairs(spark, sf_dir).count()
         print(f"NEW pairs={n} wall={time.time() - t0:.1f}s")
+    elif leg == "pairkey":
+        n = pairkey_pairs(spark, sf_dir).count()
+        print(f"PAIRKEY pairs={n} wall={time.time() - t0:.1f}s")
     else:
         raise SystemExit(f"unknown leg {leg!r}")
     release_persisted()
