@@ -61,6 +61,10 @@ from flink_spark.sources import load, table_rows
 STOPWORDS = ("the", "a", "of", "and", "to", "in")
 SHINGLE_N = 3          # 3-word shingles
 DF_CAP = 100           # drop shingles appearing in >100 docs (stop-shingle filter)
+# hash_quota_heads: skip the phase-2 refinement count when the quota
+# boundary bucket already fits a comfortable single-task sort — the
+# n/65536 sliver target; the refinement only pays for itself above it
+MIX_SLIVER_MAX = int(os.environ.get("FLINK_SPARK_MIX_SLIVER", "65536"))
 JACCARD_THRESHOLD = 0.8
 MINHASHES = 16         # 16 hashes = 4 bands x 4 rows
 LSH_BANDS = 4
@@ -1008,9 +1012,13 @@ def hash_quota_heads(
     PREFIX, so per-source counts over the 2-char prefix (256 buckets,
     one map-side-combined aggregate, |sources|·256 rows to the
     driver) locate each source's quota boundary bucket; a second
-    count over chars 3-4 WITHIN that bucket refines it 256×; and
-    only the final boundary sliver (~n/65536 rows per source) is
-    rank-windowed. Everything before the sliver is a map-side filter.
+    count over chars 3-4 WITHIN that bucket refines it 256× — but
+    only for sources whose boundary bucket exceeds ``MIX_SLIVER_MAX``
+    rows (a sub-sliver bucket is rank-windowed whole, and corpora
+    where no source needs refinement never run the second count job
+    at all); only the final boundary sliver (~n/65536 rows per
+    source) is rank-windowed. Everything before the sliver is a
+    map-side filter.
     A source with 10^10 docs costs two tiny aggregates plus one
     ~150k-row sort — the per-source window this replaces sorted all
     10^10 rows in ONE task (the straggler AQE cannot split).
@@ -1021,7 +1029,7 @@ def hash_quota_heads(
     (default) caches it for the query's lifetime; pass ``False`` when
     the caller already persisted the lineage.
     """
-    reserved = {"_all", "_B1", "_B2", "_need2", "_rn2"} & set(df.columns)
+    reserved = {"_all", "_B1", "_B2", "_need2", "_rn2", "_w"} & set(df.columns)
     if reserved:
         raise ValueError(
             f"hash_quota_heads: input columns {sorted(reserved)} collide "
@@ -1052,12 +1060,20 @@ def hash_quota_heads(
         if quota <= 0:
             continue
         if quota >= n:
-            meta.append((src, 1, "", "", 0))
+            meta.append((src, 1, "", "", 0, 0))
             continue
         acc = 0
         for hb in sorted(buckets):
             if acc + buckets[hb] >= quota:
-                bound1[src] = (hb, quota - acc)
+                if buckets[hb] <= MIX_SLIVER_MAX:
+                    # the boundary bucket is already sliver-sized:
+                    # rank-window it whole and skip the refinement
+                    # count job entirely (r9 — the second count is a
+                    # fixed per-query job that only pays for itself
+                    # when the bucket exceeds a comfortable sort)
+                    meta.append((src, 0, hb, "", quota - acc, 1))
+                else:
+                    bound1[src] = (hb, quota - acc)
                 break
             acc += buckets[hb]
     if bound1:
@@ -1079,7 +1095,7 @@ def hash_quota_heads(
             acc = 0
             for hb2 in sorted(per2[src]):
                 if acc + per2[src][hb2] >= need1:
-                    meta.append((src, 0, hb, hb2, need1 - acc))
+                    meta.append((src, 0, hb, hb2, need1 - acc, 0))
                     break
                 acc += per2[src][hb2]
     if not meta:
@@ -1088,20 +1104,22 @@ def hash_quota_heads(
         spark.createDataFrame(
             meta,
             f"{source_col} string, _all int, _B1 string, _B2 string,"
-            " _need2 long",
+            " _need2 long, _w int",
         )
     )
     j = df.join(bc, source_col)
     head = j.filter(
         (F.col("_all") == 1)
         | (b1 < F.col("_B1"))
-        | ((b1 == F.col("_B1")) & (b2 < F.col("_B2")))
+        | ((F.col("_w") == 0) & (b1 == F.col("_B1")) & (b2 < F.col("_B2")))
     )
+    # _w == 1: the sliver is the WHOLE boundary bucket (refinement
+    # skipped); _w == 0: the refined (B1, B2) cell only
     sliver = (
         j.filter(
             (F.col("_all") == 0)
             & (b1 == F.col("_B1"))
-            & (b2 == F.col("_B2"))
+            & ((F.col("_w") == 1) | (b2 == F.col("_B2")))
         )
         .withColumn(
             "_rn2",
@@ -1112,7 +1130,7 @@ def hash_quota_heads(
         .filter(F.col("_rn2") <= F.col("_need2"))
         .drop("_rn2")
     )
-    drop = ["_all", "_B1", "_B2", "_need2"]
+    drop = ["_all", "_B1", "_B2", "_need2", "_w"]
     return head.unionByName(sliver).drop(*drop).select(*df.columns), stats
 
 

@@ -870,9 +870,6 @@ def test_hash_quota_heads_equals_rank_window():
     df = spark.createDataFrame(rows, "doc_id long, source string")
     pct = {"big": 37, "mid": 61, "one": 99, "none": 0, "all": 100}
 
-    sel, stats = hash_quota_heads(df, pct, 50)
-    got = {(r.source, r.doc_id) for r in sel.collect()}
-
     w = Window.partitionBy("source").orderBy(
         _mix_priority("doc_id"), F.col("doc_id")
     )
@@ -887,9 +884,23 @@ def test_hash_quota_heads_equals_rank_window():
         for r in ranked
         if r.rn <= (pct[r.source] * r.n) // 100
     }
-    assert got == want
-    assert stats["big"] == (5000, 1850) and stats["none"] == (50, 0)
-    assert stats["all"] == (50, 50) and stats["one"] == (1, 0)
+
+    # both selection paths must pick the identical set: the default
+    # (every boundary bucket under MIX_SLIVER_MAX → refinement count
+    # skipped, whole bucket windowed) and the forced phase-2 path
+    import flink_spark.plans.textops as textops
+
+    saved = textops.MIX_SLIVER_MAX
+    try:
+        for sliver_max in (saved, 0):
+            textops.MIX_SLIVER_MAX = sliver_max
+            sel, stats = hash_quota_heads(df, pct, 50)
+            got = {(r.source, r.doc_id) for r in sel.collect()}
+            assert got == want, f"MIX_SLIVER_MAX={sliver_max}"
+            assert stats["big"] == (5000, 1850) and stats["none"] == (50, 0)
+            assert stats["all"] == (50, 50) and stats["one"] == (1, 0)
+    finally:
+        textops.MIX_SLIVER_MAX = saved
 
 
 def test_grouped_topk_equals_single_window():
