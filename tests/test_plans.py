@@ -336,6 +336,21 @@ def test_dup_clusters_match_union_find(spark):
         assert r.cluster_id == min(members[find(r.cluster_id)])
 
 
+def test_minhash_verify_is_pair_keyed_count(spark):
+    """The MinHash verify must stay the pair-keyed COUNT form: no
+    shingle arrays joined onto candidates (no array_intersect in the
+    plan — the shape that measured out-of-disk on the dense replica)
+    and the shared count collapsing map-side (a partial_count
+    aggregate feeding the threshold)."""
+    from flink_spark.registry import release_persisted
+
+    for name in ("t_minhash_lsh_dups", "t_dup_clusters"):
+        plan = _plan(_Q[name].fn(spark, SF_DIR))
+        assert "array_intersect" not in plan, name
+        assert "partial_count" in plan, name
+        release_persisted()
+
+
 def test_pair_join_guard_keeps_plain_path_when_unskewed(spark):
     """With no bucket past the cap (the fixture corpora), the skew
     guard's probe must choose the PLAIN self-join — no grid cells, no
