@@ -119,6 +119,8 @@ HEADLINE = [
     "t_bm25_topk",
     "t_zipf_profile",
     "t_containment_dups",
+    # round 9
+    "t_leakage_safe_split",
 ]
 
 

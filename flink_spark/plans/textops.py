@@ -2075,6 +2075,84 @@ def t_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "t_leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+    {CC_SQL_CTES},
+    grp AS (
+      SELECT d.source, d.doc_id,
+             COALESCE(l.cluster_id, d.doc_id) AS gkey,
+             l.cluster_id IS NOT NULL AS in_cluster
+      FROM documents d LEFT JOIN labels l USING (doc_id)
+    ),
+    tagged AS (
+      SELECT source, doc_id, in_cluster,
+             CASE WHEN CAST(concat('0x', substr(md5(CAST(gkey AS VARCHAR)),
+                                   1, 4)) AS BIGINT) % 100 < {TRAIN_PCT}
+                  THEN 'train' ELSE 'val' END AS split
+      FROM grp
+    )
+    SELECT source, split, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN in_cluster THEN 1 ELSE 0 END) AS BIGINT)
+             AS clustered_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM tagged GROUP BY source, split
+    """,
+    tags=("textops", "split", "dedup", "clustering"),
+)
+def t_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val split that near-dup CLUSTERS cannot straddle.
+
+    ``t_train_val_split`` hashes each doc_id independently — correct
+    until two near-duplicate documents land on opposite sides, at
+    which point the val set leaks into training through a paraphrase
+    (the standard contamination path an eval-integrity audit looks
+    for). This operator assigns by the duplicate-cluster key instead:
+    every doc's group key is its connected-component label over the
+    verified MinHash-LSH pair graph (its own doc_id when it has no
+    near-dup), and split = md5(group key) mod 100 — a pure function
+    of the data, reproducible anywhere, with all members of a cluster
+    landing in the SAME split by construction. Output is the
+    per-(source, split) audit: doc counts, how many docs were
+    assigned via a multi-doc cluster (the leakage that plain hashing
+    would have risked), and an id-sum pinning the exact membership in
+    the oracle compare.
+
+    Scale shape: everything beyond the near-dup clustering itself
+    (shared with ``t_dup_clusters``; pair-keyed count verify +
+    contracted CC, see those docstrings) is a row-local left join +
+    map + one map-side-combined aggregate — the clustering is the
+    cost, and a real pipeline reuses the labels it already computed
+    for dedup.
+    """
+    pairs = track_persist(_minhash_pairs(spark, sf_dir).select("d1", "d2"))
+    labels = connected_components(pairs)
+    docs = load(spark, sf_dir, "documents").select("source", "doc_id")
+    grp = docs.join(labels, "doc_id", "left").select(
+        "source",
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("gkey"),
+        F.col("cluster_id").isNotNull().alias("in_cluster"),
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("gkey").cast("string").cast("binary")), 1, 4),
+        16, 10,
+    ).cast("long") % 100
+    tagged = grp.select(
+        "source",
+        "doc_id",
+        "in_cluster",
+        F.when(bucket < TRAIN_PCT, "train").otherwise("val").alias("split"),
+    )
+    return tagged.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("in_cluster").cast("long")).cast("long")
+        .alias("clustered_docs"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Near-dup #3: SimHash fingerprints + banded hamming candidates
 # --------------------------------------------------------------------------

@@ -86,6 +86,8 @@ def release_persisted() -> None:
 # remainder (all green in the latest snapshot) follow in registration
 # order and absorb the cap.
 _SNAPSHOT_FIRST = (
+    # block 0 — NEW this round, no driver row in any snapshot yet
+    "t_leakage_safe_split",
     # r9 rotation, block 1 — code changed THIS round (5): the MinHash
     # verify legs are count-formed (t_minhash_lsh_dups + its
     # t_dup_clusters consumer), the BPE pair drops empty tokens, and
@@ -144,16 +146,16 @@ _SNAPSHOT_FIRST = (
     "w_sessionize",
     "w_tumble_10s_global",
     "w_tumble_10s_keyed",
-    # block 4 — 5+2+41 = 48 above, so exactly 2 slots remain; fill
-    # them with two of the 21 r7-green queries (t_shuffle_shards rides
-    # the changed tokentrain module; q1 is the flagship).
+    # block 4 — 1+5+2+41 = 49 above, so exactly 1 slot remains; fill
+    # it with one of the 21 r7-green queries (t_shuffle_shards rides
+    # the changed tokentrain module).
     "t_shuffle_shards",
-    "q1_pricing_summary",
     # --- the driver's 50-query cap lands here ---
     # Everything below is r7/r8-green on unchanged code; after this
-    # round the oldest green row anywhere is r7 (19 queries), queued
+    # round the oldest green row anywhere is r7 (20 queries), queued
     # first here for the r10 rotation. Registration order absorbs the
     # rest of the cap.
+    "q1_pricing_summary",
     "m_binary_meta",
     "m_decode_features",
     "m_doc_embedding_join",

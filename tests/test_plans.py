@@ -336,6 +336,60 @@ def test_dup_clusters_match_union_find(spark):
         assert r.cluster_id == min(members[find(r.cluster_id)])
 
 
+def test_leakage_safe_split_never_splits_a_cluster(spark):
+    """The structural guarantee: every near-dup cluster's members land
+    in ONE split, and the per-(source, split) audit reconciles with an
+    independently computed assignment."""
+    from flink_spark.plans.graph import connected_components
+    from flink_spark.plans.textops import TRAIN_PCT, _minhash_pairs
+    from flink_spark.registry import release_persisted
+    from flink_spark.sources import load
+
+    try:
+        out = {
+            (r.source, r.split): (r.n_docs, r.clustered_docs, r.id_sum)
+            for r in _Q["t_leakage_safe_split"].fn(spark, SF_DIR).collect()
+        }
+        labels = {
+            r.doc_id: r.cluster_id
+            for r in connected_components(
+                _minhash_pairs(spark, SF_DIR).select("d1", "d2").persist()
+            ).collect()
+        }
+        docs = [
+            (r.source, r.doc_id)
+            for r in load(spark, SF_DIR, "documents")
+            .select("source", "doc_id").collect()
+        ]
+    finally:
+        release_persisted()
+
+    import hashlib
+
+    def split_of(key: int) -> str:
+        b = int(hashlib.md5(str(key).encode()).hexdigest()[:4], 16) % 100
+        return "train" if b < TRAIN_PCT else "val"
+
+    # clusters never straddle: all members share the cluster key
+    by_cluster: dict = {}
+    for doc, cid in labels.items():
+        by_cluster.setdefault(cid, set()).add(split_of(cid))
+    assert all(len(s) == 1 for s in by_cluster.values())
+
+    want: dict = {}
+    for source, doc_id in docs:
+        key = labels.get(doc_id, doc_id)
+        s = split_of(key)
+        n, c, i = want.get((source, s), (0, 0, 0))
+        want[(source, s)] = (
+            n + 1, c + (1 if doc_id in labels else 0), i + doc_id
+        )
+    assert out == want
+    assert sum(c for _, c, _ in out.values()) > 0, (
+        "fixture must exercise the cluster path"
+    )
+
+
 def test_minhash_verify_is_pair_keyed_count(spark):
     """The MinHash verify must stay the pair-keyed COUNT form: no
     shingle arrays joined onto candidates (no array_intersect in the
