@@ -121,6 +121,7 @@ HEADLINE = [
     "t_containment_dups",
     # round 9
     "t_leakage_safe_split",
+    "e_leakage_safe_split",
 ]
 
 

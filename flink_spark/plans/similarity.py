@@ -60,6 +60,7 @@ from pyspark.sql import types as T
 
 from flink_spark.plans.graph import CC_SQL_CTES, connected_components
 from flink_spark.plans.pairjoin import MAX_BUCKET, pair_self_join
+from flink_spark.plans.textops import TRAIN_PCT
 from flink_spark.registry import query, track_persist
 from flink_spark.sources import load, table_rows
 
@@ -734,6 +735,81 @@ def e_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.max("doc_id").alias("max_vec"),
+    )
+
+
+@query(
+    "e_leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE {_EMB_PAIRS_CTES},
+    {CC_SQL_CTES},
+    grp AS (
+      SELECT e.label, e.vec_id,
+             COALESCE(l.cluster_id, e.vec_id) AS gkey,
+             l.cluster_id IS NOT NULL AS in_cluster
+      FROM embeddings e LEFT JOIN labels l ON e.vec_id = l.doc_id
+    ),
+    tagged AS (
+      SELECT label, vec_id, in_cluster,
+             CASE WHEN CAST(concat('0x', substr(md5(CAST(gkey AS VARCHAR)),
+                                   1, 4)) AS BIGINT) % 100 < {TRAIN_PCT}
+                  THEN 'train' ELSE 'val' END AS split
+      FROM grp
+    )
+    SELECT label, split, COUNT(*) AS n_vecs,
+           CAST(SUM(CASE WHEN in_cluster THEN 1 ELSE 0 END) AS BIGINT)
+             AS clustered_vecs,
+           CAST(SUM(vec_id) AS BIGINT) AS id_sum
+    FROM tagged GROUP BY label, split
+    """,
+    tags=("similarity", "split", "dedup", "clustering"),
+)
+def e_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val split that SEMANTIC-dup clusters cannot straddle.
+
+    The embedding-modality twin of ``t_leakage_safe_split``
+    (``plans.textops``): per-vector hash splitting lets two
+    cosine-near-duplicate vectors (a paraphrase pair, a re-encode of
+    the same image) land on opposite sides of the train/val boundary —
+    semantic contamination an eval-integrity audit looks for. Split
+    assignment is keyed by the connected-component label over the
+    verified banded-SRP cosine pair graph (own vec_id for vectors with
+    no near-dup), so every semantic cluster lands whole in one split,
+    deterministically (md5 of the group key — reproducible anywhere,
+    no stored seed). Output audits per-(label, split): vector counts,
+    how many were cluster-assigned, and an id-sum pinning the exact
+    membership in the oracle compare. The clustering is the cost and
+    is shared with ``e_dup_clusters``; the split itself is a row-local
+    left join + map + one map-side-combined aggregate.
+    """
+    pairs = track_persist(
+        t_embedding_neardup(spark, sf_dir).select("d1", "d2")
+    )
+    labels = connected_components(pairs)
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    grp = emb.join(
+        labels.withColumnRenamed("doc_id", "vec_id"), "vec_id", "left"
+    ).select(
+        "label",
+        "vec_id",
+        F.coalesce("cluster_id", "vec_id").alias("gkey"),
+        F.col("cluster_id").isNotNull().alias("in_cluster"),
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("gkey").cast("string").cast("binary")), 1, 4),
+        16, 10,
+    ).cast("long") % 100
+    tagged = grp.select(
+        "label",
+        "vec_id",
+        "in_cluster",
+        F.when(bucket < TRAIN_PCT, "train").otherwise("val").alias("split"),
+    )
+    return tagged.groupBy("label", "split").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.col("in_cluster").cast("long")).cast("long")
+        .alias("clustered_vecs"),
+        F.sum("vec_id").cast("long").alias("id_sum"),
     )
 
 

@@ -88,6 +88,7 @@ def release_persisted() -> None:
 _SNAPSHOT_FIRST = (
     # block 0 — NEW this round, no driver row in any snapshot yet
     "t_leakage_safe_split",
+    "e_leakage_safe_split",
     # r9 rotation, block 1 — code changed THIS round (5): the MinHash
     # verify legs are count-formed (t_minhash_lsh_dups + its
     # t_dup_clusters consumer), the BPE pair drops empty tokens, and
@@ -146,15 +147,14 @@ _SNAPSHOT_FIRST = (
     "w_sessionize",
     "w_tumble_10s_global",
     "w_tumble_10s_keyed",
-    # block 4 — 1+5+2+41 = 49 above, so exactly 1 slot remains; fill
-    # it with one of the 21 r7-green queries (t_shuffle_shards rides
-    # the changed tokentrain module).
-    "t_shuffle_shards",
+    # 2+5+2+41 = 50 above: the head is exactly the driver's cap.
     # --- the driver's 50-query cap lands here ---
     # Everything below is r7/r8-green on unchanged code; after this
-    # round the oldest green row anywhere is r7 (20 queries), queued
-    # first here for the r10 rotation. Registration order absorbs the
-    # rest of the cap.
+    # round the oldest green row anywhere is r7 (21 queries), queued
+    # first here for the r10 rotation (t_shuffle_shards first — it
+    # rides the tokentrain module the BPE fix touched). Registration
+    # order absorbs the rest of the cap.
+    "t_shuffle_shards",
     "q1_pricing_summary",
     "m_binary_meta",
     "m_decode_features",

@@ -390,6 +390,37 @@ def test_leakage_safe_split_never_splits_a_cluster(spark):
     )
 
 
+def test_embedding_leakage_split_never_splits_a_cluster(spark):
+    """The embedding twin's structural guarantee: every cosine
+    near-dup cluster lands whole in one split, and cluster-assigned
+    counts reconcile with the label table."""
+    import hashlib
+
+    from flink_spark.plans.graph import connected_components
+    from flink_spark.plans.similarity import _emb_neardup_pairs
+    from flink_spark.plans.textops import TRAIN_PCT
+    from flink_spark.registry import release_persisted
+
+    try:
+        out = _Q["e_leakage_safe_split"].fn(spark, SF_DIR).collect()
+        labels = connected_components(
+            _emb_neardup_pairs(spark, SF_DIR).select("d1", "d2").persist()
+        ).collect()
+    finally:
+        release_persisted()
+
+    def split_of(key: int) -> str:
+        b = int(hashlib.md5(str(key).encode()).hexdigest()[:4], 16) % 100
+        return "train" if b < TRAIN_PCT else "val"
+
+    by_cluster: dict = {}
+    for r in labels:
+        by_cluster.setdefault(r.cluster_id, set()).add(split_of(r.cluster_id))
+    assert by_cluster and all(len(s) == 1 for s in by_cluster.values())
+    assert sum(r.clustered_vecs for r in out) == len(labels)
+    assert sum(r.n_vecs for r in out) > len(labels)  # singletons present
+
+
 def test_minhash_verify_is_pair_keyed_count(spark):
     """The MinHash verify must stay the pair-keyed COUNT form: no
     shingle arrays joined onto candidates (no array_intersect in the
