@@ -16,28 +16,49 @@ swept first: they eat the disk margin the big queries spill into.
 
 from __future__ import annotations
 
-import glob
+import atexit
 import json
 import os
 import shutil
 import time
 
+# Bench-owned Spark scratch root: every bench process gets its own
+# <root>/<pid> spark.local.dir, so the stale sweep can never touch
+# another session's shuffle/spill dirs. The old mtime-based sweep of
+# the SHARED /tmp/spark-* namespace could: a >1h-old run whose
+# top-level dir mtime froze once its hash subdirs existed looked
+# stale while still alive, and deleting it mid-run crashes that run
+# with missing-block errors. PID ownership is exact — a sibling dir
+# is swept iff its owning bench process is gone.
+_SCRATCH_ROOT = "/tmp/flink_spark-bench-scratch"
 
-def _sweep_stale_scratch(max_age_sec: float = 3600.0) -> None:
-    """Best-effort removal of /tmp spark scratch left by DEAD runs.
 
-    Only dirs untouched for ``max_age_sec`` go (a live session keeps
-    its block-manager dirs fresh); errors are ignored — the sweep is
-    hygiene, not correctness.
-    """
-    now = time.time()
-    for pat in ("/tmp/blockmgr-*", "/tmp/spark-*"):
-        for d in glob.glob(pat):
+def _sweep_stale_scratch() -> None:
+    """Remove sibling scratch dirs whose owning bench PID is dead."""
+    try:
+        entries = os.listdir(_SCRATCH_ROOT)
+    except OSError:
+        return
+    for name in entries:
+        if name == str(os.getpid()):
+            continue
+        if name.isdigit():
             try:
-                if now - os.path.getmtime(d) > max_age_sec:
-                    shutil.rmtree(d, ignore_errors=True)
-            except OSError:
+                os.kill(int(name), 0)
+                continue  # owner still alive: not ours to touch
+            except ProcessLookupError:
                 pass
+            except PermissionError:
+                continue  # alive, different uid
+        shutil.rmtree(os.path.join(_SCRATCH_ROOT, name), ignore_errors=True)
+
+
+def _own_scratch() -> str:
+    """Create (and register cleanup for) this process's scratch dir."""
+    d = os.path.join(_SCRATCH_ROOT, str(os.getpid()))
+    os.makedirs(d, exist_ok=True)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -125,17 +146,31 @@ HEADLINE = [
 ]
 
 
+# Session-drift canary (round 10): three cheap, plan-stable queries
+# whose min-of-N wall is measured FIRST each bench session and compared
+# to a pinned reference (the r9 VERDICT session at sf0.1, local[32]).
+# min-of-N killed intra-session noise, but identical plans still move
+# up to 1.4x BETWEEN sessions (SCALING.md §R9) — the canary's
+# session_factor lets a cross-round reader normalize per-query deltas
+# before calling them regressions. Only meaningful at the reference
+# shape (sf0.1, 32 cpus); the factor is reported regardless, flagged
+# by the recorded reference shape.
+CANARY = ["q1_pricing_summary", "t_exact_dedup", "w_tumble_10s_keyed"]
+CANARY_REF = {"sf": 0.1, "cpus": 32, "total_sec": 2.128}  # r9 session
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     _sweep_stale_scratch()
+    scratch = _own_scratch()
 
     from flink_spark.registry import release_persisted, spark_queries
     from flink_spark.session import get_spark
 
     spark = get_spark(app_name="flink_spark-bench", cpus=cpus,
-                      shuffle_partitions=cpus)
+                      shuffle_partitions=cpus, local_dir=scratch)
     qs = spark_queries()
 
     def run(name: str) -> float:
@@ -148,6 +183,20 @@ def main() -> None:
             # accumulate blocks (timed: the unpersist is driver-side ns)
             release_persisted()
         return time.time() - t0
+
+    # canary first, before the machine heats up with the big queries:
+    # one untimed warm pass (JVM + codegen), then min over n_runs —
+    # the same discipline as the main list, just isolated up front.
+    for name in CANARY:
+        run(name)
+    canary: dict[str, float] = {}
+    for _ in range(max(2, n_runs)):
+        for name in CANARY:
+            t = run(name)
+            if name not in canary or t < canary[name]:
+                canary[name] = t
+    canary = {n: round(t, 3) for n, t in canary.items()}
+    canary_total = round(sum(canary.values()), 3)
 
     # warmup: one full untimed pass over the headline list. Each distinct
     # plan pays its whole-stage-codegen (Janino) compile exactly once per
@@ -178,6 +227,17 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "canary": {
+            "queries": canary,
+            "total_sec": canary_total,
+            "ref": CANARY_REF,
+            # >1 = this session is slower than the reference session
+            # on plan-identical work; divide per-query deltas by this
+            # before reading them as regressions
+            "session_factor": round(
+                canary_total / CANARY_REF["total_sec"], 3
+            ),
+        },
     }))
 
 

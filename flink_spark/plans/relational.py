@@ -1357,7 +1357,7 @@ def p_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT date_id, pv, uv_exact,
            abs(uv_approx - uv_exact) <= greatest(2, 0.05 * uv_exact)
              AS uv_sketch_ok,
-           abs(p50_approx - p50_exact) <= 0.05 * (hi - lo)
+           abs(p50_approx - p50_exact) <= greatest(1e-9, 0.05 * (hi - lo))
              AS p50_sketch_ok
     FROM (
       SELECT strftime(ts, '%Y-%m-%d') AS date_id,
@@ -1432,7 +1432,13 @@ def a_approx_sketch_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.greatest(F.lit(2.0), 0.05 * F.col("uv_exact"))
         ).alias("uv_sketch_ok"),
         (
+            # absolute 1e-9 floor (mirroring uv's greatest(2, ...)):
+            # a day whose values are ALL EQUAL has hi-lo = 0, and a
+            # bare 5%-of-span tolerance would demand bit-equality of
+            # the two engines' median estimators on degenerate days —
+            # true for the current estimators, fragile for any
+            # interpolating/centroid one.
             F.abs(F.col("p50_approx") - F.col("p50_exact"))
-            <= 0.05 * (F.col("hi") - F.col("lo"))
+            <= F.greatest(F.lit(1e-9), 0.05 * (F.col("hi") - F.col("lo")))
         ).alias("p50_sketch_ok"),
     )

@@ -186,7 +186,16 @@ def all_queries() -> dict[str, Query]:
     """
     import flink_spark.plans  # noqa: F401  (registers on import)
 
-    ordered = {n: _REGISTRY[n] for n in _SNAPSHOT_FIRST if n in _REGISTRY}
+    # The rotation list is re-edited every round by hand; a typo'd name
+    # must fail LOUDLY here, not silently drop the query below the
+    # driver's 50-query cap (the r8 cap-marker bug's failure mode).
+    dupes = len(_SNAPSHOT_FIRST) - len(set(_SNAPSHOT_FIRST))
+    if dupes:
+        raise ValueError(f"_SNAPSHOT_FIRST has {dupes} duplicate name(s)")
+    unknown = [n for n in _SNAPSHOT_FIRST if n not in _REGISTRY]
+    if unknown:
+        raise ValueError(f"_SNAPSHOT_FIRST names not registered: {unknown}")
+    ordered = {n: _REGISTRY[n] for n in _SNAPSHOT_FIRST}
     ordered.update((n, q) for n, q in _REGISTRY.items() if n not in ordered)
     return ordered
 

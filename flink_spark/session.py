@@ -74,6 +74,7 @@ def get_spark(
     cpus: int | str | None = None,
     shuffle_partitions: int | str | None = None,
     streaming_scale: bool = False,
+    local_dir: str | None = None,
 ) -> SparkSession:
     """Create (or fetch) a local SparkSession sized for this machine.
 
@@ -91,6 +92,12 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     )
+    if local_dir:
+        # caller-owned shuffle/spill scratch (bench uses a per-PID dir
+        # so its stale-sweep can never hit another session's blocks).
+        # Static conf: only effective for the process that creates the
+        # JVM, which is exactly the bench/one-shot-script use case.
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in _RUNTIME_CONFS.items():
         builder = builder.config(k, v)
     if streaming_scale:

@@ -1,6 +1,6 @@
 """Measure the MinHash-LSH verify leg: r8 array form vs r9 count form.
 
-``python scripts/bench_minhash_verify.py {sig|old|new} [sf_dir]``
+``python scripts/bench_minhash_verify.py {sig|old|new|pairkey} [sf_dir]``
 (default sf_dir: /tmp/flink_spark_scale/sf10docs — the dense 500k-doc
 replica whose candidate density blew the array verify for the Jaccard
 sibling in round 8; note the replica naming: sf10docs = 500k docs =
@@ -13,8 +13,12 @@ against this replica can be told apart from a future regeneration's.
 
 The ``old`` leg reconstructs the round-8 verify exactly: both docs'
 full shingle arrays joined onto every candidate, array_intersect per
-pair. It exists only as the measured BEFORE; the shipped plan is
-``flink_spark.plans.textops._minhash_pairs`` (count form).
+pair. It exists only as the measured BEFORE. ``new`` is the
+co-occurrence-count-over-candidate-docs form the r8 verdict sketched
+(measured worst: df-uncapped fan-out). ``pairkey`` is the standalone
+reconstruction of the SHIPPED form — the (d1, d2, digest)-keyed count
+of ``flink_spark.plans.textops._minhash_pairs`` — and is the leg the
+SCALING.md §R9 table's shipped number (79.7 s) came from.
 """
 
 from __future__ import annotations
