@@ -143,6 +143,8 @@ HEADLINE = [
     # round 9
     "t_leakage_safe_split",
     "e_leakage_safe_split",
+    # round 10
+    "t_leakage_safe_split_loose",
 ]
 
 

@@ -60,7 +60,7 @@ from pyspark.sql import types as T
 
 from flink_spark.plans.graph import CC_SQL_CTES, connected_components
 from flink_spark.plans.pairjoin import MAX_BUCKET, pair_self_join
-from flink_spark.plans.textops import TRAIN_PCT
+from flink_spark.plans.textops import TRAIN_PCT, split_bucket_col
 from flink_spark.registry import query, track_persist
 from flink_spark.sources import load, table_rows
 
@@ -554,13 +554,25 @@ def m_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # threshold; real corpora run this at ~0.9-0.95.
 COSDUP_THRESHOLD = 0.45
 
+# Leakage-safe split clustering threshold for the embedding modality,
+# decoupled from the dedup threshold (round 10, mirroring textops'
+# SPLIT_JACCARD): split assignment may cluster at a LOWER cosine than
+# removal. Env-pinned, read once at import so the Spark plan and the
+# generated DuckDB oracle always agree; defaults to the dedup value.
+SPLIT_COSINE = float(
+    os.environ.get("FLINK_SPARK_SPLIT_COSINE", str(COSDUP_THRESHOLD))
+)
+
 
 _EMB_COSINE_SQL = f"{_dot_sql('x.embedding', 'y.embedding')} / (x.nrm * y.nrm)"
 
+
 # banded-LSH verified near-dup pairs -- shared by t_embedding_neardup
-# (which selects it directly) and e_dup_clusters (which walks its
-# transitive closure); the SQL twin of _emb_neardup_pairs.
-_EMB_PAIRS_CTES = f"""{_LSH_BITS_CTE},
+# (which selects it directly), e_dup_clusters (which walks its
+# transitive closure), and e_leakage_safe_split (which may verify at a
+# looser threshold); the SQL twin of _emb_neardup_pairs.
+def _emb_pairs_ctes(threshold: float) -> str:
+    return f"""{_LSH_BITS_CTE},
     {_V_CTE},
     {_BANDS_CTE},
     cand AS (
@@ -570,11 +582,16 @@ _EMB_PAIRS_CTES = f"""{_LSH_BITS_CTE},
     pairs AS (
       SELECT d1, d2, {_EMB_COSINE_SQL} AS cosine
       FROM cand JOIN v x ON d1 = x.vec_id JOIN v y ON d2 = y.vec_id
-      WHERE {_EMB_COSINE_SQL} >= {COSDUP_THRESHOLD}
+      WHERE {_EMB_COSINE_SQL} >= {threshold}
     )"""
 
 
-def _emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+_EMB_PAIRS_CTES = _emb_pairs_ctes(COSDUP_THRESHOLD)
+
+
+def _emb_neardup_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = COSDUP_THRESHOLD
+) -> DataFrame:
     """Verified banded-LSH cosine near-dup pairs (d1 < d2, cosine) --
     the Spark twin of ``_EMB_PAIRS_CTES``; algorithm notes on
     ``t_embedding_neardup``.
@@ -618,7 +635,7 @@ def _emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_m") > MAX_BUCKET).limit(1).count() > 0
     )
     if not oversized:
-        thresh = COSDUP_THRESHOLD
+        thresh = threshold
         out_schema = T.StructType([
             T.StructField("d1", T.LongType()),
             T.StructField("d2", T.LongType()),
@@ -677,7 +694,7 @@ def _emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # big side and candidates the small one -- AQE picks the build side.
     return _pair_cosines_pandas(
         cand.join(x, "d1").join(y, "d2")
-    ).filter(F.col("cosine") >= COSDUP_THRESHOLD)
+    ).filter(F.col("cosine") >= threshold)
 
 
 @query(
@@ -741,7 +758,7 @@ def e_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "e_leakage_safe_split",
     oracle=f"""
-    WITH RECURSIVE {_EMB_PAIRS_CTES},
+    WITH RECURSIVE {_emb_pairs_ctes(SPLIT_COSINE)},
     {CC_SQL_CTES},
     grp AS (
       SELECT e.label, e.vec_id,
@@ -781,9 +798,15 @@ def e_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership in the oracle compare. The clustering is the cost and
     is shared with ``e_dup_clusters``; the split itself is a row-local
     left join + map + one map-side-combined aggregate.
+
+    Clustering threshold: ``SPLIT_COSINE`` (env
+    ``FLINK_SPARK_SPLIT_COSINE``), defaulted to the dedup threshold
+    but decoupled — split assignment may cluster at a lower cosine
+    than removal (see ``t_leakage_safe_split_loose`` for the
+    exercised loose-threshold twin on the text modality).
     """
     pairs = track_persist(
-        t_embedding_neardup(spark, sf_dir).select("d1", "d2")
+        _emb_neardup_pairs(spark, sf_dir, SPLIT_COSINE).select("d1", "d2")
     )
     labels = connected_components(pairs)
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "label")
@@ -795,15 +818,12 @@ def e_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("cluster_id", "vec_id").alias("gkey"),
         F.col("cluster_id").isNotNull().alias("in_cluster"),
     )
-    bucket = F.conv(
-        F.substring(F.md5(F.col("gkey").cast("string").cast("binary")), 1, 4),
-        16, 10,
-    ).cast("long") % 100
     tagged = grp.select(
         "label",
         "vec_id",
         "in_cluster",
-        F.when(bucket < TRAIN_PCT, "train").otherwise("val").alias("split"),
+        F.when(split_bucket_col(F.col("gkey")) < TRAIN_PCT, "train")
+        .otherwise("val").alias("split"),
     )
     return tagged.groupBy("label", "split").agg(
         F.count(F.lit(1)).alias("n_vecs"),

@@ -68,6 +68,22 @@ MIX_SLIVER_MAX = int(os.environ.get("FLINK_SPARK_MIX_SLIVER", "65536"))
 JACCARD_THRESHOLD = 0.8
 MINHASHES = 16         # 16 hashes = 4 bands x 4 rows
 LSH_BANDS = 4
+# Leakage-safe split clustering threshold, decoupled from the dedup
+# threshold (round 10): eval-integrity practice clusters at a LOWER
+# similarity for split ASSIGNMENT than for REMOVAL — near-copies
+# (>= JACCARD_THRESHOLD) are deleted outright, while paraphrase-level
+# pairs below it should still be forbidden from straddling train/val.
+# Env-pinned like the other knobs; the default keeps the split keyed
+# on the same pair graph as dedup (the r9 behavior), and the module
+# reads it ONCE at import so the Spark plan and the generated DuckDB
+# oracle always agree. ``t_leakage_safe_split_loose`` exercises the
+# loose value as a first-class catalog query.
+SPLIT_JACCARD = float(
+    os.environ.get("FLINK_SPARK_SPLIT_JACCARD", str(JACCARD_THRESHOLD))
+)
+LOOSE_SPLIT_JACCARD = float(
+    os.environ.get("FLINK_SPARK_SPLIT_JACCARD_LOOSE", "0.5")
+)
 # SimHash width is the corpus-size knob for the hamming-band self-join:
 # candidates per chunk scale with (n_docs / 2^chunk_bits)^2, so the
 # signature must widen as the corpus grows (rule of thumb: chunk_bits
@@ -1881,8 +1897,12 @@ def _band_keys_sql() -> str:
 
 # The full MinHash-LSH pair chain as a reusable CTE block ending in
 # pairs(d1, d2, jaccard) — shared by t_minhash_lsh_dups (which selects
-# it directly) and t_dup_clusters (which walks its transitive closure).
-_MINHASH_PAIRS_CTES = f"""{_SHINGLE_CTE},
+# it directly), t_dup_clusters (which walks its transitive closure),
+# and the leakage-safe splits (which cluster at ``threshold``, possibly
+# below the dedup threshold — candidate generation is banding-identical,
+# only the verify gate moves).
+def _minhash_pairs_ctes(threshold: float) -> str:
+    return f"""{_SHINGLE_CTE},
     sigs AS (
       {_minhash_sql()}
     ),
@@ -1903,11 +1923,65 @@ _MINHASH_PAIRS_CTES = f"""{_SHINGLE_CTE},
       JOIN sh y ON d2 = y.doc_id
       WHERE CAST(len(list_intersect(x.sl, y.sl)) AS DOUBLE)
                / (len(x.sl) + len(y.sl) - len(list_intersect(x.sl, y.sl)))
-               >= {JACCARD_THRESHOLD}
+               >= {threshold}
     )"""
 
 
-def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+_MINHASH_PAIRS_CTES = _minhash_pairs_ctes(JACCARD_THRESHOLD)
+
+
+def pairkey_verify(
+    cand: DataFrame, sh: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs as a PAIR-KEYED
+    COUNT — the one verify kernel every near-dup consumer shares
+    (``_minhash_pairs``, both composed pipelines, and the streaming
+    incremental dedup's in-batch leg re-derives the same shape).
+
+    ``cand``: distinct (d1, d2); ``sh``: (doc_id, sl) distinct-shingle
+    arrays covering both sides. Each side's postings stream through a
+    (d1, d2, digest) equijoin: 1:1 per key by construction (shingles
+    distinct per doc, candidate pairs distinct), so there is NO
+    fan-out anywhere, the exchange is candidates x doc-length narrow
+    rows per side — the minimum any exact verify must read — and the
+    shared count collapses map-side. Sizes ride the postings as
+    payloads. This is the form that beat both alternatives measured
+    in SCALING.md §R9 (arrays: disk-unbounded under candidate
+    density x doc length; co-occurrence count: df-uncapped fan-out).
+    Returns (d1, d2, jaccard) at ``jaccard >= threshold``.
+    """
+    posts = sh.select(
+        "doc_id", F.size("sl").alias("sz"), F.explode("sl").alias("s")
+    ).select(
+        # 16-byte md5 digests as join keys, never the ~25-byte strings
+        "doc_id", "sz", F.unhex(F.md5("s")).alias("s")
+    )
+    p1 = cand.join(posts, cand.d1 == posts.doc_id).select(
+        "d1", "d2", "s", F.col("sz").alias("sz1")
+    )
+    p2 = cand.join(posts, cand.d2 == posts.doc_id).select(
+        "d1", "d2", "s", F.col("sz").alias("sz2")
+    )
+    counts = (
+        p1.join(p2, ["d1", "d2", "s"])
+        .groupBy("d1", "d2")
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.first("sz1").alias("sz1"),
+            F.first("sz2").alias("sz2"),
+        )
+    )
+    jac = F.col("shared").cast("double") / (
+        F.col("sz1") + F.col("sz2") - F.col("shared")
+    )
+    return counts.filter(jac >= threshold).select(
+        "d1", "d2", jac.alias("jaccard")
+    )
+
+
+def _minhash_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
     """Verified MinHash-LSH near-dup pairs (d1 < d2, jaccard) — the
     Spark twin of ``_MINHASH_PAIRS_CTES``; see ``t_minhash_lsh_dups``
     for the algorithm notes.
@@ -1947,33 +2021,7 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # page duplicated millions of times lands every copy in one band
     # bucket — the guard grid-splits it instead of one quadratic task
     cand = track_persist(pair_self_join(bands, "doc_id", ["bkey"]).distinct())
-    posts = sh.select(
-        "doc_id", F.size("sl").alias("sz"), F.explode("sl").alias("s")
-    ).select(
-        # 16-byte md5 digests as join keys, never the ~25-byte strings
-        "doc_id", "sz", F.unhex(F.md5("s")).alias("s")
-    )
-    p1 = cand.join(posts, cand.d1 == posts.doc_id).select(
-        "d1", "d2", "s", F.col("sz").alias("sz1")
-    )
-    p2 = cand.join(posts, cand.d2 == posts.doc_id).select(
-        "d1", "d2", "s", F.col("sz").alias("sz2")
-    )
-    counts = (
-        p1.join(p2, ["d1", "d2", "s"])
-        .groupBy("d1", "d2")
-        .agg(
-            F.count(F.lit(1)).alias("shared"),
-            F.first("sz1").alias("sz1"),
-            F.first("sz2").alias("sz2"),
-        )
-    )
-    jac = F.col("shared").cast("double") / (
-        F.col("sz1") + F.col("sz2") - F.col("shared")
-    )
-    return counts.filter(jac >= JACCARD_THRESHOLD).select(
-        "d1", "d2", jac.alias("jaccard")
-    )
+    return pairkey_verify(cand, sh, threshold)
 
 
 @query(
@@ -2075,10 +2123,47 @@ def t_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "t_leakage_safe_split",
-    oracle=f"""
-    WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+def split_bucket_col(gkey) -> F.Column:
+    """md5-mod-100 split bucket of a group key — the one splitting rule
+    every split operator (batch text/embedding, streaming, the training
+    pipeline's stage 7) shares, so 'same gkey ⇒ same split' holds
+    ACROSS operators, not just within one."""
+    return F.conv(
+        F.substring(F.md5(gkey.cast("string").cast("binary")), 1, 4),
+        16, 10,
+    ).cast("long") % 100
+
+
+def _leakage_split_tagged(
+    spark: SparkSession, sf_dir: str, threshold: float
+) -> DataFrame:
+    """Per-doc split assignment (source, doc_id, in_cluster, split)
+    keyed by the near-dup cluster label at ``threshold`` — the shared
+    body of both leakage-safe split queries, exposed row-level so the
+    invariant tests can assert 'no verified pair straddles' directly."""
+    pairs = track_persist(
+        _minhash_pairs(spark, sf_dir, threshold).select("d1", "d2")
+    )
+    labels = connected_components(pairs)
+    docs = load(spark, sf_dir, "documents").select("source", "doc_id")
+    grp = docs.join(labels, "doc_id", "left").select(
+        "source",
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("gkey"),
+        F.col("cluster_id").isNotNull().alias("in_cluster"),
+    )
+    return grp.select(
+        "source",
+        "doc_id",
+        "in_cluster",
+        F.when(split_bucket_col(F.col("gkey")) < TRAIN_PCT, "train")
+        .otherwise("val").alias("split"),
+    )
+
+
+def _leakage_split_oracle(threshold: float) -> str:
+    return f"""
+    WITH RECURSIVE {_minhash_pairs_ctes(threshold)},
     {CC_SQL_CTES},
     grp AS (
       SELECT d.source, d.doc_id,
@@ -2098,7 +2183,21 @@ def t_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS clustered_docs,
            CAST(SUM(doc_id) AS BIGINT) AS id_sum
     FROM tagged GROUP BY source, split
-    """,
+    """
+
+
+def _leakage_split_audit(tagged: DataFrame) -> DataFrame:
+    return tagged.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("in_cluster").cast("long")).cast("long")
+        .alias("clustered_docs"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+
+
+@query(
+    "t_leakage_safe_split",
+    oracle=_leakage_split_oracle(SPLIT_JACCARD),
     tags=("textops", "split", "dedup", "clustering"),
 )
 def t_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2125,31 +2224,42 @@ def t_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     map + one map-side-combined aggregate — the clustering is the
     cost, and a real pipeline reuses the labels it already computed
     for dedup.
+
+    The clustering threshold is ``SPLIT_JACCARD`` (env
+    ``FLINK_SPARK_SPLIT_JACCARD``), DEFAULTED to the dedup threshold
+    but decoupled from it: split assignment may cluster looser than
+    removal. ``t_leakage_safe_split_loose`` runs the same operator at
+    the pinned loose value.
     """
-    pairs = track_persist(_minhash_pairs(spark, sf_dir).select("d1", "d2"))
-    labels = connected_components(pairs)
-    docs = load(spark, sf_dir, "documents").select("source", "doc_id")
-    grp = docs.join(labels, "doc_id", "left").select(
-        "source",
-        "doc_id",
-        F.coalesce("cluster_id", "doc_id").alias("gkey"),
-        F.col("cluster_id").isNotNull().alias("in_cluster"),
+    return _leakage_split_audit(
+        _leakage_split_tagged(spark, sf_dir, SPLIT_JACCARD)
     )
-    bucket = F.conv(
-        F.substring(F.md5(F.col("gkey").cast("string").cast("binary")), 1, 4),
-        16, 10,
-    ).cast("long") % 100
-    tagged = grp.select(
-        "source",
-        "doc_id",
-        "in_cluster",
-        F.when(bucket < TRAIN_PCT, "train").otherwise("val").alias("split"),
-    )
-    return tagged.groupBy("source", "split").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.col("in_cluster").cast("long")).cast("long")
-        .alias("clustered_docs"),
-        F.sum("doc_id").cast("long").alias("id_sum"),
+
+
+@query(
+    "t_leakage_safe_split_loose",
+    oracle=_leakage_split_oracle(LOOSE_SPLIT_JACCARD),
+    tags=("textops", "split", "dedup", "clustering"),
+)
+def t_leakage_safe_split_loose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``t_leakage_safe_split`` at the PARAPHRASE-level threshold.
+
+    Dedup removes near-copies at jaccard >= {JACCARD_THRESHOLD}; this
+    twin clusters the split assignment at
+    {LOOSE_SPLIT_JACCARD} (env ``FLINK_SPARK_SPLIT_JACCARD_LOOSE``) —
+    the eval-integrity stance that a pair too dissimilar to DELETE can
+    still be similar enough to CONTAMINATE a held-out set, so it must
+    not straddle train/val. Candidate generation is unchanged (same
+    MinHash banding — at 4x4 bands the collision rate at jaccard 0.5
+    is ~23%, so the loose graph is a recall-bounded subset of true
+    0.5-pairs; the semantic contract is 'LSH candidates verified at
+    the loose threshold', mirrored exactly by the oracle); only the
+    verify gate moves, so the extra cost at a lower threshold is the
+    extra qualifying pairs and the larger components they induce —
+    measured across a decade in SCALING.md §R10.
+    """
+    return _leakage_split_audit(
+        _leakage_split_tagged(spark, sf_dir, LOOSE_SPLIT_JACCARD)
     )
 
 
@@ -2453,13 +2563,12 @@ def t_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # page duplicated millions of times lands every copy in one band
     # bucket — the guard grid-splits it instead of one quadratic task
     cand = pair_self_join(bands, "doc_id", ["bkey"]).distinct()
-    x = sh2.select(F.col("doc_id").alias("d1"), F.col("sl").alias("sl1"))
-    y = sh2.select(F.col("doc_id").alias("d2"), F.col("sl").alias("sl2"))
-    shared = F.size(F.array_intersect("sl1", "sl2"))
-    jac = shared.cast("double") / (F.size("sl1") + F.size("sl2") - shared)
+    # pair-keyed count verify (``pairkey_verify``): round 10 closes the
+    # last array-carrying verify legs — the composed pipelines had kept
+    # the r8 array_intersect form the standalone MinHash query already
+    # abandoned for its measured disk-unboundedness (SCALING.md §R9).
     dups = (
-        cand.join(x, "d1").join(y, "d2")
-        .filter(jac >= JACCARD_THRESHOLD)
+        pairkey_verify(cand, sh2, JACCARD_THRESHOLD)
         .select("d2")
         .distinct()
     )
@@ -2484,7 +2593,7 @@ def t_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "t_training_pipeline",
     oracle=f"""
-    WITH {_PACK_SHARDS_CTE},
+    WITH RECURSIVE {_PACK_SHARDS_CTE},
     t0 AS (
       SELECT doc_id, source, text, {_TOKS} AS t FROM documents
       WHERE source <> '{EVAL_SOURCE}'
@@ -2517,8 +2626,8 @@ def t_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
       FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
     ),
-    dups AS (
-      SELECT DISTINCT d2
+    pairs AS (
+      SELECT d1, d2
       FROM cand
       JOIN sh2 x ON d1 = x.doc_id
       JOIN sh2 y ON d2 = y.doc_id
@@ -2526,6 +2635,8 @@ def t_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
               / (len(x.sl) + len(y.sl) - len(list_intersect(x.sl, y.sl)))
             >= {JACCARD_THRESHOLD}
     ),
+    dups AS (SELECT DISTINCT d2 FROM pairs),
+    {CC_SQL_CTES},
     evt AS (
       SELECT {_TOKS} AS t FROM documents WHERE source = '{EVAL_SOURCE}'
     ),
@@ -2588,14 +2699,19 @@ def t_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT source, doc_id, n_tokens,
              (pct * n) // 100 AS quota,
              doc_id % shards AS shard,
-             CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
-                                   1, 4)) AS BIGINT) % 100 < {TRAIN_PCT}
+             CASE WHEN l.cluster_id IS NOT NULL THEN 1 ELSE 0 END
+               AS in_cluster,
+             CASE WHEN CAST(concat('0x', substr(md5(CAST(
+                                     COALESCE(l.cluster_id, doc_id)
+                                     AS VARCHAR)), 1, 4)) AS BIGINT)
+                       % 100 < {TRAIN_PCT}
                   THEN 1 ELSE 0 END AS is_train,
              (SUM(n_tokens) OVER (PARTITION BY source, doc_id % shards
                                   ORDER BY doc_id
                                   ROWS UNBOUNDED PRECEDING) - n_tokens)
                // {PACK_BUDGET} AS pack_id
-      FROM ranked, ps WHERE rn <= (pct * n) // 100
+      FROM ranked LEFT JOIN labels l USING (doc_id) CROSS JOIN ps
+      WHERE rn <= (pct * n) // 100
     ),
     mctx AS (
       SELECT source, SUM(ctx) AS n_contexts FROM (
@@ -2606,6 +2722,7 @@ def t_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
       SELECT mk.source, MAX(quota) AS mix_quota, COUNT(*) AS mix_kept,
              SUM(is_train) AS train_docs, SUM(1 - is_train) AS val_docs,
+             SUM(in_cluster) AS cluster_split_docs,
              SUM(n_tokens) AS kept_tokens, MAX(mctx.n_contexts) AS n_contexts
       FROM mk JOIN mctx ON mk.source = mctx.source GROUP BY mk.source
     ),
@@ -2630,6 +2747,8 @@ def t_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COALESCE(m.mix_kept, 0) AS BIGINT) AS mix_kept,
            CAST(COALESCE(m.train_docs, 0) AS BIGINT) AS train_docs,
            CAST(COALESCE(m.val_docs, 0) AS BIGINT) AS val_docs,
+           CAST(COALESCE(m.cluster_split_docs, 0) AS BIGINT)
+             AS cluster_split_docs,
            CAST(COALESCE(m.kept_tokens, 0) AS BIGINT) AS kept_tokens,
            CAST(COALESCE(m.n_contexts, 0) AS BIGINT) AS n_contexts
     FROM funnel f2 LEFT JOIN m USING (source)
@@ -2647,13 +2766,23 @@ def t_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
        benchmark source (broadcast eval set, map-side probe);
     5. repetition gate — Gopher top-bigram/dup-5-gram rules;
     6. mixture sampling — per-source data-mix quota by md5 priority;
-    7. train/val split — hash-deterministic {TRAIN_PCT}/{100 - TRAIN_PCT};
+    7. LEAKAGE-SAFE train/val split — hash-deterministic 90/10 keyed
+       by coalesce(cluster_id, doc_id) over the pipeline's OWN verified
+       near-dup pair graph (round 10): dedup removes verified dups, but
+       transitively-connected survivors exist (pairs (A,C),(B,C) remove
+       only C, leaving connected A and B), and per-doc hashing could
+       land them on opposite sides — the contamination
+       ``t_leakage_safe_split`` forbids, now enforced inside the
+       flagship too. The labels are free at plan level: the pair table
+       already persists for the dedup stage, components run on it once;
     8. sequence packing — {PACK_BUDGET}-token contexts over the final
        train+val set (audited as contexts per source).
 
     Output is the per-source funnel: doc counts surviving each stage,
-    then mixture quota/kept, split sizes, surviving tokens and packed
-    context counts. All columns integer ⇒ the oracle compare is exact.
+    then mixture quota/kept, split sizes (plus ``cluster_split_docs``
+    — selected docs whose split came from a cluster key, pinning the
+    leakage-safe path in the oracle compare), surviving tokens and
+    packed context counts. All columns integer ⇒ the compare is exact.
 
     Every stage keeps its individual operator's scale shape (broadcast
     eval set; banded LSH, never all-pairs; exact-dedup keeper by
@@ -2667,6 +2796,66 @@ def t_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical survivor token stream are each persisted once,
     aggregated once, and stages 6-8 run on the (much smaller)
     survivor set with no unbounded sort anywhere.
+    """
+    fs, _vpairs, mk, mix_stats = _training_pipeline_parts(spark, sf_dir)
+    quotas = spark.createDataFrame(
+        [(s, q) for s, (_, q) in mix_stats.items()],
+        "source string, mix_quota long",
+    )
+    m0 = mk.groupBy("source").agg(
+        F.count(F.lit(1)).alias("mix_kept"),
+        F.sum("is_train").alias("train_docs"),
+        F.sum(1 - F.col("is_train")).alias("val_docs"),
+        F.sum("in_cluster").alias("cluster_split_docs"),
+        F.sum("n_tokens").alias("kept_tokens"),
+    )
+    mc = (
+        mk.groupBy("source", "shard")
+        .agg((F.max("pack_id") + 1).alias("ctx"))
+        .groupBy("source")
+        .agg(F.sum("ctx").alias("n_contexts"))
+    )
+    m = m0.join(mc, "source").join(F.broadcast(quotas), "source")
+    funnel = fs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.sum("pass_q").alias("quality_docs"),
+        F.sum("canon").alias("exact_unique"),
+        F.sum("no_dup").alias("neardup_kept"),
+        F.sum(
+            F.when((F.col("no_dup") == 1) & (F.col("clean") == 1), 1)
+            .otherwise(0)
+        ).alias("clean_docs"),
+        F.sum("survivor").alias("survivor_docs"),
+    )
+    out = funnel.join(m, "source", "left")
+    zero = F.lit(0)
+    return out.select(
+        "source",
+        F.col("total_docs").cast("long").alias("total_docs"),
+        F.col("quality_docs").cast("long").alias("quality_docs"),
+        F.col("exact_unique").cast("long").alias("exact_unique"),
+        F.col("neardup_kept").cast("long").alias("neardup_kept"),
+        F.col("clean_docs").cast("long").alias("clean_docs"),
+        F.col("survivor_docs").cast("long").alias("survivor_docs"),
+        F.coalesce("mix_quota", zero).cast("long").alias("mix_quota"),
+        F.coalesce("mix_kept", zero).cast("long").alias("mix_kept"),
+        F.coalesce("train_docs", zero).cast("long").alias("train_docs"),
+        F.coalesce("val_docs", zero).cast("long").alias("val_docs"),
+        F.coalesce("cluster_split_docs", zero).cast("long")
+        .alias("cluster_split_docs"),
+        F.coalesce("kept_tokens", zero).cast("long").alias("kept_tokens"),
+        F.coalesce("n_contexts", zero).cast("long").alias("n_contexts"),
+    )
+
+
+def _training_pipeline_parts(spark: SparkSession, sf_dir: str):
+    """Stages 1-8 of ``t_training_pipeline`` up to the selected,
+    split-and-pack-tagged doc table ``mk`` — factored out so the
+    leakage invariant test can read the per-doc split assignments the
+    funnel aggregates away. Returns ``(fs, vpairs, mk, mix_stats)``:
+    the per-doc flag table, the verified near-dup pair graph, the
+    selected-doc table with (shard, is_train, in_cluster, pack_id),
+    and the per-source mixture stats.
     """
     from pyspark.sql import Window
 
@@ -2737,16 +2926,15 @@ def t_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # page duplicated millions of times lands every copy in one band
     # bucket — the guard grid-splits it instead of one quadratic task
     cand = pair_self_join(bands, "doc_id", ["bkey"]).distinct()
-    x = sh2.select(F.col("doc_id").alias("d1"), F.col("sl").alias("sl1"))
-    y = sh2.select(F.col("doc_id").alias("d2"), F.col("sl").alias("sl2"))
-    shared = F.size(F.array_intersect("sl1", "sl2"))
-    jac = shared.cast("double") / (F.size("sl1") + F.size("sl2") - shared)
-    dups = (
-        cand.join(x, "d1").join(y, "d2")
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("d2")
-        .distinct()
+    # pair-keyed count verify (``pairkey_verify`` — round 10 closes the
+    # composed pipelines' last array-carrying verify legs, SCALING.md
+    # §R9's measured failure shape). The verified PAIRS persist, not
+    # just the d2 drop-set: stage 7's leakage-safe split reuses them
+    # as the cluster graph.
+    vpairs = track_persist(
+        pairkey_verify(cand, sh2, JACCARD_THRESHOLD).select("d1", "d2")
     )
+    dups = vpairs.select("d2").distinct()
     ev = (
         docs.filter(F.col("source") == EVAL_SOURCE)
         .select(tokenize("text").alias("t"))
@@ -2817,18 +3005,29 @@ def t_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         persist=False,  # fs is already persisted
     )
     shards = _active_pack_shards(spark, sf_dir)
-    split_bucket = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4),
-        16, 10,
-    ).cast("long") % 100
+    # stage 7: split keyed by coalesce(cluster_id, doc_id) over the
+    # components of the pipeline's OWN verified pair graph — already
+    # persisted for the dedup stage, so the labels cost one CC run on
+    # a pair table that is tiny relative to the corpus, plus one
+    # row-local left join on the (post-mixture, small) selected set.
+    labels = connected_components(vpairs)
     w_pack = (
         Window.partitionBy("source", "shard").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     mk = (
-        sel.withColumn("shard", F.col("doc_id") % shards)
+        sel.join(labels, "doc_id", "left")
         .withColumn(
-            "is_train", F.when(split_bucket < TRAIN_PCT, 1).otherwise(0)
+            "in_cluster", F.col("cluster_id").isNotNull().cast("int")
+        )
+        .withColumn("shard", F.col("doc_id") % shards)
+        .withColumn(
+            "is_train",
+            F.when(
+                split_bucket_col(F.coalesce("cluster_id", "doc_id"))
+                < TRAIN_PCT,
+                1,
+            ).otherwise(0),
         )
         .withColumn("cum", F.sum("n_tokens").over(w_pack))
         .withColumn(
@@ -2836,51 +3035,7 @@ def t_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     mk = track_persist(mk)  # the per-source and per-shard aggs share it
-    quotas = spark.createDataFrame(
-        [(s, q) for s, (_, q) in mix_stats.items()],
-        "source string, mix_quota long",
-    )
-    m0 = mk.groupBy("source").agg(
-        F.count(F.lit(1)).alias("mix_kept"),
-        F.sum("is_train").alias("train_docs"),
-        F.sum(1 - F.col("is_train")).alias("val_docs"),
-        F.sum("n_tokens").alias("kept_tokens"),
-    )
-    mc = (
-        mk.groupBy("source", "shard")
-        .agg((F.max("pack_id") + 1).alias("ctx"))
-        .groupBy("source")
-        .agg(F.sum("ctx").alias("n_contexts"))
-    )
-    m = m0.join(mc, "source").join(F.broadcast(quotas), "source")
-    funnel = fs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("total_docs"),
-        F.sum("pass_q").alias("quality_docs"),
-        F.sum("canon").alias("exact_unique"),
-        F.sum("no_dup").alias("neardup_kept"),
-        F.sum(
-            F.when((F.col("no_dup") == 1) & (F.col("clean") == 1), 1)
-            .otherwise(0)
-        ).alias("clean_docs"),
-        F.sum("survivor").alias("survivor_docs"),
-    )
-    out = funnel.join(m, "source", "left")
-    zero = F.lit(0)
-    return out.select(
-        "source",
-        F.col("total_docs").cast("long").alias("total_docs"),
-        F.col("quality_docs").cast("long").alias("quality_docs"),
-        F.col("exact_unique").cast("long").alias("exact_unique"),
-        F.col("neardup_kept").cast("long").alias("neardup_kept"),
-        F.col("clean_docs").cast("long").alias("clean_docs"),
-        F.col("survivor_docs").cast("long").alias("survivor_docs"),
-        F.coalesce("mix_quota", zero).cast("long").alias("mix_quota"),
-        F.coalesce("mix_kept", zero).cast("long").alias("mix_kept"),
-        F.coalesce("train_docs", zero).cast("long").alias("train_docs"),
-        F.coalesce("val_docs", zero).cast("long").alias("val_docs"),
-        F.coalesce("kept_tokens", zero).cast("long").alias("kept_tokens"),
-        F.coalesce("n_contexts", zero).cast("long").alias("n_contexts"),
-    )
+    return fs, vpairs, mk, mix_stats
 
 
 # --------------------------------------------------------------------------

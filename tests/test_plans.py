@@ -390,6 +390,88 @@ def test_leakage_safe_split_never_splits_a_cluster(spark):
     )
 
 
+def test_training_pipeline_split_is_leakage_safe(spark):
+    """Stage 7 of the flagship pipeline keys the split by the near-dup
+    cluster label (round 10): no verified pair — and transitively, no
+    two members of one component — may straddle train/val among the
+    selected docs, and the same-component co-assignment must hold even
+    when dedup removed the connecting doc."""
+    from flink_spark.plans.textops import _training_pipeline_parts
+    from flink_spark.registry import release_persisted
+
+    try:
+        _fs, vpairs, mk, _stats = _training_pipeline_parts(spark, SF_DIR)
+        pairs = [(r.d1, r.d2) for r in vpairs.collect()]
+        rows = mk.select("doc_id", "is_train", "in_cluster").collect()
+    finally:
+        release_persisted()
+    side = {r.doc_id: r.is_train for r in rows}
+    assert pairs, "fixture must exercise the near-dup path"
+
+    # union-find over the verified pair graph
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    comp_side: dict = {}
+    flagged = 0
+    for doc, s in side.items():
+        if doc not in parent:
+            continue
+        flagged += 1
+        root = find(doc)
+        comp_side.setdefault(root, set()).add(s)
+    assert all(len(s) == 1 for s in comp_side.values()), (
+        "a near-dup component straddles the train/val split"
+    )
+    # the audit column counts exactly the cluster-keyed selected docs
+    assert sum(r.in_cluster for r in rows) == flagged
+
+
+def test_leakage_safe_split_loose_threshold(spark):
+    """The loose twin's contract: its pair graph is a SUPERSET of the
+    dedup-threshold graph (same LSH candidates, lower verify gate) and
+    no verified loose pair straddles the loose split — the exact
+    leakage the lower threshold exists to forbid."""
+    from flink_spark.plans.textops import (
+        JACCARD_THRESHOLD,
+        LOOSE_SPLIT_JACCARD,
+        _leakage_split_tagged,
+        _minhash_pairs,
+    )
+    from flink_spark.registry import release_persisted
+
+    assert LOOSE_SPLIT_JACCARD < JACCARD_THRESHOLD
+    try:
+        strict = {
+            (r.d1, r.d2)
+            for r in _minhash_pairs(spark, SF_DIR).select("d1", "d2").collect()
+        }
+        loose = {
+            (r.d1, r.d2)
+            for r in _minhash_pairs(spark, SF_DIR, LOOSE_SPLIT_JACCARD)
+            .select("d1", "d2").collect()
+        }
+        split = {
+            r.doc_id: r.split
+            for r in _leakage_split_tagged(
+                spark, SF_DIR, LOOSE_SPLIT_JACCARD
+            ).collect()
+        }
+    finally:
+        release_persisted()
+    assert strict <= loose and loose
+    for d1, d2 in loose:
+        assert split[d1] == split[d2], (d1, d2)
+
+
 def test_embedding_leakage_split_never_splits_a_cluster(spark):
     """The embedding twin's structural guarantee: every cosine
     near-dup cluster lands whole in one split, and cluster-assigned
