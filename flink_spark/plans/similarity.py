@@ -1785,7 +1785,7 @@ def e_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ivf_train(
     spark: SparkSession, sf_dir: str, cells: int | None = None,
-    iters: int = 2,
+    iters: int = 2, emb: DataFrame | None = None,
 ):
     """Train the IVF coarse quantizer: ``iters`` Lloyd rounds of
     spherical k-means over the corpus, seeded by the md5 directions.
@@ -1804,6 +1804,16 @@ def ivf_train(
     cells that attract no vectors keep their previous direction
     (normalized), the standard empty-cluster rule.
 
+    DETERMINISM (round 10): per-(cell, dim) means are EXACT-DECIMAL
+    sums divided by counts — float avg() accumulates in partition
+    order, so two runs over differently-partitioned input could
+    diverge by ulps and flip argmax assignments on near-ties. Decimal
+    addition is associative/commutative exactly, so the trained
+    centroids are a pure function of the data regardless of partition
+    layout (assignment tie-breaks were already order-free: np.argmax
+    first-index over row-local sequential folds). ``emb`` lets the
+    partition-permutation property test inject a reshuffled corpus.
+
     Training is an engine feature, not a catalog query: trained
     centroids are data, so the DuckDB oracles keep using the
     md5-derived directions both engines can generate independently.
@@ -1813,7 +1823,8 @@ def ivf_train(
     """
     import numpy as np
 
-    emb = load(spark, sf_dir, "embeddings")
+    if emb is None:
+        emb = load(spark, sf_dir, "embeddings")
     if cells is None:
         cells = _active_ivf_cells(spark, sf_dir)
     cents = np.array(
@@ -1833,7 +1844,10 @@ def ivf_train(
         )
         means = (
             pe.groupBy("cell", "idx")
-            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .agg(
+                (F.sum(F.col("x").cast("decimal(38,18)"))
+                 / F.count(F.lit(1))).cast("double").alias("m")
+            )
             .groupBy("cell")
             .agg(
                 F.array_sort(
@@ -2480,7 +2494,10 @@ def search_ann_index(
     return _exact_rerank(emb, _adc_shortlist(scan), topk=topk)
 
 
-def pq_train(spark: SparkSession, sf_dir: str, iters: int = 2):
+def pq_train(
+    spark: SparkSession, sf_dir: str, iters: int = 2,
+    emb: DataFrame | None = None,
+):
     """Train the PQ codebook: ``iters`` Lloyd rounds of per-subspace
     k-means over the corpus subvectors, seeded by the md5 codewords.
 
@@ -2495,10 +2512,18 @@ def pq_train(spark: SparkSession, sf_dir: str, iters: int = 2):
     query — trained codewords are data the oracle cannot regenerate
     (same policy as ``ivf_train``); ``tests/test_ann_recall.py`` pins
     monotone reconstruction-error improvement instead.
+
+    DETERMINISM (round 10): like ``ivf_train``, the per-(m, k, i)
+    means are exact-decimal sums over counts, so the trained codebook
+    is invariant to input partition order/count (float avg() was not;
+    encode tie-breaks were already order-free — np.argmax first-index
+    over row-local sequential folds). ``emb`` lets the permutation
+    property test inject a reshuffled corpus.
     """
     import numpy as np
 
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if emb is None:
+        emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cb = _pq_codebook()
     for _ in range(iters):
         coded = _with_pq_codes(emb, codebook=cb)
@@ -2513,7 +2538,12 @@ def pq_train(spark: SparkSession, sf_dir: str, iters: int = 2):
             F.col("x").cast("double").alias("x"),
         )
         means = (
-            pe.groupBy("m", "k", "i").agg(F.avg("x").alias("mu")).collect()
+            pe.groupBy("m", "k", "i")
+            .agg(
+                (F.sum(F.col("x").cast("decimal(38,18)"))
+                 / F.count(F.lit(1))).cast("double").alias("mu")
+            )
+            .collect()
         )
         nxt = cb.copy()
         for r in means:

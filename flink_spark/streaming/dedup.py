@@ -51,9 +51,12 @@ from flink_spark.plans.graph import connected_components
 from flink_spark.plans.textops import (
     JACCARD_THRESHOLD,
     SHINGLE_N,
+    SPLIT_JACCARD,
+    TRAIN_PCT,
     _band_keys_spark,
     _hashed_shingles_spark,
     _minhash_cols_spark,
+    split_bucket_col,
 )
 
 _EMPTY_SCHEMA = {
@@ -62,6 +65,7 @@ _EMPTY_SCHEMA = {
     "kept": "doc_id bigint, fp string",
     "vecs": "vec_id bigint, cell int, embedding array<float>, nrm double",
     "clean": "doc_id bigint, source string",
+    "splits": "doc_id bigint, split string, gkey bigint",
 }
 
 
@@ -127,13 +131,9 @@ def exact_dedup_batch(
     _write(kept, store_dir, "kept", epoch_id)
 
 
-def neardup_dedup_batch(
-    batch: DataFrame, epoch_id: int, store_dir: str
-) -> None:
-    """foreachBatch body: incremental MinHash-LSH near-dedup (see module
-    docstring for the component-drop semantics)."""
-    spark = batch.sparkSession
-    docs = batch.select("doc_id", "text")
+def _shingle_bands(docs: DataFrame):
+    """(sh, bands) of a micro-batch, both persisted & materialized —
+    the shared head of every incremental text-dedup/split body."""
     toks = docs.select("doc_id", tokenize("text").alias("t"))
     sh_new = toks.filter(F.size("t") >= SHINGLE_N).select(
         "doc_id",
@@ -146,47 +146,57 @@ def neardup_dedup_batch(
         "doc_id", F.explode(F.array(*_band_keys_spark())).alias("bkey")
     ).persist()
     bands_new.count()
+    return sh_new, bands_new
 
-    sh_old = _store(spark, store_dir, "shingles", before_epoch=epoch_id)
-    bands_old = _store(spark, store_dir, "bands", before_epoch=epoch_id)
 
-    def verified(cand: DataFrame, left_sh: DataFrame, right_sh: DataFrame):
-        # Candidate-pair-keyed count verify (the _minhash_pairs kernel;
-        # measured three-way in SCALING.md §R9): joining shingle ARRAYS
-        # onto candidates is the shape that exceeded disk for the dense
-        # batch corpus, and counting co-occurrence over candidate DOCS
-        # re-opens a df-uncapped per-shingle fan-out. Streaming each
-        # side's postings through a (d1, d2, digest) equijoin has
-        # neither failure mode: the join is 1:1 per key (distinct
-        # shingles per doc, distinct candidate pairs), the exchange is
-        # candidates x doc-length narrow rows — the minimum any exact
-        # verify must read — and the count collapses map-side.
-        def posts(side_sh: DataFrame) -> DataFrame:
-            return side_sh.select(
-                "doc_id", F.size("sl").alias("sz"), F.explode("sl").alias("s")
-            ).select("doc_id", "sz", F.unhex(F.md5("s")).alias("s"))
+def _verified(
+    cand: DataFrame, left_sh: DataFrame, right_sh: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Candidate-pair-keyed count verify (the _minhash_pairs kernel;
+    measured three-way in SCALING.md §R9): joining shingle ARRAYS
+    onto candidates is the shape that exceeded disk for the dense
+    batch corpus, and counting co-occurrence over candidate DOCS
+    re-opens a df-uncapped per-shingle fan-out. Streaming each
+    side's postings through a (d1, d2, digest) equijoin has
+    neither failure mode: the join is 1:1 per key (distinct
+    shingles per doc, distinct candidate pairs), the exchange is
+    candidates x doc-length narrow rows — the minimum any exact
+    verify must read — and the count collapses map-side.
+    """
+    def posts(side_sh: DataFrame) -> DataFrame:
+        return side_sh.select(
+            "doc_id", F.size("sl").alias("sz"), F.explode("sl").alias("s")
+        ).select("doc_id", "sz", F.unhex(F.md5("s")).alias("s"))
 
-        pl, pr = posts(left_sh), posts(right_sh)
-        p1 = cand.join(pl, cand.d1 == pl.doc_id).select(
-            "d1", "d2", "s", F.col("sz").alias("sz1")
+    pl, pr = posts(left_sh), posts(right_sh)
+    p1 = cand.join(pl, cand.d1 == pl.doc_id).select(
+        "d1", "d2", "s", F.col("sz").alias("sz1")
+    )
+    p2 = cand.join(pr, cand.d2 == pr.doc_id).select(
+        "d1", "d2", "s", F.col("sz").alias("sz2")
+    )
+    counts = (
+        p1.join(p2, ["d1", "d2", "s"])
+        .groupBy("d1", "d2")
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.first("sz1").alias("sz1"),
+            F.first("sz2").alias("sz2"),
         )
-        p2 = cand.join(pr, cand.d2 == pr.doc_id).select(
-            "d1", "d2", "s", F.col("sz").alias("sz2")
-        )
-        counts = (
-            p1.join(p2, ["d1", "d2", "s"])
-            .groupBy("d1", "d2")
-            .agg(
-                F.count(F.lit(1)).alias("shared"),
-                F.first("sz1").alias("sz1"),
-                F.first("sz2").alias("sz2"),
-            )
-        )
-        jac = F.col("shared").cast("double") / (
-            F.col("sz1") + F.col("sz2") - F.col("shared")
-        )
-        return counts.filter(jac >= JACCARD_THRESHOLD).select("d1", "d2")
+    )
+    jac = F.col("shared").cast("double") / (
+        F.col("sz1") + F.col("sz2") - F.col("shared")
+    )
+    return counts.filter(jac >= threshold).select("d1", "d2")
 
+
+def _batch_pair_graph(
+    bands_new: DataFrame, sh_new: DataFrame,
+    bands_old: DataFrame, sh_old: DataFrame, threshold: float,
+) -> DataFrame:
+    """Verified pairs touching the batch: within-batch (d1 < d2) plus
+    store↔batch (d1 = stored, d2 = new), band-key candidates only."""
     a, b = bands_new.alias("a"), bands_new.alias("b")
     cand_in = (
         a.join(b, (F.col("a.bkey") == F.col("b.bkey"))
@@ -194,7 +204,7 @@ def neardup_dedup_batch(
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
-    pairs_in = verified(cand_in, sh_new, sh_new)
+    pairs_in = _verified(cand_in, sh_new, sh_new, threshold)
 
     o = bands_old.alias("o")
     cand_cross = (
@@ -202,9 +212,23 @@ def neardup_dedup_batch(
         .select(F.col("o.doc_id").alias("d1"), F.col("n.doc_id").alias("d2"))
         .distinct()
     )
-    pairs_cross = verified(cand_cross, sh_old, sh_new)
+    pairs_cross = _verified(cand_cross, sh_old, sh_new, threshold)
+    return pairs_in.unionByName(pairs_cross)
 
-    pairs = pairs_in.unionByName(pairs_cross).persist()
+
+def neardup_dedup_batch(
+    batch: DataFrame, epoch_id: int, store_dir: str
+) -> None:
+    """foreachBatch body: incremental MinHash-LSH near-dedup (see module
+    docstring for the component-drop semantics)."""
+    spark = batch.sparkSession
+    docs = batch.select("doc_id", "text")
+    sh_new, bands_new = _shingle_bands(docs)
+    sh_old = _store(spark, store_dir, "shingles", before_epoch=epoch_id)
+    bands_old = _store(spark, store_dir, "bands", before_epoch=epoch_id)
+    pairs = _batch_pair_graph(
+        bands_new, sh_new, bands_old, sh_old, JACCARD_THRESHOLD
+    ).persist()
     pairs.count()
     labels = connected_components(pairs)
 
@@ -233,6 +257,110 @@ def neardup_dedup_batch(
     _write(sh_new.join(kept_ids, "doc_id"), store_dir, "shingles", epoch_id)
     for df in (sh_new, bands_new, pairs):
         df.unpersist()
+
+
+def split_assign_batch(
+    batch: DataFrame, epoch_id: int, store_dir: str,
+    threshold: float = SPLIT_JACCARD,
+) -> None:
+    """foreachBatch body: incremental LEAKAGE-SAFE train/val assignment.
+
+    The streaming form of ``t_leakage_safe_split``: every arriving doc
+    gets a split, and a doc near-duplicate (at ``threshold``, the
+    split-clustering knob) of an ALREADY-ASSIGNED doc INHERITS that
+    doc's split — assignments are never re-decided, so a production
+    trainer can consume the store append-only. Per batch:
+
+    - verified pair graph touching the batch (in-batch + store↔batch
+      band-key candidates, pair-keyed count verify — the shared
+      ``_verified`` kernel);
+    - connected components over it (stored docs participate as nodes);
+    - a component containing stored docs takes the split (and group
+      key) of its smallest-doc_id stored member — deterministic, and
+      stable under crash-retry because the store is read
+      ``before_epoch``. If a new doc MERGES two old clusters whose
+      splits disagree, the anchor rule picks one for the NEW doc and
+      the old assignments stand (first-sight splits are immutable —
+      the price of never re-deciding; batch re-splits are the repair
+      path, exactly as with any streaming/batch lambda pair);
+    - an untouched component splits by md5(min member doc_id) — the
+      batch operator's rule, shared via ``split_bucket_col`` so a doc
+      singleton in both worlds gets the SAME side as the batch query;
+    - singletons split by md5(doc_id).
+
+    Unlike dedup, EVERY batch doc's bands/shingles append to the store
+    (assigned docs all gatekeep future arrivals), and the assignment
+    lands in ``splits`` (doc_id, split, gkey).
+    """
+    spark = batch.sparkSession
+    docs = batch.select("doc_id")
+    sh_new, bands_new = _shingle_bands(batch.select("doc_id", "text"))
+    sh_old = _store(spark, store_dir, "shingles", before_epoch=epoch_id)
+    bands_old = _store(spark, store_dir, "bands", before_epoch=epoch_id)
+    splits_old = _store(spark, store_dir, "splits", before_epoch=epoch_id)
+
+    pairs = _batch_pair_graph(
+        bands_new, sh_new, bands_old, sh_old, threshold
+    ).persist()
+    pairs.count()
+    labels = connected_components(pairs)
+
+    # per-component anchor: the smallest already-assigned doc_id (the
+    # struct-min carries its split/gkey in the same map-side aggregate)
+    anchors = (
+        labels.join(splits_old, "doc_id")
+        .groupBy("cluster_id")
+        .agg(F.min(F.struct("doc_id", "split", "gkey")).alias("_a"))
+        .select(
+            "cluster_id",
+            F.col("_a.split").alias("inh_split"),
+            F.col("_a.gkey").alias("inh_gkey"),
+        )
+    )
+    assigned = (
+        docs.join(labels, "doc_id", "left")
+        .join(anchors, "cluster_id", "left")
+    )
+    # min-label CC makes cluster_id = the component's smallest member,
+    # which for an unanchored component is exactly the batch rule's key
+    own_key = F.coalesce("cluster_id", "doc_id")
+    own_split = F.when(
+        split_bucket_col(own_key) < TRAIN_PCT, "train"
+    ).otherwise("val")
+    out = assigned.select(
+        "doc_id",
+        F.coalesce("inh_split", own_split).alias("split"),
+        F.coalesce("inh_gkey", own_key).alias("gkey"),
+    )
+    _write(out, store_dir, "splits", epoch_id)
+    _write(bands_new, store_dir, "bands", epoch_id)
+    _write(sh_new, store_dir, "shingles", epoch_id)
+    for df in (sh_new, bands_new, pairs):
+        df.unpersist()
+
+
+def run_split_stream(
+    sdf: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    threshold: float = SPLIT_JACCARD,
+):
+    """Wire a document stream into the incremental split-assignment
+    store (same checkpoint/epoch discipline as ``run_dedup_stream``:
+    restart only with the original checkpoint against a given store)."""
+    return (
+        sdf.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            lambda df, eid: split_assign_batch(df, eid, store_dir, threshold)
+        )
+        .start()
+    )
+
+
+def split_assignments(spark: SparkSession, store_dir: str) -> DataFrame:
+    """All (doc_id, split, gkey) assignments accumulated so far."""
+    return _store(spark, store_dir, "splits")
 
 
 def decontaminate_batch(

@@ -99,6 +99,36 @@ def test_ann_recall_floor(spark, exact, name, floor):
     assert mean >= floor, f"{name}: mean recall {mean:.3f} < {floor}"
 
 
+def test_trained_codebooks_invariant_to_partition_order(spark):
+    """Trained quantizers must be a pure function of the DATA: the
+    same corpus delivered in different partition counts/orders yields
+    byte-identical PQ codebooks and IVF centroids. This is what the
+    exact-decimal mean aggregation buys — float avg() accumulates in
+    partition order and can drift by ulps, flipping argmax
+    assignments on near-ties in the next Lloyd round."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from flink_spark.plans.similarity import ivf_train, pq_train
+    from flink_spark.sources import load
+
+    emb = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    # three adversarial layouts: hash-partitioned, round-robin with a
+    # different count, and descending-id sorted within partitions
+    layouts = [
+        emb.repartition(3, "vec_id"),
+        emb.repartition(11),
+        emb.repartition(5).sortWithinPartitions(F.desc("vec_id")),
+    ]
+    cbs = [pq_train(spark, SF_DIR, iters=2, emb=e) for e in layouts]
+    assert np.array_equal(cbs[0], cbs[1]) and np.array_equal(cbs[0], cbs[2])
+    cents = [ivf_train(spark, SF_DIR, cells=8, iters=2, emb=e)
+             for e in layouts]
+    assert np.array_equal(cents[0], cents[1])
+    assert np.array_equal(cents[0], cents[2])
+
+
 def test_ivf_training_improves_quantization(spark):
     """Trained centroids must strictly beat the md5 seed directions on
     the spherical-k-means objective (mean cosine to assigned

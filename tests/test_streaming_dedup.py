@@ -258,6 +258,128 @@ def test_compaction_preserves_state_and_continuation(spark, tmp_path):
     assert final - set(before) <= set(ids[half:])
 
 
+# --- incremental leakage-safe split assignment -----------------------------
+
+def _split_simulation(chunks, pairs, train_pct):
+    """Pure-python replay of split_assign_batch's documented semantics:
+    per chunk, CC over (in-chunk + assigned↔chunk) verified edges;
+    anchored components inherit the smallest assigned member's
+    (split, gkey); unanchored components key by their min member;
+    singletons by their own id. Assignments are immutable."""
+    import hashlib
+
+    def bucket_split(k):
+        b = int(hashlib.md5(str(k).encode()).hexdigest()[:4], 16) % 100
+        return "train" if b < train_pct else "val"
+
+    assigned: dict = {}
+    for chunk in chunks:
+        nodes = chunk | set(assigned)
+        edges = [
+            (a, b) for a, b in pairs
+            if a in nodes and b in nodes and (a in chunk or b in chunk)
+        ]
+        parent: dict = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        comps: dict = {}
+        for d in parent:
+            comps.setdefault(find(d), set()).add(d)
+        for members in comps.values():
+            stored = sorted(members & set(assigned))
+            new = sorted(members & chunk)
+            if stored:
+                split, gkey = assigned[stored[0]]
+            else:
+                gkey = min(members)
+                split = bucket_split(gkey)
+            for d in new:
+                assigned[d] = (split, gkey)
+        for d in chunk - set(parent):
+            assigned[d] = (bucket_split(d), d)
+    return assigned
+
+
+def test_split_stream_matches_simulation_and_survives_restart(
+    spark, tmp_path
+):
+    """The streaming leakage-safe split: (1) converges to the documented
+    incremental semantics, (2) a restarted stream (same checkpoint)
+    leaves every earlier assignment untouched, (3) compaction between
+    runs changes nothing, (4) cross-run near-dups INHERIT the stored
+    split — never re-decide."""
+    from pyspark.sql import functions as F
+
+    from flink_spark.plans.textops import SPLIT_JACCARD, TRAIN_PCT, _minhash_pairs
+    from flink_spark.sources import load
+    from flink_spark.streaming.dedup import (
+        compact_store,
+        run_split_stream,
+        split_assignments,
+    )
+
+    pairs = [
+        (r.d1, r.d2)
+        for r in _minhash_pairs(spark, SF_DIR, SPLIT_JACCARD)
+        .select("d1", "d2").collect()
+    ]
+    release_persisted()
+    assert pairs
+
+    docs = load(spark, SF_DIR, "documents")
+    ids = [r.doc_id for r in docs.select("doc_id").orderBy("doc_id").collect()]
+    half = len(ids) // 2
+    store, ck = str(tmp_path / "store"), str(tmp_path / "ck")
+    replay = str(tmp_path / "replay")
+
+    q = run_split_stream(
+        doc_stream(spark, docs.filter(F.col("doc_id").isin(ids[:half])),
+                   replay, slices=2),
+        store, ck)
+    q.processAllAvailable(); q.stop()
+    first = {r.doc_id: (r.split, r.gkey)
+             for r in split_assignments(spark, store).collect()}
+    assert set(first) == set(ids[:half])
+
+    compact_store(spark, store)
+
+    q = run_split_stream(
+        doc_stream(spark, docs.filter(F.col("doc_id").isin(ids[half:])),
+                   replay, slices=2, start_slice=2),
+        store, ck)
+    q.processAllAvailable(); q.stop()
+    final = {r.doc_id: (r.split, r.gkey)
+             for r in split_assignments(spark, store).collect()}
+
+    # continuity: run-1 assignments immutable, everyone assigned once
+    assert set(final) == set(ids)
+    assert all(final[d] == v for d, v in first.items())
+
+    # exact semantics: replay doc_stream's slicing (ceil split per run)
+    def slices_of(sub, n):
+        per = (len(sub) + n - 1) // n
+        return [set(sub[i * per:(i + 1) * per]) for i in range(n)]
+
+    chunks = slices_of(ids[:half], 2) + slices_of(ids[half:], 2)
+    expect = _split_simulation(chunks, pairs, TRAIN_PCT)
+    assert final == expect
+
+    # cross-run inheritance engaged: a run-2 doc paired with a run-1 doc
+    # carries the run-1 doc's split (and group key)
+    cross = [(a, b) for a, b in pairs
+             if a in set(ids[:half]) and b in set(ids[half:])]
+    assert cross, "fixture must exercise the cross-run path"
+    for a, b in cross:
+        assert final[b][0] == final[a][0]
+
+
 # --- incremental SEMANTIC dedup (embedding stream vs survivor store) ------
 
 def _semantic_simulation(spark, cells, slices):
