@@ -92,7 +92,23 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    core = _propagate(edges, min(star_after, max_rounds))
+    if edges.limit(1).count() == 0:
+        # EDGELESS quotient — the common duplicate-graph case (clique
+        # unions collapse entirely in phase 0): the phase-0 labels are
+        # already the component minima (an edgeless quotient means the
+        # labeling is constant per component, and every component's
+        # min labels itself), so skip the propagation loop outright.
+        # The probe shares its cost with the loop it replaces (first
+        # action materializes the lazy checkpoint either way); what it
+        # saves is two full join+groupBy+collect driver round-trips —
+        # a fixed ~1 s per call that every CC consumer (dup clusters,
+        # both leakage splits, the training pipeline, the streaming
+        # split) was paying even on tiny graphs.
+        core = edges.select(
+            F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
+        )
+    else:
+        core = _propagate(edges, min(star_after, max_rounds))
     if core is None:
         core = _star_contraction(
             edges.filter(F.col("u") < F.col("v")).select(

@@ -86,76 +86,28 @@ def release_persisted() -> None:
 # remainder (all green in the latest snapshot) follow in registration
 # order and absorb the cap.
 _SNAPSHOT_FIRST = (
+    # ===== r10 rotation =====
     # block 0 — NEW this round, no driver row in any snapshot yet
+    "t_leakage_safe_split_loose",
+    # block 1 — code changed THIS round (7): both composed pipelines'
+    # verify legs are pair-keyed counts and the training pipeline's
+    # split is cluster-keyed (+ new cluster_split_docs column); the
+    # leakage splits cluster at the decoupled SPLIT_* thresholds; the
+    # MinHash pair chain is threshold-parameterized (t_minhash_lsh_dups
+    # / t_dup_clusters ride it); a_approx_sketch_daily's p50 predicate
+    # gained an absolute tolerance floor.
+    "t_training_pipeline",
+    "t_corpus_pipeline",
     "t_leakage_safe_split",
     "e_leakage_safe_split",
-    # r9 rotation, block 1 — code changed THIS round (5): the MinHash
-    # verify legs are count-formed (t_minhash_lsh_dups + its
-    # t_dup_clusters consumer), the BPE pair drops empty tokens, and
-    # a_approx_sketch_daily gained its first value-checked oracle
-    # (exact companions + per-engine sketch-accuracy predicates).
     "t_minhash_lsh_dups",
     "t_dup_clusters",
-    "t_bpe_train",
-    "t_bpe_segment",
     "a_approx_sketch_daily",
-    # block 2 — ADVICE r8: these two were meant to re-green in r8 but
-    # the old cap marker was two entries too low and they fell outside
-    # the 50-query snapshot (their newest green row is r7).
-    "e_pq_adc_topk",
-    "e_ivfpq_topk",
-    # block 3 — the 41 queries whose newest green row is r6 (two
-    # rounds stale; VERDICT r8 item #2). Code unchanged since then.
-    "ads_rollup_matrix",
-    "e_ann_ivf_topk",
-    "e_centroid_stats",
-    "j_asof_nearest",
-    "j_range_band",
-    "j_semi_anti_customers",
-    "p_pivot_event_matrix",
-    "s_abandoned_browse",
-    "s_cep_funnel_skip",
-    "s_daily_unique_users",
-    "s_new_vs_returning",
-    "s_retention_cohorts",
-    "s_returning_users_7d",
-    "sql_dwd_topic_db",
-    "t_bpe_token_stats",
-    "t_chunk_dedup",
-    "t_cjk_keyword_counts",
-    "t_exact_dedup",
-    "t_keyword_counts",
-    "t_lang_id",
-    "t_length_percentiles",
-    "t_pack_sequences",
-    "t_pii_redact",
-    "t_quality_mixture_reweight",
-    "t_quality_score",
-    "t_repeated_ngram_coverage",
-    "t_repetition_filter",
-    "t_rolling_fingerprint",
-    "t_source_overlap",
-    "t_train_val_split",
-    "t_unigram_lm_score",
-    "t_vocab_prune",
-    "t_winnow_fingerprints",
-    "w_agg_distinct_users",
-    "w_cumulate_windows",
-    "w_event_time_fallback",
-    "w_hop_windows",
-    "w_keyword_tumble",
-    "w_sessionize",
-    "w_tumble_10s_global",
-    "w_tumble_10s_keyed",
-    # 2+5+2+41 = 50 above: the head is exactly the driver's cap.
-    # --- the driver's 50-query cap lands here ---
-    # Everything below is r7/r8-green on unchanged code; after this
-    # round the oldest green row anywhere is r7 (21 queries), queued
-    # first here for the r10 rotation (t_shuffle_shards first — it
-    # rides the tokentrain module the BPE fix touched). Registration
-    # order absorbs the rest of the cap.
+    # block 2 — the 21 queries whose newest green row is r7 (two
+    # rounds stale; VERDICT r9 item #1). Code unchanged since then.
     "t_shuffle_shards",
     "q1_pricing_summary",
+    "q3_shipping_priority",
     "m_binary_meta",
     "m_decode_features",
     "m_doc_embedding_join",
@@ -174,7 +126,59 @@ _SNAPSHOT_FIRST = (
     "j_two_key_join",
     "j_wide_order_5way",
     "j_full_outer_metrics",
-    "q3_shipping_priority",
+    # block 3 — 21 of the 46 r8-green queries, dedup/similarity family
+    # first (they share modules with this round's changed code).
+    "t_ngram_jaccard_dups",
+    "t_containment_dups",
+    "t_simhash_dups",
+    "t_embedding_neardup",
+    "e_dup_clusters",
+    "e_semantic_dedup",
+    "e_semantic_decontaminate",
+    "t_substring_dedup",
+    "t_cross_source_dedup",
+    "t_decontaminate",
+    "t_decontaminate_fraction",
+    "t_decontaminate_spans",
+    "t_source_mixture",
+    "t_token_stats",
+    "t_zipf_profile",
+    "t_bm25_topk",
+    "e_ann_lsh_topk",
+    "e_filtered_topk",
+    "t_context_chunks",
+    "t_distinctive_terms",
+    "t_table_profile",
+    # 1+7+21+21 = 50 above: the head is exactly the driver's cap.
+    # --- the driver's 50-query cap lands here ---
+    # Everything below is r8/r9-green on unchanged code. After r10 the
+    # oldest green row anywhere is r8: the 23 remaining r8-green
+    # queries (46 were r8-green; 21 rotate in block 3 and the two
+    # pipelines re-green in block 1), queued first here for the r11
+    # rotation. Registration order absorbs the rest of the cap.
+    "a_salted_hot_key_agg",
+    "ads_category_fullouter",
+    "ads_channel_stats",
+    "ads_conditional_score",
+    "ads_funnel_union",
+    "ads_gmv_topk_brand",
+    "ads_hourly_stats",
+    "ads_keyword_score",
+    "ads_province_stats",
+    "ads_subsidy_rate",
+    "ads_topk_users",
+    "f_scalar_datetime",
+    "j_lru_dim_join",
+    "p_cdc_map_projection",
+    "p_conditional_delta",
+    "p_json_extract",
+    "p_projection_filter",
+    "p_split_counts",
+    "q10_returned_items",
+    "q5_local_supplier_volume",
+    "r_config_routing",
+    "u_union_metrics",
+    "w_topn_per_window",
 )
 
 
