@@ -145,6 +145,8 @@ HEADLINE = [
     "e_leakage_safe_split",
     # round 10
     "t_leakage_safe_split_loose",
+    "t_lsh_recall_curve",
+    "x_ensemble_dup_clusters",
 ]
 
 

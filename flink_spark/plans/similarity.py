@@ -60,7 +60,11 @@ from pyspark.sql import types as T
 
 from flink_spark.plans.graph import CC_SQL_CTES, connected_components
 from flink_spark.plans.pairjoin import MAX_BUCKET, pair_self_join
-from flink_spark.plans.textops import TRAIN_PCT, split_bucket_col
+from flink_spark.plans.textops import (
+    _MINHASH_PAIRS_CTES,
+    TRAIN_PCT,
+    split_bucket_col,
+)
 from flink_spark.registry import query, track_persist
 from flink_spark.sources import load, table_rows
 
@@ -752,6 +756,102 @@ def e_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.max("doc_id").alias("max_vec"),
+    )
+
+
+@query(
+    "x_ensemble_dup_clusters",
+    # nested WITH blocks scope each modality's CTE chain (both chains
+    # define sh/bands/cand/pairs internally — the subquery scopes keep
+    # them from colliding, and the outer `pairs` feeds CC_SQL_CTES)
+    oracle=f"""
+    WITH RECURSIVE
+    lexp AS (
+      WITH {_MINHASH_PAIRS_CTES}
+      SELECT d1, d2 FROM pairs
+    ),
+    semp AS (
+      WITH {_EMB_PAIRS_CTES}
+      SELECT d1, d2 FROM pairs
+    ),
+    tagged AS (
+      SELECT d1, d2, 'lex' AS modality FROM lexp
+      UNION ALL
+      SELECT d1, d2, 'sem' AS modality FROM semp
+    ),
+    pairs AS (SELECT DISTINCT d1, d2 FROM tagged),
+    {CC_SQL_CTES},
+    sizes AS (
+      SELECT cluster_id, COUNT(*) AS n_docs FROM labels GROUP BY 1
+    ),
+    ec AS (
+      SELECT l.cluster_id,
+             CAST(SUM(CASE WHEN modality = 'lex' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS lex_edges,
+             CAST(SUM(CASE WHEN modality = 'sem' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS sem_edges
+      FROM tagged t JOIN labels l ON t.d1 = l.doc_id GROUP BY 1
+    )
+    SELECT cluster_id, n_docs, lex_edges, sem_edges
+    FROM sizes JOIN ec USING (cluster_id)
+    """,
+    tags=("similarity", "textops", "dedup", "clustering", "ensemble"),
+)
+def x_ensemble_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENSEMBLE dedup clusters: lexical OR semantic evidence, one graph.
+
+    Production dedup is rarely single-signal: a boilerplate page and
+    its template siblings surface as MinHash near-dups, while a
+    paraphrase or a re-encode surfaces only in embedding space. This
+    operator unions the two verified pair graphs — MinHash-LSH text
+    pairs (``t_minhash_lsh_dups``) and banded-SRP cosine pairs
+    (``t_embedding_neardup``), joined on the shared asset id
+    (doc_id = vec_id, the ``m_doc_embedding_join`` layout) — and takes
+    connected components over the union, so transitive cross-modal
+    chains (A~B lexically, B~C semantically ⇒ {{A,B,C}} one cluster)
+    collapse the way a keep-one policy needs them to. Output audits
+    each cluster: member count and how many verified edges each
+    modality contributed (a cluster with lex_edges = 0 was INVISIBLE
+    to text dedup — the semantic-only catch this ensemble exists for,
+    and vice versa).
+
+    Scale shape: both pair generators keep their own banded, verified,
+    skew-guarded shapes (their docstrings); the union and CC run on
+    PAIR sets (tiny relative to the corpus), and the per-cluster edge
+    rollup is one map-side-combined aggregate keyed by the d1-side
+    label join. Nothing new shuffles at corpus width.
+    """
+    from flink_spark.plans.textops import _minhash_pairs
+
+    lex = _minhash_pairs(spark, sf_dir).select("d1", "d2").withColumn(
+        "modality", F.lit("lex")
+    )
+    sem = _emb_neardup_pairs(spark, sf_dir).select("d1", "d2").withColumn(
+        "modality", F.lit("sem")
+    )
+    tagged = track_persist(lex.unionByName(sem))
+    edges = track_persist(tagged.select("d1", "d2").distinct())
+    labels = connected_components(edges)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    ec = (
+        tagged.join(
+            labels.withColumnRenamed("doc_id", "d1").withColumnRenamed(
+                "cluster_id", "_cl"
+            ),
+            "d1",
+        )
+        .groupBy(F.col("_cl").alias("cluster_id"))
+        .agg(
+            F.sum(F.when(F.col("modality") == "lex", 1).otherwise(0))
+            .cast("long").alias("lex_edges"),
+            F.sum(F.when(F.col("modality") == "sem", 1).otherwise(0))
+            .cast("long").alias("sem_edges"),
+        )
+    )
+    return sizes.join(ec, "cluster_id").select(
+        "cluster_id", "n_docs", "lex_edges", "sem_edges"
     )
 
 

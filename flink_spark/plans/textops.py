@@ -1812,7 +1812,20 @@ def t_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     disk budget; at toy scale the count form is the faster one
     (no collect_list set build, no rank window).
     """
-    _, ex = _shingled(spark, sf_dir, persist=True)
+    return _capped_jaccard_pairs(spark, sf_dir, JACCARD_THRESHOLD)
+
+
+def _capped_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float, ex: DataFrame | None = None
+) -> DataFrame:
+    """(d1, d2, shared, jaccard) at ``jaccard >= threshold`` over the
+    df-capped inverted index — the single-pass co-occurrence count
+    kernel of ``t_ngram_jaccard_dups`` (algorithm + measurement notes
+    there), parameterized so the LSH recall audit can run it at a
+    lower floor. ``ex`` injects an already-persisted exploded shingle
+    table to share with other consumers in the same plan."""
+    if ex is None:
+        _, ex = _shingled(spark, sf_dir, persist=True)
     exd = ex.select("doc_id", F.unhex(F.md5("s")).alias("s"))
     keep = exd.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= DF_CAP
@@ -1836,7 +1849,7 @@ def t_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("shared").cast("double") / (
         F.col("sz1") + F.col("sz2") - F.col("shared")
     )
-    return pairs.filter(jac >= JACCARD_THRESHOLD).select(
+    return pairs.filter(jac >= threshold).select(
         "d1", "d2", F.col("shared").cast("long").alias("shared"),
         jac.alias("jaccard"),
     )
@@ -2010,7 +2023,21 @@ def _minhash_pairs(
     failure modes closed. The array-based DuckDB oracle is unchanged:
     it remains the losslessness proof for the rewrite.
     """
-    sh, ex = _shingled(spark, sf_dir, persist=True)
+    sh, cand = _lsh_candidates(spark, sf_dir)
+    return pairkey_verify(cand, sh, threshold)
+
+
+def _lsh_candidates(
+    spark: SparkSession, sf_dir: str, sh_ex=None
+) -> tuple[DataFrame, DataFrame]:
+    """(sh, cand): the persisted shingle table and the distinct
+    MinHash-LSH band-collision candidate pairs (d1 < d2) — candidate
+    GENERATION only, no verification, shared by ``_minhash_pairs``
+    and the recall audit. ``sh_ex`` injects an already-persisted
+    (sh, ex) pair to share the shingle table with other consumers."""
+    sh, ex = sh_ex if sh_ex is not None else _shingled(
+        spark, sf_dir, persist=True
+    )
     sigs = _hashed_shingles_spark(ex).groupBy("doc_id").agg(
         *_minhash_cols_spark()
     )
@@ -2021,7 +2048,7 @@ def _minhash_pairs(
     # page duplicated millions of times lands every copy in one band
     # bucket — the guard grid-splits it instead of one quadratic task
     cand = track_persist(pair_self_join(bands, "doc_id", ["bkey"]).distinct())
-    return pairkey_verify(cand, sh, threshold)
+    return sh, cand
 
 
 @query(
@@ -2049,6 +2076,103 @@ def t_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly.
     """
     return _minhash_pairs(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# LSH recall audit: the banding S-curve, measured on the corpus itself
+# --------------------------------------------------------------------------
+
+# audit floor: low enough to show the S-curve's soft region (the 4x4
+# banding collision probability is 1-(1-j^4)^4 ~ 3% at j=0.3, ~23% at
+# 0.5, ~91% at 0.8), mirrored literally in the oracle
+RECALL_FLOOR = 0.3
+
+
+@query(
+    "t_lsh_recall_curve",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    keep AS (
+      SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= {DF_CAP}
+    ),
+    ex2 AS (SELECT doc_id, s FROM ex JOIN keep USING (s)),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ex2 GROUP BY doc_id),
+    cpairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+      FROM ex2 a JOIN ex2 b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT d1, d2,
+             CAST(shared AS DOUBLE) / (s1.sz + s2.sz - shared) AS jaccard
+      FROM cpairs
+      JOIN sizes s1 ON d1 = s1.doc_id
+      JOIN sizes s2 ON d2 = s2.doc_id
+      WHERE CAST(shared AS DOUBLE) / (s1.sz + s2.sz - shared)
+            >= {RECALL_FLOOR}
+    ),
+    sigs AS (
+      {_minhash_sql()}
+    ),
+    bands AS (SELECT doc_id, unnest({_band_keys_sql()}) AS bkey FROM sigs),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )
+    SELECT CAST(floor(t.jaccard * 10) AS INTEGER) AS decile,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CASE WHEN c.d1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_found,
+           CAST(SUM(CASE WHEN c.d1 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS recall
+    FROM truth t
+    LEFT JOIN cand c ON t.d1 = c.d1 AND t.d2 = c.d2
+    GROUP BY 1
+    """,
+    tags=("textops", "dedup", "lsh", "audit"),
+)
+def t_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical LSH recall by jaccard decile — the banding S-curve.
+
+    Every MinHash docstring in this module cites the theoretical
+    collision curve (1-(1-j^r)^b, ~23% at jaccard 0.5 under 4x4
+    banding); this operator MEASURES it on the corpus: ground truth is
+    the exact-jaccard pair set over the df-capped inverted index at an
+    audit floor of {RECALL_FLOOR} (the ``t_ngram_jaccard_dups``
+    count kernel, run at the lower gate), probed with a LEFT join
+    against the MinHash band-collision candidate set; output is
+    per-decile pair counts, found counts, and recall. This is the
+    eval-integrity companion to ``t_leakage_safe_split_loose``: the
+    loose split's contract is 'LSH candidates verified at the loose
+    threshold', and this query quantifies exactly what fraction of
+    true pairs the candidates cover at each similarity level — the
+    number a pipeline owner needs before trusting a loose-threshold
+    split (or choosing wider banding).
+
+    Scale shape: ground truth is the documented df-capped count kernel
+    (bounded per-key fan-out, map-side collapse); the probe join keys
+    on (d1, d2) — both sides pair sets, no fan-out; the rollup is 8
+    rows. At 100 TB you run this audit on a corpus SAMPLE — the curve
+    is a property of the banding, not the corpus size. The df cap is
+    part of the ground-truth semantics (as in t_ngram_jaccard_dups);
+    signatures are built on the uncapped shingles exactly as the
+    production pair chain builds them.
+    """
+    sh_ex = _shingled(spark, sf_dir, persist=True)
+    truth = _capped_jaccard_pairs(
+        spark, sf_dir, RECALL_FLOOR, ex=sh_ex[1]
+    ).select("d1", "d2", "jaccard")
+    _, cand = _lsh_candidates(spark, sf_dir, sh_ex=sh_ex)
+    hit = cand.withColumn("hit", F.lit(1))
+    j = truth.join(hit, ["d1", "d2"], "left")
+    found = F.sum(F.coalesce("hit", F.lit(0)))
+    return j.groupBy(
+        F.floor(F.col("jaccard") * 10).cast("int").alias("decile")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        found.cast("long").alias("n_found"),
+        (found.cast("double") / F.count(F.lit(1))).alias("recall"),
+    )
 
 
 # --------------------------------------------------------------------------
