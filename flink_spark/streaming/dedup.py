@@ -66,6 +66,9 @@ _EMPTY_SCHEMA = {
     "vecs": "vec_id bigint, cell int, embedding array<float>, nrm double",
     "clean": "doc_id bigint, source string",
     "splits": "doc_id bigint, split string, gkey bigint",
+    "svecs": "vec_id bigint, embedding array<float>, nrm double",
+    "vbands": "vec_id bigint, bkey bigint",
+    "vsplits": "vec_id bigint, split string, gkey bigint",
 }
 
 
@@ -361,6 +364,178 @@ def run_split_stream(
 def split_assignments(spark: SparkSession, store_dir: str) -> DataFrame:
     """All (doc_id, split, gkey) assignments accumulated so far."""
     return _store(spark, store_dir, "splits")
+
+
+def _split_bits(store_dir: str, bits: int | None) -> int:
+    """Pin the SRP band-key width for the split store's lifetime.
+
+    Band keys are functions of ``bits``; a restarted stream that
+    silently changed the width would band old survivors and new
+    arrivals incomparably and miss every cross-batch near-dup — the
+    same immutability contract as ``_sem_config``'s cell count."""
+    os.makedirs(store_dir, exist_ok=True)
+    path = os.path.join(store_dir, "_SPLIT_CONFIG")
+    if os.path.exists(path):
+        with open(path, encoding="utf-8") as fh:
+            got = json.load(fh)["bits"]
+        if bits is not None and bits != got:
+            raise ValueError(
+                f"store was built with bits={got}, asked for {bits}; "
+                "band geometry is immutable for a store's lifetime"
+            )
+        return got
+    if bits is None:
+        raise ValueError("bits is required when creating a new store")
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump({"bits": bits}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, path)
+    return bits
+
+
+def semantic_split_assign_batch(
+    batch: DataFrame, epoch_id: int, store_dir: str,
+    threshold: float | None = None,
+) -> None:
+    """foreachBatch body: incremental leakage-safe split, EMBEDDINGS.
+
+    The semantic twin of ``split_assign_batch`` and the streaming form
+    of ``e_leakage_safe_split``: every arriving vector gets a split; a
+    vector cosine-near-duplicate (at ``threshold``, default
+    ``SPLIT_COSINE``) of an ALREADY-ASSIGNED vector inherits that
+    cluster's split via the smallest-assigned-id anchor, and
+    assignments are never re-decided. Candidates come from the same
+    banded SRP keys as the batch operator (width pinned per store by
+    ``_split_bits`` — the geometry-immutability contract of the
+    semantic dedup store); verification is the exact-cosine numpy
+    kernel on (in-batch + store↔batch) band collisions; unanchored
+    components and singletons use the shared ``split_bucket_col`` rule
+    on coalesce(component min, vec_id) — identical to the batch query,
+    so a vector singleton in both worlds lands on the same side.
+    Every batch vector's bands + floats append to the store (all
+    assigned vectors gatekeep future arrivals).
+    """
+    from flink_spark.plans.similarity import (
+        SPLIT_COSINE,
+        _norm,
+        _pair_cosines_pandas,
+        _with_band_keys,
+    )
+
+    if threshold is None:
+        threshold = SPLIT_COSINE
+    spark = batch.sparkSession
+    bits = _split_bits(store_dir, None)
+    new = batch.select(
+        "vec_id", "embedding"
+    ).withColumn("nrm", _norm(F.col("embedding"))).persist()
+    new.count()
+    banded = _with_band_keys(new.select("vec_id", "embedding"), spark, bits) \
+        .select("vec_id", F.explode("bkeys").alias("bkey")).persist()
+    banded.count()
+
+    svecs_old = _store(spark, store_dir, "svecs", before_epoch=epoch_id)
+    vbands_old = _store(spark, store_dir, "vbands", before_epoch=epoch_id)
+    vsplits_old = _store(spark, store_dir, "vsplits", before_epoch=epoch_id)
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand_in = (
+        a.join(b, (F.col("a.bkey") == F.col("b.bkey"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("d1"), F.col("b.vec_id").alias("d2"))
+        .distinct()
+    )
+    o = vbands_old.alias("o")
+    cand_cross = (
+        o.join(banded.alias("n"), F.col("o.bkey") == F.col("n.bkey"))
+        .select(F.col("o.vec_id").alias("d1"), F.col("n.vec_id").alias("d2"))
+        .distinct()
+    )
+
+    def verified(cand: DataFrame, lv: DataFrame, rv: DataFrame) -> DataFrame:
+        x = lv.select(
+            F.col("vec_id").alias("d1"),
+            F.col("embedding").alias("embedding1"), F.col("nrm").alias("nrm1"),
+        )
+        y = rv.select(
+            F.col("vec_id").alias("d2"),
+            F.col("embedding").alias("embedding2"), F.col("nrm").alias("nrm2"),
+        )
+        return (
+            _pair_cosines_pandas(cand.join(x, "d1").join(y, "d2"))
+            .filter(F.col("cosine") >= threshold)
+            .select("d1", "d2")
+        )
+
+    pairs = verified(cand_in, new, new).unionByName(
+        verified(cand_cross, svecs_old, new)
+    ).persist()
+    pairs.count()
+    labels = connected_components(pairs)
+
+    anchors = (
+        labels.join(
+            vsplits_old.withColumnRenamed("vec_id", "doc_id"), "doc_id"
+        )
+        .groupBy("cluster_id")
+        .agg(F.min(F.struct("doc_id", "split", "gkey")).alias("_a"))
+        .select(
+            "cluster_id",
+            F.col("_a.split").alias("inh_split"),
+            F.col("_a.gkey").alias("inh_gkey"),
+        )
+    )
+    assigned = (
+        batch.select("vec_id")
+        .join(labels.withColumnRenamed("doc_id", "vec_id"), "vec_id", "left")
+        .join(anchors, "cluster_id", "left")
+    )
+    own_key = F.coalesce("cluster_id", "vec_id")
+    own_split = F.when(
+        split_bucket_col(own_key) < TRAIN_PCT, "train"
+    ).otherwise("val")
+    out = assigned.select(
+        "vec_id",
+        F.coalesce("inh_split", own_split).alias("split"),
+        F.coalesce("inh_gkey", own_key).alias("gkey"),
+    )
+    _write(out, store_dir, "vsplits", epoch_id)
+    _write(banded, store_dir, "vbands", epoch_id)
+    _write(new.select("vec_id", "embedding", "nrm"), store_dir, "svecs",
+           epoch_id)
+    for df in (new, banded, pairs):
+        df.unpersist()
+
+
+def run_semantic_split_stream(
+    sdf: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    bits: int | None = None,
+    threshold: float | None = None,
+):
+    """Wire an embedding stream into the incremental semantic split
+    store. ``bits`` pins the SRP band width on first run (size it with
+    ``lsh_bits_for`` against the expected corpus); restarts adopt the
+    stored value."""
+    _split_bits(store_dir, bits)
+    return (
+        sdf.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            lambda df, eid: semantic_split_assign_batch(
+                df, eid, store_dir, threshold
+            )
+        )
+        .start()
+    )
+
+
+def semantic_split_assignments(spark: SparkSession, store_dir: str) -> DataFrame:
+    """All (vec_id, split, gkey) assignments accumulated so far."""
+    return _store(spark, store_dir, "vsplits")
 
 
 def decontaminate_batch(

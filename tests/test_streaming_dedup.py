@@ -380,6 +380,79 @@ def test_split_stream_matches_simulation_and_survives_restart(
         assert final[b][0] == final[a][0]
 
 
+def test_semantic_split_stream_matches_simulation_and_restarts(
+    spark, tmp_path
+):
+    """The embedding twin of the streaming leakage-safe split: same
+    incremental semantics (anchor inheritance, immutable assignments),
+    same simulation harness, with the edge universe = the batch
+    cosine near-dup pair set at the split threshold and the band
+    geometry pinned per store."""
+    from pyspark.sql import functions as F
+
+    from flink_spark.plans.similarity import (
+        SPLIT_COSINE,
+        _active_lsh_bits,
+        _emb_neardup_pairs,
+    )
+    from flink_spark.plans.textops import TRAIN_PCT
+    from flink_spark.sources import load
+    from flink_spark.streaming.dedup import (
+        run_semantic_split_stream,
+        semantic_split_assignments,
+    )
+
+    pairs = [
+        (r.d1, r.d2)
+        for r in _emb_neardup_pairs(spark, SF_DIR, SPLIT_COSINE)
+        .select("d1", "d2").collect()
+    ]
+    release_persisted()
+    assert pairs
+    bits = _active_lsh_bits(spark, SF_DIR)
+
+    emb = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    ids = [r.vec_id for r in emb.select("vec_id").orderBy("vec_id").collect()]
+    half = len(ids) // 2
+    store, ck = str(tmp_path / "store"), str(tmp_path / "ck")
+    replay = str(tmp_path / "replay")
+
+    q = run_semantic_split_stream(
+        doc_stream(spark, emb.filter(F.col("vec_id").isin(ids[:half])),
+                   replay, slices=2, order_col="vec_id"),
+        store, ck, bits=bits)
+    q.processAllAvailable(); q.stop()
+    first = {r.vec_id: (r.split, r.gkey)
+             for r in semantic_split_assignments(spark, store).collect()}
+    assert set(first) == set(ids[:half])
+
+    # geometry is immutable for the store's lifetime
+    with pytest.raises(ValueError, match=f"bits={bits}"):
+        run_semantic_split_stream(
+            doc_stream(spark, emb.limit(0), replay, slices=1,
+                       start_slice=99, order_col="vec_id"),
+            store, str(tmp_path / "ck2"), bits=bits + 1)
+
+    q = run_semantic_split_stream(
+        doc_stream(spark, emb.filter(F.col("vec_id").isin(ids[half:])),
+                   replay, slices=2, start_slice=2, order_col="vec_id"),
+        store, ck)
+    q.processAllAvailable(); q.stop()
+    final = {r.vec_id: (r.split, r.gkey)
+             for r in semantic_split_assignments(spark, store).collect()}
+
+    assert set(final) == set(ids)
+    assert all(final[d] == v for d, v in first.items())
+
+    def slices_of(sub, n):
+        per = (len(sub) + n - 1) // n
+        return [set(sub[i * per:(i + 1) * per]) for i in range(n)]
+
+    chunks = slices_of(ids[:half], 2) + slices_of(ids[half:], 2)
+    expect = _split_simulation(chunks, pairs, TRAIN_PCT)
+    assert final == expect
+
+
 # --- incremental SEMANTIC dedup (embedding stream vs survivor store) ------
 
 def _semantic_simulation(spark, cells, slices):
