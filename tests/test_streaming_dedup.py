@@ -380,6 +380,53 @@ def test_split_stream_matches_simulation_and_survives_restart(
         assert final[b][0] == final[a][0]
 
 
+def test_split_stream_merge_conflict_semantics(spark, tmp_path):
+    """The documented never-re-decide limit, pinned exactly: a new doc
+    that BRIDGES two already-assigned near-dup singletons whose splits
+    disagree inherits the smallest-id anchor's side, and the old
+    assignments stand untouched."""
+    from flink_spark.streaming.dedup import (
+        split_assign_batch,
+        split_assignments,
+    )
+
+    base = [f"tok{i}" for i in range(56)]
+
+    def variant(changes, tag):
+        t = list(base)
+        for j, p in enumerate(changes):
+            t[p] = f"{tag}{j}"
+        return " ".join(t)
+
+    # 56 tokens -> 54 shingles; two interior token changes kill 6
+    # shingles, so jaccard(A, C) = jaccard(B, C) = 48/60 = 0.8 exactly
+    # (at the verify gate) while jaccard(A, B) = 42/66 < 0.8. The
+    # change positions/tags are chosen so BOTH bridge pairs band-
+    # collide under the md5 banding (deterministic for fixed texts).
+    # md5-bucket(0) >= 90 (val), md5-bucket(1) < 90 (train).
+    A = (0, variant([14, 24], "axx"))
+    B = (1, variant([30, 40], "bxx"))
+    C = (2, variant([], "c"))
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    store = str(tmp_path / "store")
+    split_assign_batch(mk([A, B]), 0, store)
+    first = {r.doc_id: (r.split, r.gkey)
+             for r in split_assignments(spark, store).collect()}
+    # A !~ B: independent singleton hash splits on opposite sides
+    assert first == {0: ("val", 0), 1: ("train", 1)}
+
+    split_assign_batch(mk([C]), 1, store)
+    final = {r.doc_id: (r.split, r.gkey)
+             for r in split_assignments(spark, store).collect()}
+    # C bridges both stored singletons; the anchor is the smallest
+    # assigned member (doc 0) so C inherits val/gkey 0, and the
+    # conflicting old assignments are NOT re-decided
+    assert final == {0: ("val", 0), 1: ("train", 1), 2: ("val", 0)}
+
+
 def test_semantic_split_stream_matches_simulation_and_restarts(
     spark, tmp_path
 ):
