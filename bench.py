@@ -146,6 +146,7 @@ HEADLINE = [
     # round 10
     "t_leakage_safe_split_loose",
     "t_lsh_recall_curve",
+    "e_lsh_recall_curve",
     "x_ensemble_dup_clusters",
 ]
 

@@ -759,6 +759,133 @@ def e_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SRP recall audit: sample size + cosine floor (mirrored in the oracle).
+# The audit runs on a bounded id-prefix sample BY DESIGN — exact
+# all-pairs ground truth is quadratic, so at any real scale you audit a
+# sample; the curve is a property of the banding, not the corpus size.
+EMB_AUDIT_N = 512
+E_RECALL_FLOOR = 0.2
+
+
+@query(
+    "e_lsh_recall_curve",
+    oracle=f"""
+    WITH {_LSH_BITS_CTE},
+    {_V_CTE},
+    {_BANDS_CTE},
+    sv AS (SELECT * FROM v WHERE vec_id < {EMB_AUDIT_N}),
+    truth AS (
+      SELECT x.vec_id AS d1, y.vec_id AS d2, {_EMB_COSINE_SQL} AS cosine
+      FROM sv x JOIN sv y ON x.vec_id < y.vec_id
+      WHERE {_EMB_COSINE_SQL} >= {E_RECALL_FLOOR}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+      FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.vec_id < b.vec_id
+      WHERE a.vec_id < {EMB_AUDIT_N} AND b.vec_id < {EMB_AUDIT_N}
+    )
+    SELECT CAST(floor(t.cosine * 10) AS INTEGER) AS decile,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CASE WHEN c.d1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_found,
+           CAST(SUM(CASE WHEN c.d1 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS recall
+    FROM truth t
+    LEFT JOIN cand c ON t.d1 = c.d1 AND t.d2 = c.d2
+    GROUP BY 1
+    """,
+    tags=("similarity", "dedup", "lsh", "audit"),
+)
+def e_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical SRP-LSH recall by cosine decile — the embedding twin
+    of ``t_lsh_recall_curve``.
+
+    Ground truth is EXACT brute-force cosine over a bounded id-prefix
+    audit sample ({EMB_AUDIT_N} vectors — the same bounded-sample
+    license as ``N_QUERIES``; all-pairs truth is quadratic, so any
+    real deployment audits a sample), computed in ONE blocked numpy
+    Gram kernel whose per-pair fold reproduces the oracle expression
+    bit-exactly. Candidates are the production banded SRP keys
+    (derived ``bits`` from the FULL corpus size, exactly what
+    ``t_embedding_neardup`` banding uses) restricted to the sample —
+    a pair's band collision depends only on its two vectors' keys, so
+    the restriction is lossless. Output: per-cosine-decile true-pair
+    counts, band-found counts, recall — the measured number behind
+    every "banding holds recall at threshold X" claim in this module,
+    and the calibration input for ``SPLIT_COSINE``.
+    """
+    import numpy as np
+
+    bits = _active_lsh_bits(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < EMB_AUDIT_N
+    ).select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    floor_t = E_RECALL_FLOOR
+    out_schema = T.StructType([
+        T.StructField("d1", T.LongType()),
+        T.StructField("d2", T.LongType()),
+        T.StructField("cosine", T.DoubleType()),
+    ])
+
+    def gram_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(
+                {"d1": [], "d2": [], "cosine": []}
+            ).astype({"d1": "int64", "d2": "int64", "cosine": "float64"})
+        E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        EF = np.asfortranarray(E)
+        ET = np.ascontiguousarray(E.T)
+        nrm = pdf["nrm"].to_numpy()
+        ids = pdf["vec_id"].to_numpy()
+        cols = np.arange(m)
+        o1, o2, oc = [], [], []
+        B = 4096
+        for r0 in range(0, m, B):
+            r1 = min(r0 + B, m)
+            acc = np.zeros((r1 - r0, m))
+            for i in range(E.shape[1]):
+                acc += EF[r0:r1, i][:, None] * ET[i]
+            cos = acc / (nrm[r0:r1, None] * nrm[None, :])
+            later = cols[None, :] > np.arange(r0, r1)[:, None]
+            r, c = np.nonzero((cos >= floor_t) & later)
+            o1.append(ids[r + r0]); o2.append(ids[c]); oc.append(cos[r, c])
+        return pd.DataFrame({
+            "d1": np.concatenate(o1), "d2": np.concatenate(o2),
+            "cosine": np.concatenate(oc),
+        })
+
+    truth = (
+        emb.withColumn("_g", F.lit(0))
+        .groupBy("_g")
+        .applyInPandas(gram_pairs, out_schema)
+    )
+    banded = _with_band_keys(
+        emb.select("vec_id", "embedding"), spark, bits
+    ).select("vec_id", F.explode("bkeys").alias("bkey"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bkey") == F.col("b.bkey"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("d1"), F.col("b.vec_id").alias("d2"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    j = truth.join(cand, ["d1", "d2"], "left")
+    found = F.sum(F.coalesce("hit", F.lit(0)))
+    return j.groupBy(
+        F.floor(F.col("cosine") * 10).cast("int").alias("decile")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        found.cast("long").alias("n_found"),
+        (found.cast("double") / F.count(F.lit(1))).alias("recall"),
+    )
+
+
 @query(
     "x_ensemble_dup_clusters",
     # nested WITH blocks scope each modality's CTE chain (both chains

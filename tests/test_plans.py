@@ -164,6 +164,7 @@ def test_no_cartesian_or_nested_loop_joins(spark):
         "t_ngram_jaccard_dups",
         "t_minhash_lsh_dups",
         "t_lsh_recall_curve",
+        "e_lsh_recall_curve",
         "x_ensemble_dup_clusters",
         "t_dup_clusters",
         "t_simhash_dups",
