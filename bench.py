@@ -147,6 +147,7 @@ HEADLINE = [
     "t_leakage_safe_split_loose",
     "t_lsh_recall_curve",
     "e_lsh_recall_curve",
+    "e_ann_recall_audit",
     "x_ensemble_dup_clusters",
 ]
 

@@ -1648,6 +1648,65 @@ def e_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# End-to-end ANN recall audit: IVF vs exact, per query
+# --------------------------------------------------------------------------
+
+# compose the two already-registered oracles verbatim (nested WITH
+# scopes) — the audit's ground truth IS those queries' outputs
+from flink_spark.registry import _REGISTRY as _REG  # noqa: E402
+
+
+@query(
+    "e_ann_recall_audit",
+    oracle=f"""
+    WITH ex AS ({_REG["e_cosine_topk"].oracle}),
+    iv AS ({_REG["e_ann_ivf_topk"].oracle})
+    SELECT e.query_id,
+           CAST(COUNT(i.neighbor_id) AS BIGINT) AS hits,
+           CAST(COUNT(i.neighbor_id) AS DOUBLE) / {LSH_TOPK} AS recall
+    FROM (SELECT * FROM ex WHERE rnk <= {LSH_TOPK}) e
+    LEFT JOIN iv i ON e.query_id = i.query_id
+                  AND e.neighbor_id = i.neighbor_id
+    GROUP BY 1
+    """,
+    tags=("similarity", "ann", "audit"),
+)
+def e_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@{LSH_TOPK} of the IVF path against exact truth.
+
+    The end-to-end companion of the candidate-level recall curves
+    (``t_lsh_recall_curve`` / ``e_lsh_recall_curve``): those measure
+    how many TRUE PAIRS the banding surfaces; this measures what the
+    user of an ANN index actually experiences — of the exact top-k
+    (brute-force cosine, the ``e_cosine_topk`` truth), how many does
+    the probed IVF search return, per query. Until now this number
+    lived only in pytest (``tests/test_ann_recall.py`` floors); as a
+    catalog query it is driver-value-checked every snapshot and runs
+    at any sf_dir, which is what an index operator monitoring a
+    production rollout needs. Recall is an exact integer ratio
+    (hits / k), so the oracle compare is bit-exact.
+
+    Plan shape: composes the two queries it audits — the exact side
+    is the one deliberate brute-force scan in the catalog (the truth
+    baseline; audit-bounded by N_QUERIES), the IVF side probes cells;
+    the audit itself adds one (query_id, neighbor_id) equi-join of
+    two k-row-per-query frames and a map-side count.
+    """
+    exact = e_cosine_topk(spark, sf_dir).filter(
+        F.col("rnk") <= LSH_TOPK
+    ).select("query_id", "neighbor_id")
+    ivf = e_ann_ivf_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    ).withColumn("hit", F.lit(1))
+    j = exact.join(ivf, ["query_id", "neighbor_id"], "left")
+    hits = F.sum(F.coalesce("hit", F.lit(0)))
+    return j.groupBy("query_id").agg(
+        hits.cast("long").alias("hits"),
+        (hits.cast("double") / LSH_TOPK).alias("recall"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Per-label centroid statistics (cluster-compactness audit)
 # --------------------------------------------------------------------------
 

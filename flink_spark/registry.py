@@ -91,6 +91,7 @@ _SNAPSHOT_FIRST = (
     "t_leakage_safe_split_loose",
     "t_lsh_recall_curve",
     "e_lsh_recall_curve",
+    "e_ann_recall_audit",
     "x_ensemble_dup_clusters",
     # block 1 — code changed THIS round (7): both composed pipelines'
     # verify legs are pair-keyed counts and the training pipeline's
@@ -148,14 +149,14 @@ _SNAPSHOT_FIRST = (
     "t_zipf_profile",
     "t_bm25_topk",
     "e_ann_lsh_topk",
-    "e_filtered_topk",
-    # 4+7+21+18 = 50 above: the head is exactly the driver's cap.
+    # 5+7+21+17 = 50 above: the head is exactly the driver's cap.
     # --- the driver's 50-query cap lands here ---
     # Everything below is r8/r9-green on unchanged code. After r10 the
-    # oldest green row anywhere is r8: the 26 remaining r8-green
-    # queries (46 were r8-green; 18 rotate in block 3 and the two
+    # oldest green row anywhere is r8: the 27 remaining r8-green
+    # queries (46 were r8-green; 17 rotate in block 3 and the two
     # pipelines re-green in block 1), queued first here for the r11
     # rotation. Registration order absorbs the rest of the cap.
+    "e_filtered_topk",
     "t_context_chunks",
     "t_distinctive_terms",
     "t_table_profile",
