@@ -33,8 +33,18 @@ import time
 _SCRATCH_ROOT = "/tmp/flink_spark-bench-scratch"
 
 
-def _sweep_stale_scratch() -> None:
-    """Remove sibling scratch dirs whose owning bench PID is dead."""
+def _sweep_stale_scratch(grace_sec: float = 600.0) -> None:
+    """Remove sibling scratch dirs whose owning bench PID is dead AND
+    whose top-level mtime is older than ``grace_sec``.
+
+    The liveness check targets the bench's Python driver; its JVM
+    child can briefly outlive a SIGKILLed driver, so the age floor
+    keeps the sweep away from a freshly-orphaned JVM still draining
+    (such a JVM loses its py4j peer and exits well within the grace).
+    Residual accepted edge: a dead bench whose PID was recycled by a
+    long-lived process leaks its dir until that PID exits.
+    """
+    now = time.time()
     try:
         entries = os.listdir(_SCRATCH_ROOT)
     except OSError:
@@ -42,6 +52,7 @@ def _sweep_stale_scratch() -> None:
     for name in entries:
         if name == str(os.getpid()):
             continue
+        path = os.path.join(_SCRATCH_ROOT, name)
         if name.isdigit():
             try:
                 os.kill(int(name), 0)
@@ -50,7 +61,12 @@ def _sweep_stale_scratch() -> None:
                 pass
             except PermissionError:
                 continue  # alive, different uid
-        shutil.rmtree(os.path.join(_SCRATCH_ROOT, name), ignore_errors=True)
+        try:
+            if now - os.path.getmtime(path) < grace_sec:
+                continue
+        except OSError:
+            pass
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def _own_scratch() -> str:

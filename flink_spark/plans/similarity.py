@@ -244,9 +244,9 @@ def _cosine_spark():
 # Brute-force cosine top-k (exact ANN baseline)
 # --------------------------------------------------------------------------
 
-@query(
-    "e_cosine_topk",
-    oracle=f"""
+# module constant (not just inline in the decorator): the end-to-end
+# recall audit composes this oracle verbatim as its ground truth
+_EXACT_TOPK_ORACLE = f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qe, {_norm_sql('embedding')} AS qn
                FROM embeddings WHERE vec_id < {N_QUERIES}),
     n AS (SELECT vec_id AS neighbor_id, embedding AS ne, {_norm_sql('embedding')} AS nn
@@ -259,7 +259,12 @@ def _cosine_spark():
     FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                     ORDER BY cosine DESC, neighbor_id) AS rnk FROM pairs)
     WHERE rnk <= {TOPK}
-    """,
+    """
+
+
+@query(
+    "e_cosine_topk",
+    oracle=_EXACT_TOPK_ORACLE,
     tags=("similarity", "ann"),
 )
 def e_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -639,48 +644,9 @@ def _emb_neardup_pairs(
         .filter(F.col("_m") > MAX_BUCKET).limit(1).count() > 0
     )
     if not oversized:
-        thresh = threshold
-        out_schema = T.StructType([
-            T.StructField("d1", T.LongType()),
-            T.StructField("d2", T.LongType()),
-            T.StructField("cosine", T.DoubleType()),
-        ])
-
-        def bucket_pairs(pdf):
-            import numpy as np
-            import pandas as pd
-
-            pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-            m = len(pdf)
-            if m < 2:
-                return pd.DataFrame(
-                    {"d1": [], "d2": [], "cosine": []}
-                ).astype({"d1": "int64", "d2": "int64", "cosine": "float64"})
-            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            EF = np.asfortranarray(E)   # contiguous fold operands —
-            ET = np.ascontiguousarray(E.T)  # see _with_probe_cells
-            nrm = pdf["nrm"].to_numpy()
-            ids = pdf["vec_id"].to_numpy()
-            cols = np.arange(m)
-            o1, o2, oc = [], [], []
-            B = 4096  # Gram rows per block: memory O(B*m), not O(m^2)
-            for r0 in range(0, m, B):
-                r1 = min(r0 + B, m)
-                acc = np.zeros((r1 - r0, m))
-                for i in range(E.shape[1]):
-                    acc += EF[r0:r1, i][:, None] * ET[i]
-                cos = acc / (nrm[r0:r1, None] * nrm[None, :])
-                later = cols[None, :] > np.arange(r0, r1)[:, None]
-                r, c = np.nonzero((cos >= thresh) & later)
-                o1.append(ids[r + r0]); o2.append(ids[c]); oc.append(cos[r, c])
-            return pd.DataFrame({
-                "d1": np.concatenate(o1), "d2": np.concatenate(o2),
-                "cosine": np.concatenate(oc),
-            })
-
         return (
             bands_v.groupBy("bkey")
-            .applyInPandas(bucket_pairs, out_schema)
+            .applyInPandas(_gram_pairs_fn(threshold), _PAIR_SCHEMA)
             .distinct()
         )
     cand = pair_self_join(
@@ -699,6 +665,58 @@ def _emb_neardup_pairs(
     return _pair_cosines_pandas(
         cand.join(x, "d1").join(y, "d2")
     ).filter(F.col("cosine") >= threshold)
+
+
+_PAIR_SCHEMA = T.StructType([
+    T.StructField("d1", T.LongType()),
+    T.StructField("d2", T.LongType()),
+    T.StructField("cosine", T.DoubleType()),
+])
+
+
+def _gram_pairs_fn(thresh: float):
+    """Factory for the blocked exact-cosine PAIR kernel: all (earlier
+    id, later id) pairs of the group at cosine >= ``thresh``, computed
+    as a blocked Gram accumulation whose per-pair sequential fold
+    reproduces the oracle expression bit-exactly. The ONE exact
+    pairwise kernel shared by the banded near-dup verify
+    (``_emb_neardup_pairs``, per band bucket) and the SRP recall
+    audit's ground truth (``e_lsh_recall_curve``, whole audit sample)
+    — a precision or fold-order change lands in both or neither.
+    """
+    def fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(
+                {"d1": [], "d2": [], "cosine": []}
+            ).astype({"d1": "int64", "d2": "int64", "cosine": "float64"})
+        E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        EF = np.asfortranarray(E)       # contiguous fold operands —
+        ET = np.ascontiguousarray(E.T)  # see _with_probe_cells
+        nrm = pdf["nrm"].to_numpy()
+        ids = pdf["vec_id"].to_numpy()
+        cols = np.arange(m)
+        o1, o2, oc = [], [], []
+        B = 4096  # Gram rows per block: memory O(B*m), not O(m^2)
+        for r0 in range(0, m, B):
+            r1 = min(r0 + B, m)
+            acc = np.zeros((r1 - r0, m))
+            for i in range(E.shape[1]):
+                acc += EF[r0:r1, i][:, None] * ET[i]
+            cos = acc / (nrm[r0:r1, None] * nrm[None, :])
+            later = cols[None, :] > np.arange(r0, r1)[:, None]
+            r, c = np.nonzero((cos >= thresh) & later)
+            o1.append(ids[r + r0]); o2.append(ids[c]); oc.append(cos[r, c])
+        return pd.DataFrame({
+            "d1": np.concatenate(o1), "d2": np.concatenate(o2),
+            "cosine": np.concatenate(oc),
+        })
+
+    return fn
 
 
 @query(
@@ -820,49 +838,13 @@ def e_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") < EMB_AUDIT_N
     ).select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
-    floor_t = E_RECALL_FLOOR
-    out_schema = T.StructType([
-        T.StructField("d1", T.LongType()),
-        T.StructField("d2", T.LongType()),
-        T.StructField("cosine", T.DoubleType()),
-    ])
-
-    def gram_pairs(pdf):
-        import numpy as np
-        import pandas as pd
-
-        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-        m = len(pdf)
-        if m < 2:
-            return pd.DataFrame(
-                {"d1": [], "d2": [], "cosine": []}
-            ).astype({"d1": "int64", "d2": "int64", "cosine": "float64"})
-        E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        EF = np.asfortranarray(E)
-        ET = np.ascontiguousarray(E.T)
-        nrm = pdf["nrm"].to_numpy()
-        ids = pdf["vec_id"].to_numpy()
-        cols = np.arange(m)
-        o1, o2, oc = [], [], []
-        B = 4096
-        for r0 in range(0, m, B):
-            r1 = min(r0 + B, m)
-            acc = np.zeros((r1 - r0, m))
-            for i in range(E.shape[1]):
-                acc += EF[r0:r1, i][:, None] * ET[i]
-            cos = acc / (nrm[r0:r1, None] * nrm[None, :])
-            later = cols[None, :] > np.arange(r0, r1)[:, None]
-            r, c = np.nonzero((cos >= floor_t) & later)
-            o1.append(ids[r + r0]); o2.append(ids[c]); oc.append(cos[r, c])
-        return pd.DataFrame({
-            "d1": np.concatenate(o1), "d2": np.concatenate(o2),
-            "cosine": np.concatenate(oc),
-        })
-
+    # ground truth through the SHARED Gram kernel (_gram_pairs_fn —
+    # the exact verify of _emb_neardup_pairs), run over the whole
+    # audit sample as one bounded group
     truth = (
         emb.withColumn("_g", F.lit(0))
         .groupBy("_g")
-        .applyInPandas(gram_pairs, out_schema)
+        .applyInPandas(_gram_pairs_fn(E_RECALL_FLOOR), _PAIR_SCHEMA)
     )
     banded = _with_band_keys(
         emb.select("vec_id", "embedding"), spark, bits
@@ -1557,14 +1539,13 @@ def _pair_cosines_pandas(pairs: DataFrame) -> DataFrame:
     return pairs.mapInPandas(fn, out_schema)
 
 
-@query(
-    "e_ann_ivf_topk",
-    # top-probes cell indices by struct argsort: (-score, index)
-    # ascending ≡ score descending with first-index tiebreak — the
-    # same pair both engines compute, so probing is oracle-identical
-    # at ANY probe count (the -1e300-masking trick this replaces only
-    # expressed probes=2).
-    oracle=f"""
+# module constant: the end-to-end recall audit composes this oracle
+# verbatim as its probed side. Top-probes cell indices by struct
+# argsort: (-score, index) ascending ≡ score descending with
+# first-index tiebreak — the same pair both engines compute, so
+# probing is oracle-identical at ANY probe count (the -1e300-masking
+# trick this replaces only expressed probes=2).
+_IVF_TOPK_ORACLE = f"""
     WITH {_IVF_CELLS_CTE},
     scored AS (
       SELECT vec_id, embedding, {_norm_sql('embedding')} AS nrm,
@@ -1593,7 +1574,12 @@ def _pair_cosines_pandas(pairs: DataFrame) -> DataFrame:
     FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                     ORDER BY cosine DESC, neighbor_id) AS rnk FROM pairs)
     WHERE rnk <= {LSH_TOPK}
-    """,
+    """
+
+
+@query(
+    "e_ann_ivf_topk",
+    oracle=_IVF_TOPK_ORACLE,
     tags=("similarity", "ann", "ivf"),
 )
 def e_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1651,16 +1637,13 @@ def e_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # End-to-end ANN recall audit: IVF vs exact, per query
 # --------------------------------------------------------------------------
 
-# compose the two already-registered oracles verbatim (nested WITH
-# scopes) — the audit's ground truth IS those queries' outputs
-from flink_spark.registry import _REGISTRY as _REG  # noqa: E402
-
-
 @query(
     "e_ann_recall_audit",
+    # compose the two audited queries' oracle constants verbatim
+    # (nested WITH scopes) — the audit's ground truth IS their outputs
     oracle=f"""
-    WITH ex AS ({_REG["e_cosine_topk"].oracle}),
-    iv AS ({_REG["e_ann_ivf_topk"].oracle})
+    WITH ex AS ({_EXACT_TOPK_ORACLE}),
+    iv AS ({_IVF_TOPK_ORACLE})
     SELECT e.query_id,
            CAST(COUNT(i.neighbor_id) AS BIGINT) AS hits,
            CAST(COUNT(i.neighbor_id) AS DOUBLE) / {LSH_TOPK} AS recall

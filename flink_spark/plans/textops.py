@@ -1944,15 +1944,20 @@ _MINHASH_PAIRS_CTES = _minhash_pairs_ctes(JACCARD_THRESHOLD)
 
 
 def pairkey_verify(
-    cand: DataFrame, sh: DataFrame, threshold: float
+    cand: DataFrame, sh: DataFrame, threshold: float,
+    right_sh: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs as a PAIR-KEYED
-    COUNT — the one verify kernel every near-dup consumer shares
+    COUNT — the ONE verify kernel every near-dup consumer shares
     (``_minhash_pairs``, both composed pipelines, and the streaming
-    incremental dedup's in-batch leg re-derives the same shape).
+    incremental dedup/split bodies via the ``right_sh`` form).
 
-    ``cand``: distinct (d1, d2); ``sh``: (doc_id, sl) distinct-shingle
-    arrays covering both sides. Each side's postings stream through a
+    ``cand``: distinct (d1, d2) — MUST be persisted/cheap, the verify
+    consumes it twice (once per posting side); ``sh``: (doc_id, sl)
+    distinct-shingle arrays covering the d1 side (and the d2 side
+    when ``right_sh`` is None — the batch self-join case);
+    ``right_sh`` supplies a separate d2-side table for the streaming
+    store↔batch legs. Each side's postings stream through a
     (d1, d2, digest) equijoin: 1:1 per key by construction (shingles
     distinct per doc, candidate pairs distinct), so there is NO
     fan-out anywhere, the exchange is candidates x doc-length narrow
@@ -1963,16 +1968,20 @@ def pairkey_verify(
     density x doc length; co-occurrence count: df-uncapped fan-out).
     Returns (d1, d2, jaccard) at ``jaccard >= threshold``.
     """
-    posts = sh.select(
-        "doc_id", F.size("sl").alias("sz"), F.explode("sl").alias("s")
-    ).select(
-        # 16-byte md5 digests as join keys, never the ~25-byte strings
-        "doc_id", "sz", F.unhex(F.md5("s")).alias("s")
-    )
-    p1 = cand.join(posts, cand.d1 == posts.doc_id).select(
+    def posts(side_sh: DataFrame) -> DataFrame:
+        return side_sh.select(
+            "doc_id", F.size("sl").alias("sz"), F.explode("sl").alias("s")
+        ).select(
+            # 16-byte md5 digests as join keys, never ~25-byte strings
+            "doc_id", "sz", F.unhex(F.md5("s")).alias("s")
+        )
+
+    pl = posts(sh)
+    pr = pl if right_sh is None else posts(right_sh)
+    p1 = cand.join(pl, cand.d1 == pl.doc_id).select(
         "d1", "d2", "s", F.col("sz").alias("sz1")
     )
-    p2 = cand.join(posts, cand.d2 == posts.doc_id).select(
+    p2 = cand.join(pr, cand.d2 == pr.doc_id).select(
         "d1", "d2", "s", F.col("sz").alias("sz2")
     )
     counts = (
@@ -2686,11 +2695,14 @@ def t_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # skew-guarded band-key self-join (plans.pairjoin): a boilerplate
     # page duplicated millions of times lands every copy in one band
     # bucket — the guard grid-splits it instead of one quadratic task
-    cand = pair_self_join(bands, "doc_id", ["bkey"]).distinct()
     # pair-keyed count verify (``pairkey_verify``): round 10 closes the
     # last array-carrying verify legs — the composed pipelines had kept
     # the r8 array_intersect form the standalone MinHash query already
     # abandoned for its measured disk-unboundedness (SCALING.md §R9).
+    # The candidate table MUST persist: the verify consumes it twice
+    # (once per posting side), and an unpersisted subtree would pay
+    # the band self-join + distinct twice.
+    cand = track_persist(pair_self_join(bands, "doc_id", ["bkey"]).distinct())
     dups = (
         pairkey_verify(cand, sh2, JACCARD_THRESHOLD)
         .select("d2")
@@ -3049,7 +3061,10 @@ def _training_pipeline_parts(spark: SparkSession, sf_dir: str):
     # skew-guarded band-key self-join (plans.pairjoin): a boilerplate
     # page duplicated millions of times lands every copy in one band
     # bucket — the guard grid-splits it instead of one quadratic task
-    cand = pair_self_join(bands, "doc_id", ["bkey"]).distinct()
+    # candidate table persisted: the pair-keyed verify consumes it
+    # twice (once per posting side) — unpersisted it would pay the
+    # band self-join + distinct twice
+    cand = track_persist(pair_self_join(bands, "doc_id", ["bkey"]).distinct())
     # pair-keyed count verify (``pairkey_verify`` — round 10 closes the
     # composed pipelines' last array-carrying verify legs, SCALING.md
     # §R9's measured failure shape). The verified PAIRS persist, not

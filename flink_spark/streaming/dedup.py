@@ -56,6 +56,7 @@ from flink_spark.plans.textops import (
     _band_keys_spark,
     _hashed_shingles_spark,
     _minhash_cols_spark,
+    pairkey_verify,
     split_bucket_col,
 )
 
@@ -156,42 +157,16 @@ def _verified(
     cand: DataFrame, left_sh: DataFrame, right_sh: DataFrame,
     threshold: float,
 ) -> DataFrame:
-    """Candidate-pair-keyed count verify (the _minhash_pairs kernel;
-    measured three-way in SCALING.md §R9): joining shingle ARRAYS
-    onto candidates is the shape that exceeded disk for the dense
-    batch corpus, and counting co-occurrence over candidate DOCS
-    re-opens a df-uncapped per-shingle fan-out. Streaming each
-    side's postings through a (d1, d2, digest) equijoin has
-    neither failure mode: the join is 1:1 per key (distinct
-    shingles per doc, distinct candidate pairs), the exchange is
-    candidates x doc-length narrow rows — the minimum any exact
-    verify must read — and the count collapses map-side.
-    """
-    def posts(side_sh: DataFrame) -> DataFrame:
-        return side_sh.select(
-            "doc_id", F.size("sl").alias("sz"), F.explode("sl").alias("s")
-        ).select("doc_id", "sz", F.unhex(F.md5("s")).alias("s"))
-
-    pl, pr = posts(left_sh), posts(right_sh)
-    p1 = cand.join(pl, cand.d1 == pl.doc_id).select(
-        "d1", "d2", "s", F.col("sz").alias("sz1")
-    )
-    p2 = cand.join(pr, cand.d2 == pr.doc_id).select(
-        "d1", "d2", "s", F.col("sz").alias("sz2")
-    )
-    counts = (
-        p1.join(p2, ["d1", "d2", "s"])
-        .groupBy("d1", "d2")
-        .agg(
-            F.count(F.lit(1)).alias("shared"),
-            F.first("sz1").alias("sz1"),
-            F.first("sz2").alias("sz2"),
-        )
-    )
-    jac = F.col("shared").cast("double") / (
-        F.col("sz1") + F.col("sz2") - F.col("shared")
-    )
-    return counts.filter(jac >= threshold).select("d1", "d2")
+    """Candidate pairs verified by the SHARED pair-keyed count kernel
+    (``plans.textops.pairkey_verify`` — the one implementation the
+    batch operators, both pipelines, and these streaming bodies use;
+    algorithm + SCALING.md §R9 measurements on its docstring). The
+    streaming legs pass a separate d2-side shingle table (store↔batch
+    candidates verify the stored doc's shingles against the batch
+    doc's)."""
+    return pairkey_verify(
+        cand, left_sh, threshold, right_sh=right_sh
+    ).select("d1", "d2")
 
 
 def _batch_pair_graph(
@@ -367,32 +342,13 @@ def split_assignments(spark: SparkSession, store_dir: str) -> DataFrame:
 
 
 def _split_bits(store_dir: str, bits: int | None) -> int:
-    """Pin the SRP band-key width for the split store's lifetime.
-
-    Band keys are functions of ``bits``; a restarted stream that
-    silently changed the width would band old survivors and new
-    arrivals incomparably and miss every cross-batch near-dup — the
-    same immutability contract as ``_sem_config``'s cell count."""
-    os.makedirs(store_dir, exist_ok=True)
-    path = os.path.join(store_dir, "_SPLIT_CONFIG")
-    if os.path.exists(path):
-        with open(path, encoding="utf-8") as fh:
-            got = json.load(fh)["bits"]
-        if bits is not None and bits != got:
-            raise ValueError(
-                f"store was built with bits={got}, asked for {bits}; "
-                "band geometry is immutable for a store's lifetime"
-            )
-        return got
-    if bits is None:
-        raise ValueError("bits is required when creating a new store")
-    tmp = path + ".tmp"
-    with open(tmp, "w", encoding="utf-8") as fh:
-        json.dump({"bits": bits}, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, path)
-    return bits
+    """Pin the SRP band-key width for the split store's lifetime (see
+    ``_pinned_config``): band keys are functions of ``bits``, so a
+    silently changed width would band old survivors and new arrivals
+    incomparably and miss every cross-batch near-dup."""
+    return _pinned_config(
+        store_dir, "_SPLIT_CONFIG", "bits", bits, "band geometry"
+    )
 
 
 def semantic_split_assign_batch(
@@ -701,35 +657,48 @@ def compact_store(spark: SparkSession, store_dir: str) -> None:
 # Incremental SEMANTIC dedup: an embedding stream against a survivor store
 # --------------------------------------------------------------------------
 
-def _sem_config(store_dir: str, cells: int | None) -> int:
-    """Pin the cell geometry for the store's lifetime.
+def _pinned_config(
+    store_dir: str, fname: str, key: str, value: int | None,
+    what: str,
+) -> int:
+    """Read-or-create an immutable per-store config value.
 
-    Cell assignment is a function of the quantizer; if a restarted
-    stream silently changed the cell count, old survivors and new
-    arrivals would land in incomparable cells and dups would slip
-    through. First run writes ``_SEM_CONFIG`` (atomic tmp+replace);
-    every later run must match it or pass ``cells=None`` to adopt it.
+    Geometry knobs (semantic-dedup cell count, split-store band width)
+    are functions the store's keys were built with; a restarted stream
+    that silently changed one would make old state and new arrivals
+    incomparable. First run writes the value (atomic tmp+fsync+replace
+    — the manifest-commit discipline); every later run must match it
+    or pass ``None`` to adopt it.
     """
     os.makedirs(store_dir, exist_ok=True)
-    path = os.path.join(store_dir, "_SEM_CONFIG")
+    path = os.path.join(store_dir, fname)
     if os.path.exists(path):
         with open(path, encoding="utf-8") as fh:
-            got = json.load(fh)["cells"]
-        if cells is not None and cells != got:
+            got = json.load(fh)[key]
+        if value is not None and value != got:
             raise ValueError(
-                f"store was built with cells={got}, asked for {cells}; "
-                "cell geometry is immutable for a store's lifetime"
+                f"store was built with {key}={got}, asked for {value}; "
+                f"{what} is immutable for a store's lifetime"
             )
         return got
-    if cells is None:
-        raise ValueError("cells is required when creating a new store")
+    if value is None:
+        raise ValueError(f"{key} is required when creating a new store")
     tmp = path + ".tmp"
     with open(tmp, "w", encoding="utf-8") as fh:
-        json.dump({"cells": cells}, fh)
+        json.dump({key: value}, fh)
         fh.flush()
         os.fsync(fh.fileno())
     os.replace(tmp, path)
-    return cells
+    return value
+
+
+def _sem_config(store_dir: str, cells: int | None) -> int:
+    """Pin the cell geometry for the store's lifetime (see
+    ``_pinned_config``): cell assignment is a function of the
+    quantizer, so the count is immutable once the store exists."""
+    return _pinned_config(
+        store_dir, "_SEM_CONFIG", "cells", cells, "cell geometry"
+    )
 
 
 def semantic_dedup_batch(

@@ -43,6 +43,8 @@ def main() -> None:
             os.path.abspath(__file__))), "CORRECTNESS_r*.json")
     )):
         m = re.search(r"r(\d+)\.json$", path)
+        if m is None:
+            continue  # backup/variant file (e.g. *_retry.json): skip
         rnd = int(m.group(1))
         rounds.append(rnd)
         for name, row in json.load(open(path)).items():
