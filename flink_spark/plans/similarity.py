@@ -86,12 +86,24 @@ TOPK = 5
 # COUNT(*) CTE + md5-generated hyperplanes), so the default stays
 # near-linear at any corpus size with no tuning. Setting
 # FLINK_SPARK_LSH_BITS pins a fixed per-band width on both sides;
-# FLINK_SPARK_LSH_BANDS pins the band count (default 4, mirroring the
-# MinHash 4×4 banding in plans.textops).
+# FLINK_SPARK_LSH_BANDS pins the band count.
+#
+# Band-count default: 8 (raised from 4 in round 11, decided by the
+# repo's own audit). ``e_lsh_recall_curve`` measured candidate recall
+# at the COSDUP_THRESHOLD band of ~0.5 under 4 bands — the md5-derived
+# ±1 planes are a coarser LSH family than iid Gaussian theory assumes
+# (~0.88) — and ~0.76 under 8 bands. Semantic dedup and the embedding
+# leakage-safe split inherit that recall directly (a missed candidate
+# is a missed near-dup is train/val leakage), so the default buys
+# recall with the measured price: 2× band rows per vector and ~2×
+# band-join candidates (walls at sf0.1 and the 500k decade leg in
+# SCALING.md §R11). Deployments tuning for throughput over recall set
+# FLINK_SPARK_LSH_BANDS=4; every oracle re-derives the active value,
+# so the correctness gate is band-count-independent.
 _LSH_BITS_ENV = os.environ.get("FLINK_SPARK_LSH_BITS")
 LSH_BITS = int(_LSH_BITS_ENV) if _LSH_BITS_ENV else 4  # fixed-mode width
 LSH_MIN_BITS, LSH_MAX_BITS = 4, 16
-LSH_BANDS = int(os.environ.get("FLINK_SPARK_LSH_BANDS", "4"))
+LSH_BANDS = int(os.environ.get("FLINK_SPARK_LSH_BANDS", "8"))
 LSH_TOPK = 3
 
 

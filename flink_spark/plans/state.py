@@ -463,3 +463,110 @@ def s_abandoned_browse(spark: SparkSession, sf_dir: str) -> DataFrame:
         ab.alias("abandoned_views"),
         (ab.cast("double") / F.col("views")).alias("abandon_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming surface in the driver gate: replay → incremental split store
+# --------------------------------------------------------------------------
+
+def _split_replay_oracle() -> str:
+    from flink_spark.plans.graph import CC_SQL_CTES
+    from flink_spark.plans.textops import (
+        SPLIT_JACCARD,
+        TRAIN_PCT,
+        _minhash_pairs_ctes,
+    )
+
+    return f"""
+    WITH RECURSIVE {_minhash_pairs_ctes(SPLIT_JACCARD)},
+    {CC_SQL_CTES},
+    grp AS (
+      SELECT d.source, d.doc_id,
+             COALESCE(l.cluster_id, d.doc_id) AS gkey
+      FROM documents d LEFT JOIN labels l USING (doc_id)
+    ),
+    tagged AS (
+      SELECT source, doc_id, gkey,
+             CASE WHEN CAST(concat('0x', substr(md5(CAST(gkey AS VARCHAR)),
+                                   1, 4)) AS BIGINT) % 100 < {TRAIN_PCT}
+                  THEN 'train' ELSE 'val' END AS split
+      FROM grp
+    )
+    SELECT source, split, COUNT(*) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(gkey) AS BIGINT) AS gkey_sum
+    FROM tagged GROUP BY source, split
+    """
+
+
+@query(
+    "s_split_stream_replay",
+    oracle=_split_replay_oracle(),
+    tags=("state", "streaming", "split", "dedup"),
+)
+def s_split_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING leakage-safe split, driven end-to-end inside the
+    correctness gate: replay ``documents`` as a 3-slice id-ordered file
+    stream through ``run_split_stream`` (a real Structured Streaming
+    query — checkpoint, foreachBatch epochs, survivor store) and roll
+    up the final assignment store per (source, split).
+
+    Every other streaming op is pytest-only by nature; this query puts
+    one streaming surface in front of the driver's DuckDB oracle
+    (VERDICT r10 item #6). The oracle is the BATCH split — valid
+    because on an id-ordered replay the incremental semantics converge
+    to the batch assignment whenever every non-min member of a near-dup
+    component has a verified edge to some smaller-id member (each
+    arrival then anchors, directly or transitively, to the component's
+    true min — the batch gkey). Components violating that (a middle
+    member whose edges all point to LATER ids, bridged only after its
+    own assignment) diverge by design — first-sight splits are
+    immutable; the conflict ledger counts them. The fixtures' pair
+    graphs satisfy the condition (pinned by
+    ``tests/test_streaming_dedup.py::test_fixture_components_incrementally_connected``),
+    so the gate compares exact hashes. ``gkey_sum`` pins the full
+    anchor assignment, not just the side counts.
+
+    Bounded by construction: the replay harness collects the corpus
+    once to slice it (test-harness license, raises past 2M rows —
+    this query exists for the sf0.01 gate, not the 100 TB path, where
+    the stream arrives from Kafka/files) and the final rollup is
+    ≤ 2×|sources| rows, materialized to the driver so the temp store
+    and checkpoint can be deleted before returning.
+    """
+    import shutil
+    import tempfile
+
+    from flink_spark.streaming.dedup import (
+        doc_stream,
+        run_split_stream,
+        split_assignments,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    work = tempfile.mkdtemp(prefix="flink_spark-split-replay-")
+    try:
+        stream = doc_stream(
+            spark, docs.select("doc_id", "text"), f"{work}/replay", slices=3
+        )
+        q = run_split_stream(stream, f"{work}/store", f"{work}/ck")
+        q.processAllAvailable()
+        q.stop()
+        out = (
+            split_assignments(spark, f"{work}/store")
+            .join(docs.select("doc_id", "source"), "doc_id")
+            .groupBy("source", "split")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("doc_id").cast("long").alias("id_sum"),
+                F.sum("gkey").cast("long").alias("gkey_sum"),
+            )
+        )
+        rows = out.collect()  # ≤ 2×|sources| rows by construction
+        return spark.createDataFrame(
+            rows,
+            "source string, split string, n_docs bigint, "
+            "id_sum bigint, gkey_sum bigint",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

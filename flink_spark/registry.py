@@ -130,7 +130,7 @@ _SNAPSHOT_FIRST = (
     "j_two_key_join",
     "j_wide_order_5way",
     "j_full_outer_metrics",
-    # block 3 — 21 of the 46 r8-green queries, dedup/similarity family
+    # block 3 — 17 of the 46 r8-green queries, dedup/similarity family
     # first (they share modules with this round's changed code).
     "t_ngram_jaccard_dups",
     "t_containment_dups",

@@ -70,6 +70,10 @@ _EMPTY_SCHEMA = {
     "svecs": "vec_id bigint, embedding array<float>, nrm double",
     "vbands": "vec_id bigint, bkey bigint",
     "vsplits": "vec_id bigint, split string, gkey bigint",
+    "conflicts": "epoch bigint, cluster_id bigint, n_assigned bigint, "
+                 "n_train bigint, n_val bigint",
+    "vconflicts": "epoch bigint, cluster_id bigint, n_assigned bigint, "
+                  "n_train bigint, n_val bigint",
 }
 
 
@@ -174,13 +178,24 @@ def _batch_pair_graph(
     bands_old: DataFrame, sh_old: DataFrame, threshold: float,
 ) -> DataFrame:
     """Verified pairs touching the batch: within-batch (d1 < d2) plus
-    store↔batch (d1 = stored, d2 = new), band-key candidates only."""
+    store↔batch (d1 = stored, d2 = new), band-key candidates only.
+
+    Returns the pair union PERSISTED and materialized (callers
+    unpersist it when their epoch's writes land). The candidate tables
+    are persisted for the duration of the verify — ``pairkey_verify``'s
+    contract consumes its candidate input twice (once per posting
+    side), so an unpersisted candidate would recompute the band
+    self-join + distinct twice per micro-batch — and released here
+    once the materialized pairs no longer reference them. The semantic
+    twin (``semantic_split_assign_batch``) does NOT need this: its
+    cosine verify joins each candidate table exactly once."""
     a, b = bands_new.alias("a"), bands_new.alias("b")
     cand_in = (
         a.join(b, (F.col("a.bkey") == F.col("b.bkey"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
+        .persist()
     )
     pairs_in = _verified(cand_in, sh_new, sh_new, threshold)
 
@@ -189,9 +204,14 @@ def _batch_pair_graph(
         o.join(bands_new.alias("n"), F.col("o.bkey") == F.col("n.bkey"))
         .select(F.col("o.doc_id").alias("d1"), F.col("n.doc_id").alias("d2"))
         .distinct()
+        .persist()
     )
     pairs_cross = _verified(cand_cross, sh_old, sh_new, threshold)
-    return pairs_in.unionByName(pairs_cross)
+    pairs = pairs_in.unionByName(pairs_cross).persist()
+    pairs.count()
+    cand_in.unpersist()
+    cand_cross.unpersist()
+    return pairs
 
 
 def neardup_dedup_batch(
@@ -204,10 +224,9 @@ def neardup_dedup_batch(
     sh_new, bands_new = _shingle_bands(docs)
     sh_old = _store(spark, store_dir, "shingles", before_epoch=epoch_id)
     bands_old = _store(spark, store_dir, "bands", before_epoch=epoch_id)
-    pairs = _batch_pair_graph(
+    pairs = _batch_pair_graph(  # persisted + materialized by contract
         bands_new, sh_new, bands_old, sh_old, JACCARD_THRESHOLD
-    ).persist()
-    pairs.count()
+    )
     labels = connected_components(pairs)
 
     stored_ids = bands_old.select("doc_id").distinct()
@@ -237,6 +256,36 @@ def neardup_dedup_batch(
         df.unpersist()
 
 
+def _conflict_ledger(members: DataFrame, epoch_id: int) -> DataFrame:
+    """Per-component conflict rows: components whose ALREADY-ASSIGNED
+    members straddle train and val — i.e. this batch's pair graph
+    bridged previously-separate clusters whose splits disagree.
+
+    Stored docs only meet in a component through batch edges (the pair
+    graph is in-batch + store↔batch), so any component with stored
+    members on BOTH sides was bridged by this epoch's arrivals. The
+    anchor rule still assigns the new docs deterministically (smallest
+    assigned id wins) and old assignments stand — but a trainer needs
+    the conflict VOLUME to decide when the batch re-split repair is
+    due, which is this ledger's whole job. ``members``: the
+    (cluster_id, split) rows of stored assignments that landed in this
+    epoch's components.
+    """
+    return (
+        members.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            F.sum((F.col("split") == "train").cast("bigint")).alias("n_train"),
+            F.sum((F.col("split") == "val").cast("bigint")).alias("n_val"),
+        )
+        .filter((F.col("n_train") > 0) & (F.col("n_val") > 0))
+        .select(
+            F.lit(epoch_id).cast("bigint").alias("epoch"),
+            "cluster_id", "n_assigned", "n_train", "n_val",
+        )
+    )
+
+
 def split_assign_batch(
     batch: DataFrame, epoch_id: int, store_dir: str,
     threshold: float = SPLIT_JACCARD,
@@ -260,7 +309,10 @@ def split_assign_batch(
       splits disagree, the anchor rule picks one for the NEW doc and
       the old assignments stand (first-sight splits are immutable —
       the price of never re-deciding; batch re-splits are the repair
-      path, exactly as with any streaming/batch lambda pair);
+      path, exactly as with any streaming/batch lambda pair). Each
+      such bridged-conflicting component is COUNTED: a row lands in
+      the ``conflicts`` ledger (queryable via ``split_conflicts``),
+      so the repair decision is driven by a number, not a guess;
     - an untouched component splits by md5(min member doc_id) — the
       batch operator's rule, shared via ``split_bucket_col`` so a doc
       singleton in both worlds gets the SAME side as the batch query;
@@ -277,17 +329,19 @@ def split_assign_batch(
     bands_old = _store(spark, store_dir, "bands", before_epoch=epoch_id)
     splits_old = _store(spark, store_dir, "splits", before_epoch=epoch_id)
 
-    pairs = _batch_pair_graph(
+    pairs = _batch_pair_graph(  # persisted + materialized by contract
         bands_new, sh_new, bands_old, sh_old, threshold
-    ).persist()
-    pairs.count()
+    )
     labels = connected_components(pairs)
 
+    # stored assignments landing in this epoch's components: feeds the
+    # anchor rule AND the merge-conflict ledger (persisted — two
+    # consumers, and the join above it re-reads the whole store)
+    members = labels.join(splits_old, "doc_id").persist()
     # per-component anchor: the smallest already-assigned doc_id (the
     # struct-min carries its split/gkey in the same map-side aggregate)
     anchors = (
-        labels.join(splits_old, "doc_id")
-        .groupBy("cluster_id")
+        members.groupBy("cluster_id")
         .agg(F.min(F.struct("doc_id", "split", "gkey")).alias("_a"))
         .select(
             "cluster_id",
@@ -311,9 +365,11 @@ def split_assign_batch(
         F.coalesce("inh_gkey", own_key).alias("gkey"),
     )
     _write(out, store_dir, "splits", epoch_id)
+    _write(_conflict_ledger(members.select("cluster_id", "split"), epoch_id),
+           store_dir, "conflicts", epoch_id)
     _write(bands_new, store_dir, "bands", epoch_id)
     _write(sh_new, store_dir, "shingles", epoch_id)
-    for df in (sh_new, bands_new, pairs):
+    for df in (sh_new, bands_new, pairs, members):
         df.unpersist()
 
 
@@ -341,6 +397,18 @@ def split_assignments(spark: SparkSession, store_dir: str) -> DataFrame:
     return _store(spark, store_dir, "splits")
 
 
+def split_conflicts(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The merge-conflict ledger accumulated so far: one row per
+    (epoch, component) where the batch's pair graph bridged
+    previously-separate clusters with DISAGREEING splits
+    (``n_train``/``n_val`` = stored members on each side). Old
+    assignments stand and new docs followed the anchor rule; when the
+    cumulative conflict volume crosses a trainer's tolerance, the
+    repair path is a batch re-split (``t_leakage_safe_split``) over
+    the full corpus — see README."""
+    return _store(spark, store_dir, "conflicts")
+
+
 def _split_bits(store_dir: str, bits: int | None) -> int:
     """Pin the SRP band-key width for the split store's lifetime (see
     ``_pinned_config``): band keys are functions of ``bits``, so a
@@ -348,6 +416,21 @@ def _split_bits(store_dir: str, bits: int | None) -> int:
     incomparably and miss every cross-batch near-dup."""
     return _pinned_config(
         store_dir, "_SPLIT_CONFIG", "bits", bits, "band geometry"
+    )
+
+
+def _split_bands(store_dir: str) -> int:
+    """Pin the BAND COUNT for the split store's lifetime. Unlike
+    ``bits`` (a parameter the store can hand back to a restart), the
+    band count is the module-level ``LSH_BANDS`` — env-tunable, and
+    its default moved 4→8 in round 11 — so ``_with_band_keys`` cannot
+    adopt a stored value; a restart whose active count disagrees with
+    the store's must fail LOUDLY here, not silently halve cross-batch
+    candidate recall by banding old and new vectors differently."""
+    from flink_spark.plans.similarity import LSH_BANDS
+
+    return _pinned_config(
+        store_dir, "_SPLIT_BANDS", "bands", LSH_BANDS, "band count"
     )
 
 
@@ -384,6 +467,7 @@ def semantic_split_assign_batch(
         threshold = SPLIT_COSINE
     spark = batch.sparkSession
     bits = _split_bits(store_dir, None)
+    _split_bands(store_dir)
     new = batch.select(
         "vec_id", "embedding"
     ).withColumn("nrm", _norm(F.col("embedding"))).persist()
@@ -431,11 +515,11 @@ def semantic_split_assign_batch(
     pairs.count()
     labels = connected_components(pairs)
 
+    members = labels.join(
+        vsplits_old.withColumnRenamed("vec_id", "doc_id"), "doc_id"
+    ).persist()  # anchor rule + conflict ledger both consume it
     anchors = (
-        labels.join(
-            vsplits_old.withColumnRenamed("vec_id", "doc_id"), "doc_id"
-        )
-        .groupBy("cluster_id")
+        members.groupBy("cluster_id")
         .agg(F.min(F.struct("doc_id", "split", "gkey")).alias("_a"))
         .select(
             "cluster_id",
@@ -458,10 +542,12 @@ def semantic_split_assign_batch(
         F.coalesce("inh_gkey", own_key).alias("gkey"),
     )
     _write(out, store_dir, "vsplits", epoch_id)
+    _write(_conflict_ledger(members.select("cluster_id", "split"), epoch_id),
+           store_dir, "vconflicts", epoch_id)
     _write(banded, store_dir, "vbands", epoch_id)
     _write(new.select("vec_id", "embedding", "nrm"), store_dir, "svecs",
            epoch_id)
-    for df in (new, banded, pairs):
+    for df in (new, banded, pairs, members):
         df.unpersist()
 
 
@@ -475,8 +561,10 @@ def run_semantic_split_stream(
     """Wire an embedding stream into the incremental semantic split
     store. ``bits`` pins the SRP band width on first run (size it with
     ``lsh_bits_for`` against the expected corpus); restarts adopt the
-    stored value."""
+    stored value. The band count is pinned too (``_split_bands``) —
+    restarts must run at the store's count."""
     _split_bits(store_dir, bits)
+    _split_bands(store_dir)
     return (
         sdf.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
@@ -492,6 +580,12 @@ def run_semantic_split_stream(
 def semantic_split_assignments(spark: SparkSession, store_dir: str) -> DataFrame:
     """All (vec_id, split, gkey) assignments accumulated so far."""
     return _store(spark, store_dir, "vsplits")
+
+
+def semantic_split_conflicts(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The embedding-modality merge-conflict ledger (see
+    ``split_conflicts``); ``cluster_id`` is the component's min vec_id."""
+    return _store(spark, store_dir, "vconflicts")
 
 
 def decontaminate_batch(

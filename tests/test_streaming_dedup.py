@@ -384,10 +384,13 @@ def test_split_stream_merge_conflict_semantics(spark, tmp_path):
     """The documented never-re-decide limit, pinned exactly: a new doc
     that BRIDGES two already-assigned near-dup singletons whose splits
     disagree inherits the smallest-id anchor's side, and the old
-    assignments stand untouched."""
+    assignments stand untouched — and the bridge is COUNTED in the
+    conflict ledger (VERDICT r10 item #3: a trainer decides the batch
+    re-split repair from this number)."""
     from flink_spark.streaming.dedup import (
         split_assign_batch,
         split_assignments,
+        split_conflicts,
     )
 
     base = [f"tok{i}" for i in range(56)]
@@ -417,6 +420,8 @@ def test_split_stream_merge_conflict_semantics(spark, tmp_path):
              for r in split_assignments(spark, store).collect()}
     # A !~ B: independent singleton hash splits on opposite sides
     assert first == {0: ("val", 0), 1: ("train", 1)}
+    # no bridge yet: the ledger is empty
+    assert split_conflicts(spark, store).count() == 0
 
     split_assign_batch(mk([C]), 1, store)
     final = {r.doc_id: (r.split, r.gkey)
@@ -425,6 +430,11 @@ def test_split_stream_merge_conflict_semantics(spark, tmp_path):
     # assigned member (doc 0) so C inherits val/gkey 0, and the
     # conflicting old assignments are NOT re-decided
     assert final == {0: ("val", 0), 1: ("train", 1), 2: ("val", 0)}
+    # ...but the bridge IS observable: one conflict row for the epoch,
+    # keyed by the component (min member id), counting the stored
+    # members on each side
+    ledger = [tuple(r) for r in split_conflicts(spark, store).collect()]
+    assert ledger == [(1, 0, 2, 1, 1)]  # epoch, cluster, n_assigned, tr, va
 
 
 def test_semantic_split_stream_matches_simulation_and_restarts(
@@ -553,6 +563,80 @@ def _semantic_simulation(spark, cells, slices):
     return {ids[j] for j in kept}
 
 
+# Crafted conflict fixture for the semantic split ledger: A ⟂ B unit
+# vectors (cos 0 < SPLIT_COSINE) with C = normalize(A+B) (cos 0.707 to
+# both ≥ it); found by deterministic search so that BOTH bridge pairs
+# band-collide at bits=4 under the 8-band default, with every plane
+# projection ≥ 0.0016 in magnitude (float32 storage can't flip a sign).
+_CONFLICT_A = [
+    0.0002, 0.0418, -0.0384, -0.1248, -0.0637, -0.1389, 0.0084, 0.1877,
+    -0.0689, -0.0869, 0.0686, 0.05, 0.0148, -0.1303, -0.0041, 0.0974,
+    -0.1883, -0.0641, -0.2663, -0.1806, -0.258, -0.0329, -0.1775, 0.038,
+    0.022, -0.0262, -0.3525, -0.0755, -0.0068, 0.0159, -0.2143, -0.0669,
+    -0.1371, -0.1133, 0.1486, -0.1131, -0.0046, 0.1239, -0.0817, -0.0156,
+    0.0155, 0.0089, -0.1716, 0.0107, 0.1903, -0.2167, 0.1204, 0.0167,
+    -0.0899, 0.2802, 0.1068, -0.168, 0.0104, 0.0808, -0.0264, 0.0957,
+    -0.0093, 0.0935, 0.2015, -0.0946, 0.0285, -0.0649, 0.0178, -0.1663,
+]
+_CONFLICT_B = [
+    -0.0805, -0.0279, 0.1255, 0.161, -0.1829, -0.1083, 0.0898, -0.2797,
+    -0.0633, -0.0122, 0.1736, 0.095, -0.0457, -0.0492, -0.0347, 0.2102,
+    -0.0566, -0.0412, 0.053, -0.014, -0.0235, -0.1543, 0.0011, -0.0622,
+    0.1617, 0.0911, 0.002, 0.094, -0.0471, 0.146, 0.0025, 0.0821,
+    -0.1773, 0.0499, -0.2368, -0.2811, -0.0422, -0.1269, 0.024, 0.3122,
+    -0.1158, -0.0868, 0.0311, 0.0683, -0.0274, -0.0253, 0.0958, 0.072,
+    -0.1423, -0.0153, 0.0033, -0.144, 0.0359, -0.1204, 0.1355, 0.0253,
+    0.0126, -0.0835, -0.0195, -0.2762, -0.1576, 0.0514, -0.296, 0.1202,
+]
+_CONFLICT_C = [
+    -0.0568, 0.0099, 0.0616, 0.0256, -0.1744, -0.1748, 0.0694, -0.065,
+    -0.0935, -0.0701, 0.1713, 0.1025, -0.0219, -0.127, -0.0274, 0.2175,
+    -0.1732, -0.0745, -0.1508, -0.1377, -0.199, -0.1324, -0.1248, -0.0171,
+    0.1299, 0.0459, -0.2479, 0.0131, -0.0381, 0.1144, -0.1498, 0.0107,
+    -0.2223, -0.0448, -0.0624, -0.2788, -0.0331, -0.0022, -0.0408, 0.2097,
+    -0.0709, -0.0551, -0.0993, 0.0559, 0.1152, -0.1712, 0.1528, 0.0627,
+    -0.1641, 0.1874, 0.0778, -0.2206, 0.0328, -0.028, 0.0771, 0.0856,
+    0.0023, 0.007, 0.1287, -0.2622, -0.0913, -0.0095, -0.1967, -0.0326,
+]
+
+
+def test_semantic_split_merge_conflict_ledger(spark, tmp_path):
+    """Embedding twin of the merge-conflict pin: vector C bridges two
+    assigned near-dup singletons on opposite hash sides; the anchor
+    rule assigns C the smallest member's side, old assignments stand,
+    and the ``vconflicts`` ledger counts the bridge."""
+    from flink_spark.streaming.dedup import (
+        _split_bits,
+        semantic_split_assign_batch,
+        semantic_split_assignments,
+        semantic_split_conflicts,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    store = str(tmp_path / "store")
+    _split_bits(store, 4)
+    semantic_split_assign_batch(
+        mk([(0, _CONFLICT_A), (1, _CONFLICT_B)]), 0, store
+    )
+    first = {r.vec_id: (r.split, r.gkey)
+             for r in semantic_split_assignments(spark, store).collect()}
+    # A ⟂ B: independent singleton hash splits on opposite sides
+    assert first == {0: ("val", 0), 1: ("train", 1)}
+    assert semantic_split_conflicts(spark, store).count() == 0
+
+    semantic_split_assign_batch(mk([(2, _CONFLICT_C)]), 1, store)
+    final = {r.vec_id: (r.split, r.gkey)
+             for r in semantic_split_assignments(spark, store).collect()}
+    assert final == {0: ("val", 0), 1: ("train", 1), 2: ("val", 0)}
+    ledger = [tuple(r)
+              for r in semantic_split_conflicts(spark, store).collect()]
+    assert ledger == [(1, 0, 2, 1, 1)]  # epoch, cluster, n_assigned, tr, va
+
+
 def test_semantic_stream_matches_simulation(spark, tmp_path):
     from flink_spark.sources import load
     from flink_spark.streaming.dedup import (
@@ -615,3 +699,102 @@ def test_semantic_stream_resumes_and_pins_geometry(spark, tmp_path):
            for r in kept_vectors(spark, str(tmp_path / "store")).collect()}
     expect = _semantic_simulation(spark, cells=8, slices=SLICES)
     assert got == expect
+
+
+def test_fixture_components_incrementally_connected(spark):
+    """The convergence precondition of ``s_split_stream_replay``'s
+    batch oracle, pinned so a fixture regeneration that breaks it
+    fails HERE, not as a red hash in the driver gate: in every
+    near-dup component at SPLIT_JACCARD, every non-min member has a
+    verified edge to some SMALLER doc_id — so an id-ordered replay
+    discovers each component through its true min and the incremental
+    anchor assignment equals the batch one (see the query docstring
+    for the diverging shape this excludes)."""
+    import collections
+
+    from flink_spark.plans.textops import SPLIT_JACCARD, _minhash_pairs
+
+    for sf_dir in (SF_DIR, "/root/testdata/sf0.01"):
+        pairs = [
+            (r.d1, r.d2)
+            for r in _minhash_pairs(spark, sf_dir, SPLIT_JACCARD)
+            .select("d1", "d2").collect()
+        ]
+        release_persisted()
+        assert pairs, sf_dir
+        # union-find for the component map
+        parent: dict = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            parent[find(a)] = find(b)
+        comp = collections.defaultdict(set)
+        for x in parent:
+            comp[find(x)].add(x)
+        has_smaller = collections.defaultdict(bool)
+        for a, b in pairs:
+            lo, hi = (a, b) if a < b else (b, a)
+            has_smaller[hi] = True
+        for members in comp.values():
+            mn = min(members)
+            bad = [m for m in members if m != mn and not has_smaller[m]]
+            assert not bad, (sf_dir, sorted(members), bad)
+
+
+def test_split_stream_replay_gate_query(spark):
+    """``s_split_stream_replay`` — the streaming split driven through a
+    real Structured Streaming replay — converges to the BATCH split's
+    per-(source, split) rollup on the fixture (the equality its DuckDB
+    oracle asserts in the driver gate)."""
+    from pyspark.sql import functions as F
+
+    from flink_spark.plans.textops import (
+        SPLIT_JACCARD,
+        _leakage_split_tagged,
+    )
+    from flink_spark.registry import all_queries
+
+    got = {
+        (r.source, r.split): (r.n_docs, r.id_sum, r.gkey_sum)
+        for r in all_queries()["s_split_stream_replay"]
+        .fn(spark, SF_DIR).collect()
+    }
+    release_persisted()
+    # batch truth, recomputed with gkey carried through
+    from flink_spark.plans.graph import connected_components
+    from flink_spark.plans.textops import _minhash_pairs, split_bucket_col
+    from flink_spark.plans.textops import TRAIN_PCT
+    from flink_spark.registry import track_persist
+    from flink_spark.sources import load
+
+    pairs = track_persist(
+        _minhash_pairs(spark, SF_DIR, SPLIT_JACCARD).select("d1", "d2")
+    )
+    labels = connected_components(pairs)
+    docs = load(spark, SF_DIR, "documents").select("source", "doc_id")
+    grp = docs.join(labels, "doc_id", "left").select(
+        "source", "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("gkey"),
+    )
+    want = {
+        (r.source, r.split): (r.n_docs, r.id_sum, r.gkey_sum)
+        for r in grp.select(
+            "source", "doc_id", "gkey",
+            F.when(split_bucket_col(F.col("gkey")) < TRAIN_PCT, "train")
+            .otherwise("val").alias("split"),
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.sum("gkey").cast("long").alias("gkey_sum"),
+        )
+        .collect()
+    }
+    release_persisted()
+    assert got == want
