@@ -86,76 +86,26 @@ def release_persisted() -> None:
 # remainder (all green in the latest snapshot) follow in registration
 # order and absorb the cap.
 _SNAPSHOT_FIRST = (
-    # ===== r10 rotation =====
-    # block 0 — NEW this round, no driver row in any snapshot yet
-    "t_leakage_safe_split_loose",
-    "t_lsh_recall_curve",
-    "e_lsh_recall_curve",
-    "e_ann_recall_audit",
-    "x_ensemble_dup_clusters",
-    # block 1 — code changed THIS round (7): both composed pipelines'
-    # verify legs are pair-keyed counts and the training pipeline's
-    # split is cluster-keyed (+ new cluster_split_docs column); the
-    # leakage splits cluster at the decoupled SPLIT_* thresholds; the
-    # MinHash pair chain is threshold-parameterized (t_minhash_lsh_dups
-    # / t_dup_clusters ride it); a_approx_sketch_daily's p50 predicate
-    # gained an absolute tolerance floor.
-    "t_training_pipeline",
-    "t_corpus_pipeline",
-    "t_leakage_safe_split",
-    "e_leakage_safe_split",
-    "t_minhash_lsh_dups",
-    "t_dup_clusters",
-    "a_approx_sketch_daily",
-    # block 2 — the 21 queries whose newest green row is r7 (two
-    # rounds stale; VERDICT r9 item #1). Code unchanged since then.
-    "t_shuffle_shards",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "m_binary_meta",
-    "m_decode_features",
-    "m_doc_embedding_join",
-    "m_frame_sample",
-    "m_resize_bytes",
-    "e_cosine_topk",
-    "e_norm_stats",
-    "s_cep_browse_buy",
-    "s_cep_jump",
-    "s_dedup_latest",
-    "sql_revenue_forecast",
-    "j_broadcast_dim_join",
-    "j_interval_join",
-    "j_left_outer_enrich",
-    "j_left_outer_interval",
-    "j_two_key_join",
-    "j_wide_order_5way",
-    "j_full_outer_metrics",
-    # block 3 — 17 of the 46 r8-green queries, dedup/similarity family
-    # first (they share modules with this round's changed code).
-    "t_ngram_jaccard_dups",
-    "t_containment_dups",
-    "t_simhash_dups",
+    # ===== r11 rotation =====
+    # block 0 — NEW, no driver row in any snapshot yet (the streaming
+    # gate query landed post-snapshot last round; this round's new
+    # operators are appended here as they land)
+    "s_split_stream_replay",
+    # block 1 — code changed at the r10/r11 boundary (8): the SRP
+    # banding default moved 4 -> 8 bands (decided by the recall audit,
+    # SCALING.md §R10); every catalog query whose candidates ride the
+    # SRP band keys re-greens under the new default. Oracles re-derive
+    # the active value, verified at sf0.001 this session.
+    "e_ann_lsh_topk",
     "t_embedding_neardup",
     "e_dup_clusters",
+    "e_lsh_recall_curve",
+    "x_ensemble_dup_clusters",
+    "e_leakage_safe_split",
     "e_semantic_dedup",
     "e_semantic_decontaminate",
-    "t_substring_dedup",
-    "t_cross_source_dedup",
-    "t_decontaminate",
-    "t_decontaminate_fraction",
-    "t_decontaminate_spans",
-    "t_source_mixture",
-    "t_token_stats",
-    "t_zipf_profile",
-    "t_bm25_topk",
-    "e_ann_lsh_topk",
-    # 5+7+21+17 = 50 above: the head is exactly the driver's cap.
-    # --- the driver's 50-query cap lands here ---
-    # Everything below is r8/r9-green on unchanged code. After r10 the
-    # oldest green row anywhere is r8: the 27 remaining r8-green
-    # queries (46 were r8-green; 17 rotate in block 3 and the two
-    # pipelines re-green in block 1), queued first here for the r11
-    # rotation. Registration order absorbs the rest of the cap.
+    # block 2 — the 27 queries whose newest green row is r8 (two
+    # rounds stale; VERDICT r10 item #1). Code unchanged since then.
     "e_filtered_topk",
     "t_context_chunks",
     "t_distinctive_terms",
@@ -183,6 +133,57 @@ _SNAPSHOT_FIRST = (
     "r_config_routing",
     "u_union_metrics",
     "w_topn_per_window",
+    # block 3 — fill to the cap from the r9-green block, CEP/state/
+    # window family first (they guard the streaming semantics;
+    # VERDICT r10 item #1). Trim from the tail as block 0 grows.
+    "s_daily_unique_users",
+    "s_new_vs_returning",
+    "s_returning_users_7d",
+    "s_cep_funnel_skip",
+    "s_retention_cohorts",
+    "s_abandoned_browse",
+    "w_tumble_10s_keyed",
+    "w_tumble_10s_global",
+    "w_event_time_fallback",
+    "w_keyword_tumble",
+    "w_agg_distinct_users",
+    "w_sessionize",
+    "w_hop_windows",
+    "sql_dwd_topic_db",
+    # 1+8+27+14 = 50 above: the head is exactly the driver's cap.
+    # --- the driver's 50-query cap lands here ---
+    # Everything below is r9/r10-green on unchanged code; the oldest
+    # remaining r9 rows queue first for the r12 rotation.
+    "ads_rollup_matrix",
+    "j_asof_nearest",
+    "j_range_band",
+    "j_semi_anti_customers",
+    "p_pivot_event_matrix",
+    "t_vocab_prune",
+    "t_repeated_ngram_coverage",
+    "t_source_overlap",
+    "t_length_percentiles",
+    "t_train_val_split",
+    "t_pack_sequences",
+    "t_bpe_token_stats",
+    "t_rolling_fingerprint",
+    "t_exact_dedup",
+    "t_quality_score",
+    "t_repetition_filter",
+    "t_lang_id",
+    "t_keyword_counts",
+    "t_cjk_keyword_counts",
+    "t_chunk_dedup",
+    "t_unigram_lm_score",
+    "t_winnow_fingerprints",
+    "t_quality_mixture_reweight",
+    "t_pii_redact",
+    "e_ann_ivf_topk",
+    "e_centroid_stats",
+    "e_pq_adc_topk",
+    "e_ivfpq_topk",
+    "t_bpe_train",
+    "t_bpe_segment",
 )
 
 
