@@ -3070,8 +3070,14 @@ def _training_pipeline_parts(spark: SparkSession, sf_dir: str):
     # §R9's measured failure shape). The verified PAIRS persist, not
     # just the d2 drop-set: stage 7's leakage-safe split reuses them
     # as the cluster graph.
+    # Lazy persist (no count() barrier): vpairs' consumers run in
+    # strictly sequential SEPARATE actions — fs's eager count below
+    # reads it once (via dups) and populates the cache before the CC
+    # label pass (stage 7) issues its first action — so the eager
+    # barrier would be one pure-overhead job over the verify subtree.
     vpairs = track_persist(
-        pairkey_verify(cand, sh2, JACCARD_THRESHOLD).select("d1", "d2")
+        pairkey_verify(cand, sh2, JACCARD_THRESHOLD).select("d1", "d2"),
+        eager=False,
     )
     dups = vpairs.select("d2").distinct()
     ev = (

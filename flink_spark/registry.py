@@ -50,7 +50,7 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 _PERSISTED: list[DataFrame] = []
 
 
-def track_persist(df: DataFrame) -> DataFrame:
+def track_persist(df: DataFrame, eager: bool = True) -> DataFrame:
     """Persist an intermediate and register it for ``release_persisted``.
 
     Catalog queries persist shared intermediates (e.g. the LSH shingle
@@ -62,12 +62,17 @@ def track_persist(df: DataFrame) -> DataFrame:
     the life of the session and pin executor storage memory.
     """
     df = df.persist()
-    # Materialize the barrier eagerly: the tracked intermediates feed
-    # BOTH sides of a downstream self-join, and lazy persist lets the
-    # two join stages race to compute the same partitions (duplicate
-    # work + "Block already exists" churn). count() runs the pipeline
-    # exactly once; every consumer then reads the cache.
-    df.count()
+    # Materialize the barrier eagerly by default: most tracked
+    # intermediates feed BOTH sides of a downstream self-join, and lazy
+    # persist lets the two join stages race to compute the same
+    # partitions (duplicate work + "Block already exists" churn).
+    # count() runs the pipeline exactly once; every consumer then reads
+    # the cache. ``eager=False`` is for the narrower case where every
+    # consumer reads the frame in a DIFFERENT, strictly sequential
+    # action (the first action populates the cache before any other
+    # consumer exists) — then the count() job is pure overhead.
+    if eager:
+        df.count()
     _PERSISTED.append(df)
     return df
 
