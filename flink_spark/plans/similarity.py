@@ -1702,6 +1702,76 @@ def e_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# IVF cell-balance audit (partition-skew instrument)
+# --------------------------------------------------------------------------
+
+@query(
+    "e_ivf_balance_audit",
+    oracle=f"""
+    WITH {_IVF_CELLS_CTE},
+    scored AS (
+      SELECT vec_id, {_cell_scores_sql('embedding')} AS d, cells
+      FROM embeddings, nc
+    ),
+    assign AS (
+      SELECT vec_id, cells,
+             list_transform(list_slice(list_sort(
+               list_transform(range(1, cells + 1),
+                              j -> {{'nv': -d[j], 'i': j}})),
+             1, 1), x -> x.i)[1] AS cell
+      FROM scored
+    ),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM embeddings)
+    SELECT CAST(cell AS BIGINT) AS cell,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(COUNT(*) AS DOUBLE) * cells / total AS load_factor
+    FROM assign, t
+    GROUP BY cell, cells, total
+    """,
+    tags=("similarity", "ann", "ivf", "audit"),
+)
+def e_ivf_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell occupancy: vectors per cell and load factor vs uniform.
+
+    The partition-skew instrument of the IVF family: a probed search's
+    latency is bounded by its FATTEST probed cell, and recall at fixed
+    probes degrades when assignment is lopsided (hot cells absorb
+    everything; their neighbors starve). ``load_factor`` is occupancy
+    relative to perfectly uniform (``n_vecs × cells / total`` — 1.0
+    means exactly its fair share); cells that never win a vector
+    simply don't appear, so ``rows < cells`` is itself the
+    empty-cell finding. Alongside ``e_ann_recall_audit`` (what the
+    user experiences) and ``e_centroid_stats`` (are the labels
+    coherent), this is the third number an index operator watches —
+    WHERE the imbalance is — and the signal that the md5 coarse
+    directions should be swapped for trained centroids
+    (``ivf_train`` drops into the same dataflow).
+
+    Scale shape: assignment is the shared Arrow kernel
+    (``_with_probe_cells``, matrix in the task closure, one small int
+    out per vector); the rollup is one groupBy on the cell id with a
+    broadcast 1-row total. Nothing else touches the corpus.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    n_cells = _active_ivf_cells(spark, sf_dir)
+    assigned = _with_probe_cells(
+        emb.select("vec_id", "embedding"), spark, n_cells, 1
+    ).select(F.element_at("topc", 1).alias("cell"))
+    tot = emb.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        assigned.crossJoin(F.broadcast(tot))  # 1-row total broadcast
+        .groupBy("cell", "total")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            (F.col("n_vecs").cast("double") * n_cells / F.col("total"))
+            .alias("load_factor"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Per-label centroid statistics (cluster-compactness audit)
 # --------------------------------------------------------------------------
 
@@ -2658,6 +2728,154 @@ def e_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", _adc_expr().alias("adc_score"))
     )
     return _exact_rerank(emb, _adc_shortlist(scan))
+
+
+# --------------------------------------------------------------------------
+# Scalar quantization (SQ8) ANN: int8-per-dim codes + exact re-rank
+# --------------------------------------------------------------------------
+
+SQ_LEVELS = 255  # int8 code range 0..255 per dimension
+SQ_RERANK = int(os.environ.get("FLINK_SPARK_SQ_RERANK", "20"))
+
+# per-dim corpus min/max as one broadcastable row — the SQ codebook
+_SQ_STATS_CTE = (
+    "st AS (SELECT list_value("
+    + ", ".join(f"MIN(CAST(embedding[{i}] AS DOUBLE))"
+                for i in range(1, DIM + 1))
+    + ") AS mins, list_value("
+    + ", ".join(f"MAX(CAST(embedding[{i}] AS DOUBLE))"
+                for i in range(1, DIM + 1))
+    + ") AS maxs FROM embeddings)"
+)
+
+# dequantized vector: encode to the nearest of 256 per-dim levels and
+# decode back — round() is half-away-from-zero in BOTH engines and the
+# operand is ≥ 0 by construction (x ≥ per-dim min), so codes agree
+# bit-for-bit; all arithmetic is IEEE double on identical inputs.
+_SQ_DEQ_SQL = (
+    f"list_transform(range(1, {DIM + 1}), i -> "
+    "CASE WHEN maxs[i] = mins[i] THEN mins[i] "
+    f"ELSE mins[i] + round({SQ_LEVELS} * "
+    "(CAST(embedding[i] AS DOUBLE) - mins[i]) / (maxs[i] - mins[i])) "
+    f"* (maxs[i] - mins[i]) / {SQ_LEVELS} END)"
+)
+
+
+@query(
+    "e_sq8_topk",
+    oracle=f"""
+    WITH {_SQ_STATS_CTE},
+    coded AS (
+      SELECT vec_id AS neighbor_id, {_SQ_DEQ_SQL} AS deq
+      FROM embeddings, st
+    ),
+    cn AS (SELECT neighbor_id, deq, {_norm_sql('deq')} AS cnorm FROM coded),
+    {_V_CTE},
+    q AS (SELECT vec_id AS query_id, embedding AS qe,
+                 {_norm_sql('embedding')} AS qn
+          FROM embeddings WHERE vec_id < {N_QUERIES}),
+    adc AS (
+      SELECT query_id, neighbor_id,
+             {_dot_sql('qe', 'deq')} / (qn * cnorm) AS adc_score
+      FROM cn, q WHERE neighbor_id <> query_id
+    ),
+    shortlist AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY adc_score DESC, neighbor_id) AS srn FROM adc)
+      WHERE srn <= {SQ_RERANK}
+    ),
+    rerank AS (
+      SELECT query_id, neighbor_id,
+             {_dot_sql('q.qe', 'v.embedding')} / (q.qn * v.nrm) AS cosine
+      FROM shortlist s JOIN q USING (query_id)
+                       JOIN v ON s.neighbor_id = v.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS rnk FROM rerank)
+    WHERE rnk <= {LSH_TOPK}
+    """,
+    tags=("similarity", "ann", "sq"),
+)
+def e_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (SQ8) ANN: per-dim int8 codes, asymmetric scan,
+    exact re-rank — the fourth ANN strategy next to LSH (prunes
+    candidates), IVF (prunes cells), and PQ (prunes bytes per
+    subspace). SQ prunes bytes per DIMENSION: the codebook is just the
+    per-dim corpus [min, max] (one 2×{DIM}-value row, trained in a
+    single map-side-combined aggregate pass — vs PQ's iterative
+    codebook training), and each vector stores one byte per dim, a 4×
+    float32 compression with far better score fidelity than PQ at the
+    same simplicity. The scan is asymmetric à la Jégou: queries stay
+    float, neighbors are scored through their dequantized codes
+    (``min + code·(max−min)/255``), normalized by the DEQUANTIZED
+    norm, then the constant-size shortlist re-ranks by exact cosine
+    (the scores-are-true contract every ANN variant here honors).
+
+    Scale shape: codebook = one aggregate row, broadcast onto the
+    encode pass (map-side, no shuffle); the scan is the
+    ``e_cosine_topk`` shape — corpus × broadcast-|Q| with a JVM-side
+    fold, no Python — reading 1/4 the bytes a float scan reads from
+    storage; the re-rank reads |Q| × {SQ_RERANK} float rows via
+    broadcast id joins. No stage shuffles the corpus. Cross-engine
+    determinism: the encode rounds a provably non-negative double
+    (both engines round half-away-from-zero), and every fold runs in
+    array order through the shared ``_dot``/``_norm`` discipline.
+
+    Reference parity: the reference has no vector ops (its analytics
+    are Flink SQL over ClickHouse, `gmall-publisher-realtime`); this
+    is the beyond-reference LLM-data family (SURVEY §2 additions).
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    st = emb.agg(
+        F.array(*[
+            F.min(F.element_at("embedding", i).cast("double"))
+            for i in range(1, DIM + 1)
+        ]).alias("mins"),
+        F.array(*[
+            F.max(F.element_at("embedding", i).cast("double"))
+            for i in range(1, DIM + 1)
+        ]).alias("maxs"),
+    )
+    deq = F.expr(
+        f"transform(sequence(1, {DIM}), i -> "
+        "CASE WHEN element_at(maxs, i) = element_at(mins, i) "
+        "THEN element_at(mins, i) "
+        f"ELSE element_at(mins, i) + round({SQ_LEVELS} * "
+        "(CAST(element_at(embedding, i) AS DOUBLE) - element_at(mins, i))"
+        " / (element_at(maxs, i) - element_at(mins, i))) "
+        f"* (element_at(maxs, i) - element_at(mins, i)) / {SQ_LEVELS} END)"
+    )
+    cn = (
+        emb.crossJoin(F.broadcast(st))  # 1-row codebook broadcast
+        .select(
+            F.col("vec_id").alias("neighbor_id"), deq.alias("deq")
+        )
+        .withColumn("cnorm", _norm(F.col("deq")))
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        _norm(F.col("embedding")).alias("qn"),
+    )
+    scan = (
+        cn.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            (_dot(F.col("qe"), F.col("deq"))
+             / (F.col("qn") * F.col("cnorm"))).alias("adc_score"),
+        )
+    )
+    sw = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score"), "neighbor_id"
+    )
+    shortlist = (
+        scan.withColumn("srn", F.row_number().over(sw))
+        .filter(F.col("srn") <= SQ_RERANK)
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_rerank(emb, shortlist)
 
 
 def build_ann_index(

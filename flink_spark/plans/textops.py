@@ -991,6 +991,114 @@ def t_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Stratified sampling: deterministic equal-allocation hash sample
+# --------------------------------------------------------------------------
+
+SAMPLE_PCT = 10       # target sample: 10% of the corpus...
+SAMPLE_BUCKETS = 10000  # ...selected at basis-point granularity
+
+
+@query(
+    "t_stratified_sample",
+    oracle=f"""
+    WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+                 CAST(COUNT(*) AS BIGINT) AS nsrc FROM c),
+    r AS (
+      SELECT source, n,
+             (total * {SAMPLE_PCT} + 100 * nsrc - 1) // (100 * nsrc) AS quota,
+             LEAST({SAMPLE_BUCKETS},
+                   ((total * {SAMPLE_PCT} + 100 * nsrc - 1) // (100 * nsrc))
+                   * {SAMPLE_BUCKETS} // n) AS rate_bp
+      FROM c, t
+    ),
+    s AS (
+      SELECT d.source, len({_TOKS}) AS n_tokens, r.quota, r.rate_bp,
+             CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                   1, 4)) AS BIGINT) % {SAMPLE_BUCKETS}
+                  < r.rate_bp THEN 1 ELSE 0 END AS samp
+      FROM documents d JOIN r USING (source)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(quota) AS BIGINT) AS quota,
+           CAST(MIN(rate_bp) AS BIGINT) AS rate_bp,
+           CAST(SUM(samp) AS BIGINT) AS sampled_docs,
+           CAST(SUM(CASE WHEN samp = 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+             AS sampled_tokens
+    FROM s GROUP BY source
+    """,
+    tags=("textops", "sampling"),
+)
+def t_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic equal-allocation stratified sample ({SAMPLE_PCT}%
+    of the corpus, balanced across sources).
+
+    The eval-set / ablation-subset selector a curation stack needs to
+    be REPRODUCIBLE: per-source rates are derived from the corpus
+    itself (equal per-source quotas summing to the global target,
+    capped at 100% for sources smaller than their quota), and
+    membership is the pure hash rule ``md5(doc_id) mod {SAMPLE_BUCKETS}
+    < rate_bp`` — the ``t_train_val_split`` discipline at basis-point
+    granularity, stable under reshuffles, re-runs, backfills, and
+    engine changes (the oracle derives the identical rate table and
+    assignment). Hash sampling hits quotas approximately (binomial
+    noise, and the 16-bit-hash-mod-10000 bucket is ~±8% non-uniform
+    across buckets) — the price of never sorting or counting-to-quota;
+    ``hash_quota_heads`` is the exact-quota alternative when
+    approximate is not enough.
+
+    Scale shape: one per-source count (tiny agg), a 1-row total, the
+    rate table broadcast back onto the corpus for a row-local
+    predicate, then one per-source rollup — the corpus is never
+    shuffled, sorted, or ranked. Trivially 100 TB.
+    """
+    docs = load(spark, sf_dir, "documents")
+    cnt = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("nsrc")
+    )
+    quota = F.expr(
+        f"(total * {SAMPLE_PCT} + 100 * nsrc - 1) div (100 * nsrc)"
+    )
+    rates = (
+        cnt.crossJoin(F.broadcast(tot))  # 1-row totals broadcast
+        .select(
+            "source", "n", quota.alias("quota"),
+        )
+        .select(
+            "source", "n", "quota",
+            F.least(
+                F.lit(SAMPLE_BUCKETS),
+                F.expr(f"quota * {SAMPLE_BUCKETS} div n"),
+            ).alias("rate_bp"),
+        )
+    )
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4
+        ),
+        16, 10,
+    ).cast("long") % SAMPLE_BUCKETS
+    s = (
+        docs.select("source", "doc_id", F.size(tokenize("text")).alias("n_tokens"))
+        .join(F.broadcast(rates), "source")
+        .select(
+            "source", "n_tokens", "quota", "rate_bp",
+            F.when(bucket < F.col("rate_bp"), 1).otherwise(0).alias("samp"),
+        )
+    )
+    return s.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("quota").cast("long").alias("quota"),
+        F.min("rate_bp").cast("long").alias("rate_bp"),
+        F.sum("samp").cast("long").alias("sampled_docs"),
+        F.sum(F.when(F.col("samp") == 1, F.col("n_tokens")).otherwise(0))
+        .cast("long").alias("sampled_tokens"),
+    )
+
+
 # training-mixture weights: pct of each source to keep. Explicit rows
 # for curated domains, DEFAULT_MIX_PCT for the long tail — the shape of
 # a real data-mix config (weights per known domain + a crawl default).
@@ -2545,6 +2653,119 @@ def _quality_score_sql() -> str:
 def _quality_pass_sql() -> str:
     """Quality gate shared with t_quality_score (score >= 2 of 3)."""
     return f"{_quality_score_sql()} >= 2"
+
+
+# --------------------------------------------------------------------------
+# Keep-best near-dup dedup: quality-argmax survivor per cluster
+# --------------------------------------------------------------------------
+
+@query(
+    "t_keep_best_dedup",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+    {CC_SQL_CTES},
+    q AS (SELECT doc_id, {_quality_score_sql()} AS qscore FROM documents),
+    m AS (SELECT l.cluster_id, l.doc_id, q.qscore
+          FROM labels l JOIN q USING (doc_id)),
+    best AS (
+      SELECT cluster_id, doc_id AS keep_doc, qscore AS keep_quality
+      FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                      ORDER BY qscore DESC, doc_id) AS rn FROM m)
+      WHERE rn = 1
+    ),
+    first AS (
+      SELECT cluster_id, doc_id AS first_doc, qscore AS first_quality
+      FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                      ORDER BY doc_id) AS rn FROM m)
+      WHERE rn = 1
+    )
+    SELECT b.cluster_id,
+           CAST(c.n_docs AS BIGINT) AS n_docs,
+           b.keep_doc, CAST(b.keep_quality AS BIGINT) AS keep_quality,
+           f.first_doc, CAST(f.first_quality AS BIGINT) AS first_quality,
+           CAST(b.keep_quality - f.first_quality AS BIGINT) AS quality_gain
+    FROM best b
+    JOIN first f USING (cluster_id)
+    JOIN (SELECT cluster_id, COUNT(*) AS n_docs FROM m GROUP BY 1) c
+      USING (cluster_id)
+    """,
+    tags=("textops", "dedup", "quality"),
+)
+def t_keep_best_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup dedup: each duplicate cluster keeps its
+    HIGHEST-QUALITY member, not the smallest-id one.
+
+    Min-id canonicalization (``t_exact_dedup``, the pipelines) is the
+    cheapest deterministic rule, but on real crawls the first-crawled
+    copy of a page is often the worst one (truncated, boilerplate-
+    wrapped); production curation keeps the best-scoring member. This
+    operator composes the verified MinHash pair graph → connected
+    components → the ``t_quality_score`` 0-3 heuristic, and reports
+    per cluster BOTH survivors — the quality-argmax ``keep_doc`` and
+    the min-id ``first_doc`` — plus ``quality_gain``, so it doubles
+    as the measurement of what keep-best buys over keep-first on this
+    corpus (gain 0 rows = the policies agree).
+
+    Scale shape: clustering inherits the banded/verified/skew-guarded
+    pair machinery; the survivor choice is ONE groupBy on cluster_id
+    with two struct-extrema aggregates — map-side combinable, no
+    window over members, no sort by cluster size (the quantity that
+    explodes on boilerplate-heavy crawls). The quality join touches
+    only clustered docs (near-dup clusters are a small fraction of
+    any corpus).
+
+    Reference parity: the reference's dedup keeps latest-per-key
+    (``DwdTradeOrderDetail`` Flink state, gmall-realtime); quality-
+    argmax survivorship is the LLM-curation extension of the same
+    keep-one-of-many contract.
+    """
+    pairs = track_persist(_minhash_pairs(spark, sf_dir).select("d1", "d2"))
+    labels = connected_components(pairs)
+    docs = load(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    stop_ratio = F.col("stop_ct").cast("double") / F.col("n_tokens")
+    avg_len = F.col("alpha_chars").cast("double") / F.col("n_tokens")
+    q = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).alias("stop_ct"),
+        F.length(
+            F.regexp_replace(normalize_text("text"), " ", "")
+        ).alias("alpha_chars"),
+    ).select(
+        "doc_id",
+        (
+            F.when(F.col("n_tokens").between(20, 200), 1).otherwise(0)
+            + F.when(stop_ratio.between(0.02, 0.5), 1).otherwise(0)
+            + F.when(avg_len.between(3, 8), 1).otherwise(0)
+        ).alias("qscore"),
+    )
+    memb = labels.join(q, "doc_id")
+    return (
+        memb.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            # argmax by (qscore desc, doc_id asc): max of
+            # (qscore, -doc_id) structs — one map-side-combinable agg
+            F.max(
+                F.struct(F.col("qscore"), (-F.col("doc_id")).alias("_nid"))
+            ).alias("_best"),
+            # min-id member with its score: min of (doc_id, qscore)
+            F.min(
+                F.struct(F.col("doc_id"), F.col("qscore").alias("_q"))
+            ).alias("_first"),
+        )
+        .select(
+            "cluster_id",
+            "n_docs",
+            (-F.col("_best._nid")).alias("keep_doc"),
+            F.col("_best.qscore").cast("long").alias("keep_quality"),
+            F.col("_first.doc_id").alias("first_doc"),
+            F.col("_first._q").cast("long").alias("first_quality"),
+            (F.col("_best.qscore") - F.col("_first._q"))
+            .cast("long").alias("quality_gain"),
+        )
+    )
 
 
 @query(

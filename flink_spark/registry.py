@@ -96,6 +96,10 @@ _SNAPSHOT_FIRST = (
     # gate query landed post-snapshot last round; this round's new
     # operators are appended here as they land)
     "s_split_stream_replay",
+    "e_sq8_topk",
+    "t_keep_best_dedup",
+    "t_stratified_sample",
+    "e_ivf_balance_audit",
     # block 1 — code changed at the r10/r11 boundary (8): the SRP
     # banding default moved 4 -> 8 bands (decided by the recall audit,
     # SCALING.md §R10); every catalog query whose candidates ride the
@@ -151,14 +155,14 @@ _SNAPSHOT_FIRST = (
     "w_tumble_10s_global",
     "w_event_time_fallback",
     "w_keyword_tumble",
+    # 5+8+27+10 = 50 above: the head is exactly the driver's cap.
+    # --- the driver's 50-query cap lands here ---
+    # Everything below is r9/r10-green on unchanged code; the oldest
+    # remaining r9 rows queue first for the r12 rotation.
     "w_agg_distinct_users",
     "w_sessionize",
     "w_hop_windows",
     "sql_dwd_topic_db",
-    # 1+8+27+14 = 50 above: the head is exactly the driver's cap.
-    # --- the driver's 50-query cap lands here ---
-    # Everything below is r9/r10-green on unchanged code; the oldest
-    # remaining r9 rows queue first for the r12 rotation.
     "ads_rollup_matrix",
     "j_asof_nearest",
     "j_range_band",
