@@ -570,3 +570,99 @@ def s_split_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _decontam_replay_oracle() -> str:
+    from flink_spark.plans.textops import _SHINGLE_CTE, EVAL_SOURCE
+
+    return f"""
+    WITH {_SHINGLE_CTE},
+    ev AS (
+      SELECT DISTINCT s FROM ex JOIN documents USING (doc_id)
+      WHERE source = '{EVAL_SOURCE}'
+    ),
+    corpus AS (
+      SELECT doc_id, source FROM documents WHERE source <> '{EVAL_SOURCE}'
+    ),
+    hit AS (
+      SELECT DISTINCT e.doc_id
+      FROM ex e JOIN ev USING (s)
+      JOIN documents d ON e.doc_id = d.doc_id
+      WHERE d.source <> '{EVAL_SOURCE}'
+    )
+    SELECT c.source,
+           CAST(COUNT(*) AS BIGINT) AS n_clean,
+           CAST(SUM(c.doc_id) AS BIGINT) AS id_sum
+    FROM corpus c LEFT JOIN hit h USING (doc_id)
+    WHERE h.doc_id IS NULL
+    GROUP BY c.source
+    """
+
+
+@query(
+    "s_decontam_stream_replay",
+    oracle=_decontam_replay_oracle(),
+    tags=("state", "streaming", "decontamination"),
+)
+def s_decontam_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING benchmark decontamination, driven end-to-end inside
+    the correctness gate: replay the non-eval corpus as a 3-slice
+    id-ordered file stream through ``run_decontaminate_stream`` (a
+    real Structured Streaming query — checkpoint, foreachBatch epochs,
+    survivor store) and roll up the final clean store per source.
+
+    The second driver-visible streaming surface, next to
+    ``s_split_stream_replay`` — and the one with NO convergence
+    caveat: decontamination is stateless per document (the gate set is
+    the fixed eval shingle table, broadcast into every micro-batch),
+    so the streaming result equals the batch ``t_decontaminate``
+    survivor set under ANY slicing, arrival order, restart, or retry —
+    the strongest possible stream≡batch contract, checked here by
+    exact hash against the batch oracle.
+
+    Bounded by construction: the replay harness collects the corpus
+    once to slice it (test-harness license, raises past 2M rows — the
+    100 TB path reads Kafka/files) and the rollup is ≤ |sources| rows,
+    materialized so the temp store and checkpoint are deleted before
+    returning.
+    """
+    import shutil
+    import tempfile
+
+    from flink_spark.functions.text import tokenize, word_shingles
+    from flink_spark.plans.textops import EVAL_SOURCE, SHINGLE_N
+    from flink_spark.streaming.dedup import (
+        clean_docs,
+        doc_stream,
+        run_decontaminate_stream,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    ev = (
+        docs.filter(F.col("source") == EVAL_SOURCE)
+        .select(tokenize("text").alias("t"))
+        .filter(F.size("t") >= SHINGLE_N)
+        .select(F.explode(word_shingles(F.col("t"), SHINGLE_N)).alias("s"))
+        .distinct()
+    )
+    corpus = docs.filter(F.col("source") != EVAL_SOURCE)
+    work = tempfile.mkdtemp(prefix="flink_spark-decontam-replay-")
+    try:
+        stream = doc_stream(spark, corpus, f"{work}/replay", slices=3)
+        q = run_decontaminate_stream(stream, ev, f"{work}/store", f"{work}/ck")
+        q.processAllAvailable()
+        q.stop()
+        out = (
+            clean_docs(spark, f"{work}/store")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_clean"),
+                F.sum("doc_id").cast("long").alias("id_sum"),
+            )
+        )
+        rows = out.collect()  # ≤ |sources| rows by construction
+        return spark.createDataFrame(
+            rows, "source string, n_clean bigint, id_sum bigint"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -96,6 +96,7 @@ _SNAPSHOT_FIRST = (
     # gate query landed post-snapshot last round; this round's new
     # operators are appended here as they land)
     "s_split_stream_replay",
+    "s_decontam_stream_replay",
     "e_sq8_topk",
     "t_keep_best_dedup",
     "t_stratified_sample",
@@ -154,11 +155,11 @@ _SNAPSHOT_FIRST = (
     "w_tumble_10s_keyed",
     "w_tumble_10s_global",
     "w_event_time_fallback",
-    "w_keyword_tumble",
-    # 5+8+27+10 = 50 above: the head is exactly the driver's cap.
+    # 6+8+27+9 = 50 above: the head is exactly the driver's cap.
     # --- the driver's 50-query cap lands here ---
     # Everything below is r9/r10-green on unchanged code; the oldest
     # remaining r9 rows queue first for the r12 rotation.
+    "w_keyword_tumble",
     "w_agg_distinct_users",
     "w_sessionize",
     "w_hop_windows",
