@@ -3830,6 +3830,147 @@ def t_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Perplexity-tercile buckets (CCNet head/middle/tail, histogram method)
+# --------------------------------------------------------------------------
+
+PPL_BUCKET_SCALE = 100  # logprob histogram granularity (2 decimals)
+
+
+@query(
+    "t_perplexity_buckets",
+    oracle=f"""
+    WITH ex AS (
+      SELECT doc_id, source, unnest({_TOKS}) AS w FROM documents
+    ),
+    ex2 AS (SELECT * FROM ex WHERE w <> ''),
+    n(total) AS (SELECT COUNT(*) FROM ex2),
+    cnt AS (SELECT w, COUNT(*) AS c FROM ex2 GROUP BY w),
+    tok AS (
+      SELECT doc_id, source,
+             CAST(round(ln(CAST(c AS DOUBLE)) - ln(CAST(total AS DOUBLE)), 9)
+                  AS DECIMAL(24,9)) AS lp
+      FROM ex2 JOIN cnt USING (w), n
+    ),
+    d AS (
+      SELECT doc_id, source,
+             CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS avg_lp
+      FROM tok GROUP BY doc_id, source
+    ),
+    db AS (
+      SELECT source, avg_lp,
+             CAST(floor(avg_lp * {PPL_BUCKET_SCALE}) AS BIGINT) AS bucket
+      FROM d
+    ),
+    hist AS (SELECT source, bucket, COUNT(*) AS ct FROM db GROUP BY 1, 2),
+    hc AS (
+      SELECT source, bucket,
+             SUM(ct) OVER (PARTITION BY source ORDER BY bucket DESC) AS cum
+      FROM hist
+    ),
+    tot AS (SELECT source, COUNT(*) AS n FROM db GROUP BY 1),
+    th AS (
+      SELECT h.source,
+             MAX(CASE WHEN cum >= (n + 2) // 3 THEN bucket END) AS b1,
+             MAX(CASE WHEN cum >= (2 * n + 2) // 3 THEN bucket END) AS b2
+      FROM hc h JOIN tot USING (source) GROUP BY h.source
+    ),
+    tagged AS (
+      SELECT db.source, avg_lp,
+             CASE WHEN bucket >= b1 THEN 'head'
+                  WHEN bucket >= b2 THEN 'middle'
+                  ELSE 'tail' END AS tier
+      FROM db JOIN th USING (source)
+    )
+    SELECT source, tier,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(avg_lp AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+               AS mean_doc_logprob
+    FROM tagged GROUP BY source, tier
+    """,
+    tags=("textops", "quality", "lm"),
+)
+def t_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail terciles by LM score, WITHOUT a
+    per-source sort of documents.
+
+    CCNet splits each language's corpus into perplexity terciles and
+    trains mostly on the head. The naive tercile is NTILE(3) — a
+    per-source global sort of every document score, the pattern this
+    catalog avoids on principle (a 100 TB source = one unsplittable
+    sorted task). Here the boundaries come from a HISTOGRAM: scores
+    bucket at {PPL_BUCKET_SCALE}⁻¹-logprob granularity (one tiny
+    per-source aggregate), cumulative counts over the few-hundred-row
+    histogram pick the bucket thresholds b1/b2 (head = highest-logprob
+    third), and tagging is a broadcast threshold join back onto the
+    docs — terciles exact to bucket granularity (boundary buckets land
+    whole on one side), deterministic in both engines, and never
+    sorting anything wider than the histogram.
+
+    The per-doc score is ``t_unigram_lm_score``'s exact-decimal
+    average token logprob (its float discipline and Zipf-aware
+    aggregate-join shape, documented there).
+    """
+    from pyspark.sql.types import DecimalType
+
+    docs = load(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id", "source", F.explode(tokenize("text")).alias("w")
+    ).filter(F.col("w") != "")
+    ex = track_persist(ex)
+    total = ex.count()
+    vocab = ex.groupBy("w").agg(F.count(F.lit(1)).alias("_ct"))
+    lp = F.round(
+        F.log(F.col("_ct").cast("double")) - F.log(F.lit(float(total))), 9
+    ).cast(DecimalType(24, 9))
+    tok = ex.join(vocab, "w").select("doc_id", "source", lp.alias("lp"))
+    d = tok.groupBy("doc_id", "source").agg(
+        (F.sum("lp").cast("double") / F.count(F.lit(1))).alias("avg_lp")
+    )
+    db = track_persist(  # consumed by the histogram AND the tagging
+        d.select(
+            "source", "avg_lp",
+            F.floor(F.col("avg_lp") * PPL_BUCKET_SCALE)
+            .cast("long").alias("bucket"),
+        )
+    )
+    hist = db.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("bucket")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    hc = hist.withColumn("cum", F.sum("ct").over(w))
+    tot = db.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    th = (
+        hc.join(tot, "source")
+        .groupBy("source")
+        .agg(
+            F.max(
+                F.when(F.col("cum") >= F.expr("(n + 2) div 3"),
+                       F.col("bucket"))
+            ).alias("b1"),
+            F.max(
+                F.when(F.col("cum") >= F.expr("(2 * n + 2) div 3"),
+                       F.col("bucket"))
+            ).alias("b2"),
+        )
+    )
+    tagged = db.join(F.broadcast(th), "source").select(
+        "source", "avg_lp",
+        F.when(F.col("bucket") >= F.col("b1"), "head")
+        .when(F.col("bucket") >= F.col("b2"), "middle")
+        .otherwise("tail").alias("tier"),
+    )
+    return tagged.groupBy("source", "tier").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (
+            F.sum(F.col("avg_lp").cast(DecimalType(28, 12))).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_doc_logprob"),
+    )
+
+
 WINNOW_K = 3  # tokens per gram fed to the winnow
 WINNOW_W = 4  # winnowing window (guarantee: any match >= K+W-1 tokens shares a fingerprint)
 

@@ -101,6 +101,7 @@ _SNAPSHOT_FIRST = (
     "t_keep_best_dedup",
     "t_stratified_sample",
     "e_ivf_balance_audit",
+    "t_perplexity_buckets",
     # block 1 — code changed at the r10/r11 boundary (8): the SRP
     # banding default moved 4 -> 8 bands (decided by the recall audit,
     # SCALING.md §R10); every catalog query whose candidates ride the
@@ -154,11 +155,11 @@ _SNAPSHOT_FIRST = (
     "s_abandoned_browse",
     "w_tumble_10s_keyed",
     "w_tumble_10s_global",
-    "w_event_time_fallback",
-    # 6+8+27+9 = 50 above: the head is exactly the driver's cap.
+    # 7+8+27+8 = 50 above: the head is exactly the driver's cap.
     # --- the driver's 50-query cap lands here ---
     # Everything below is r9/r10-green on unchanged code; the oldest
     # remaining r9 rows queue first for the r12 rotation.
+    "w_event_time_fallback",
     "w_keyword_tumble",
     "w_agg_distinct_users",
     "w_sessionize",
