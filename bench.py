@@ -165,6 +165,13 @@ HEADLINE = [
     "e_lsh_recall_curve",
     "e_ann_recall_audit",
     "x_ensemble_dup_clusters",
+    # round 11 (the streaming replay gates stay out: their wall is the
+    # micro-batch harness — checkpoint + slice files — not plan cost)
+    "e_sq8_topk",
+    "t_keep_best_dedup",
+    "t_stratified_sample",
+    "e_ivf_balance_audit",
+    "t_perplexity_buckets",
 ]
 
 

@@ -648,3 +648,95 @@ def test_table_profile_approx_knob_drops_expand(spark):
         assert abs(r["n_distinct"] - e["n_distinct"]) \
             <= max(3, 0.05 * e["n_distinct"]), (r["col"], r["n_distinct"],
                                                 e["n_distinct"])
+
+
+def test_keep_best_never_loses_quality(spark):
+    """t_keep_best_dedup's survivor is argmax-by-quality: the kept
+    doc's score can never be below the min-id survivor's, and every
+    cluster appears exactly once."""
+    rows = _Q["t_keep_best_dedup"].fn(spark, SF_DIR).collect()
+    assert rows, "fixture has near-dup clusters"
+    assert len({r["cluster_id"] for r in rows}) == len(rows)
+    for r in rows:
+        assert r["quality_gain"] == r["keep_quality"] - r["first_quality"]
+        assert r["quality_gain"] >= 0, r
+        assert r["n_docs"] >= 2, r  # clusters come from pairs
+
+
+def test_stratified_sample_rates_and_bounds(spark):
+    """Per-source rate_bp derives from the corpus (equal quotas capped
+    at 100%); sampled counts stay within the hash rule's possible
+    range; a source smaller than its quota samples fully."""
+    rows = _Q["t_stratified_sample"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["rate_bp"] <= 10000
+        assert 0 <= r["sampled_docs"] <= r["n_docs"]
+        if r["rate_bp"] == 10000:
+            assert r["sampled_docs"] == r["n_docs"]
+
+
+def test_stratified_sample_broadcasts_rates(spark):
+    """The rate table joins onto the corpus by BROADCAST — the corpus
+    is never shuffled for the tagging, and no join degrades to a
+    cartesian product."""
+    plan = _plan(_Q["t_stratified_sample"].fn(spark, SF_DIR), "simple")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_perplexity_buckets_are_terciles(spark):
+    """Histogram terciles: tiers partition each source, and head/tail
+    sizes sit within one boundary-bucket mass of n/3 (the documented
+    bucket-granularity approximation). Head must outscore tail."""
+    rows = _Q["t_perplexity_buckets"].fn(spark, SF_DIR).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], {})[r["tier"]] = r
+    for src, tiers in by_src.items():
+        n = sum(t["n_docs"] for t in tiers.values())
+        head = tiers.get("head")
+        assert head is not None, (src, tiers)
+        assert head["n_docs"] >= (n + 2) // 3, (src, tiers)
+        if "tail" in tiers:
+            assert head["mean_doc_logprob"] \
+                > tiers["tail"]["mean_doc_logprob"], (src, tiers)
+
+
+def test_sq8_rerank_scores_are_true_cosines(spark):
+    """e_sq8_topk's reported scores equal exact cosines (the shared
+    scores-are-true ANN contract): every (query, neighbor, cosine) it
+    returns appears with the same cosine in the brute-force scan."""
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in _Q["e_cosine_topk"].fn(spark, SF_DIR).collect()
+    }
+    got = _Q["e_sq8_topk"].fn(spark, SF_DIR).collect()
+    assert got
+    hit = 0
+    for r in got:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact:
+            hit += 1
+            assert abs(r["cosine"] - exact[key]) < 1e-12, r
+    # SQ8 at 256 levels/dim is a faithful quantizer: the shortlist'd
+    # re-rank recovers most of the exact top-5 on the fixture
+    assert hit >= len(got) * 0.6, (hit, len(got))
+
+
+def test_ivf_balance_audit_accounts_every_vector(spark):
+    """Occupancy rows sum to the corpus, and each load factor is
+    exactly n_vecs × cells / total for the ACTIVE derived cell count."""
+    from flink_spark.plans.similarity import _active_ivf_cells
+    from flink_spark.sources import load
+
+    rows = _Q["e_ivf_balance_audit"].fn(spark, SF_DIR).collect()
+    total = load(spark, SF_DIR, "embeddings").count()
+    cells = _active_ivf_cells(spark, SF_DIR)
+    assert sum(r["n_vecs"] for r in rows) == total
+    assert len(rows) <= cells
+    for r in rows:
+        assert r["load_factor"] == pytest.approx(
+            r["n_vecs"] * cells / total, rel=1e-12
+        )
