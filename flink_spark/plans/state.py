@@ -666,3 +666,107 @@ def s_decontam_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _semantic_split_replay_oracle() -> str:
+    from flink_spark.plans.graph import CC_SQL_CTES
+    from flink_spark.plans.similarity import SPLIT_COSINE, _emb_pairs_ctes
+    from flink_spark.plans.textops import TRAIN_PCT
+
+    return f"""
+    WITH RECURSIVE {_emb_pairs_ctes(SPLIT_COSINE)},
+    {CC_SQL_CTES},
+    grp AS (
+      SELECT e.label, e.vec_id,
+             COALESCE(l.cluster_id, e.vec_id) AS gkey
+      FROM embeddings e LEFT JOIN labels l ON e.vec_id = l.doc_id
+    ),
+    tagged AS (
+      SELECT label, vec_id, gkey,
+             CASE WHEN CAST(concat('0x', substr(md5(CAST(gkey AS VARCHAR)),
+                                   1, 4)) AS BIGINT) % 100 < {TRAIN_PCT}
+                  THEN 'train' ELSE 'val' END AS split
+      FROM grp
+    )
+    SELECT label, split, COUNT(*) AS n_vecs,
+           CAST(SUM(vec_id) AS BIGINT) AS id_sum,
+           CAST(SUM(gkey) AS BIGINT) AS gkey_sum
+    FROM tagged GROUP BY label, split
+    """
+
+
+@query(
+    "s_semantic_split_replay",
+    oracle=_semantic_split_replay_oracle(),
+    tags=("state", "streaming", "split", "similarity"),
+)
+def s_semantic_split_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EMBEDDING-modality streaming leakage-safe split, driven
+    end-to-end inside the correctness gate: replay ``embeddings`` as a
+    3-slice id-ordered file stream through
+    ``run_semantic_split_stream`` (real Structured Streaming —
+    checkpoint, foreachBatch epochs, SRP-banded survivor store with
+    pinned geometry) and roll up the final assignment store per
+    (label, split).
+
+    Semantic twin of ``s_split_stream_replay`` — both modalities'
+    streaming splits now face the driver's DuckDB oracle, which is the
+    batch ``e_leakage_safe_split`` assignment. Valid under the same
+    convergence precondition (every non-min member of a cosine
+    near-dup component at SPLIT_COSINE has a verified edge to some
+    smaller vec_id — pinned for the fixtures by
+    ``tests/test_streaming_dedup.py::
+    test_semantic_fixture_components_incrementally_connected``);
+    ``gkey_sum`` pins the full anchor assignment. The stream's band
+    width is pinned to the batch operator's derived value
+    (``lsh_bits_for`` on the corpus count) so candidate geometry is
+    identical on both sides.
+
+    Bounded by construction: the replay harness collects the corpus
+    once to slice it (test-harness license, raises past 2M rows) and
+    the rollup is ≤ 2×|labels| rows, materialized so the temp store
+    and checkpoint are deleted before returning.
+    """
+    import shutil
+    import tempfile
+
+    from flink_spark.plans.similarity import lsh_bits_for
+    from flink_spark.streaming.dedup import (
+        doc_stream,
+        run_semantic_split_stream,
+        semantic_split_assignments,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    n = emb.count()
+    work = tempfile.mkdtemp(prefix="flink_spark-vsplit-replay-")
+    try:
+        stream = doc_stream(
+            spark, emb.select("vec_id", "embedding"), f"{work}/replay",
+            slices=3, order_col="vec_id",
+        )
+        q = run_semantic_split_stream(
+            stream, f"{work}/store", f"{work}/ck", bits=lsh_bits_for(n)
+        )
+        q.processAllAvailable()
+        q.stop()
+        out = (
+            semantic_split_assignments(spark, f"{work}/store")
+            .join(emb.select("vec_id", "label"), "vec_id")
+            .groupBy("label", "split")
+            .agg(
+                F.count(F.lit(1)).alias("n_vecs"),
+                F.sum("vec_id").cast("long").alias("id_sum"),
+                F.sum("gkey").cast("long").alias("gkey_sum"),
+            )
+        )
+        rows = out.collect()  # ≤ 2×|labels| rows by construction
+        return spark.createDataFrame(
+            rows,
+            "label int, split string, n_vecs bigint, "
+            "id_sum bigint, gkey_sum bigint",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

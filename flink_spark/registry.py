@@ -97,6 +97,7 @@ _SNAPSHOT_FIRST = (
     # operators are appended here as they land)
     "s_split_stream_replay",
     "s_decontam_stream_replay",
+    "s_semantic_split_replay",
     "e_sq8_topk",
     "t_keep_best_dedup",
     "t_stratified_sample",
@@ -154,11 +155,11 @@ _SNAPSHOT_FIRST = (
     "s_retention_cohorts",
     "s_abandoned_browse",
     "w_tumble_10s_keyed",
-    "w_tumble_10s_global",
-    # 7+8+27+8 = 50 above: the head is exactly the driver's cap.
+    # 8+8+27+7 = 50 above: the head is exactly the driver's cap.
     # --- the driver's 50-query cap lands here ---
     # Everything below is r9/r10-green on unchanged code; the oldest
     # remaining r9 rows queue first for the r12 rotation.
+    "w_tumble_10s_global",
     "w_event_time_fallback",
     "w_keyword_tumble",
     "w_agg_distinct_users",

@@ -798,3 +798,46 @@ def test_split_stream_replay_gate_query(spark):
     }
     release_persisted()
     assert got == want
+
+
+def test_semantic_fixture_components_incrementally_connected(spark):
+    """The convergence precondition of ``s_semantic_split_replay``'s
+    batch oracle, pinned so a fixture regeneration that breaks it
+    fails HERE, not as a red hash in the driver gate: in every cosine
+    near-dup component at SPLIT_COSINE, every non-min member has a
+    verified edge to some SMALLER vec_id — an id-ordered replay then
+    anchors each component through its true min and the incremental
+    assignment equals the batch one."""
+    import collections
+
+    from flink_spark.plans.similarity import SPLIT_COSINE, _emb_neardup_pairs
+
+    for sf_dir in (SF_DIR, "/root/testdata/sf0.01"):
+        pairs = [
+            (r.d1, r.d2)
+            for r in _emb_neardup_pairs(spark, sf_dir, SPLIT_COSINE)
+            .select("d1", "d2").collect()
+        ]
+        release_persisted()
+        assert pairs, sf_dir
+        parent: dict = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            parent[find(a)] = find(b)
+        comp = collections.defaultdict(set)
+        for x in parent:
+            comp[find(x)].add(x)
+        has_smaller = collections.defaultdict(bool)
+        for a, b in pairs:
+            lo, hi = (a, b) if a < b else (b, a)
+            has_smaller[hi] = True
+        for members in comp.values():
+            mn = min(members)
+            bad = [m for m in members if m != mn and not has_smaller[m]]
+            assert not bad, (sf_dir, sorted(members), bad)
