@@ -172,6 +172,8 @@ HEADLINE = [
     "t_stratified_sample",
     "e_ivf_balance_audit",
     "t_perplexity_buckets",
+    "e_hard_negatives_topk",
+    "e_centroid_outliers",
 ]
 
 

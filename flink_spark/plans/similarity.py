@@ -458,6 +458,81 @@ def e_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Hard-negative mining (contrastive-training data op)
+# --------------------------------------------------------------------------
+
+@query(
+    "e_hard_negatives_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, label AS qlabel, embedding AS qe,
+                      {_norm_sql('embedding')} AS qn
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    n AS (SELECT vec_id AS neighbor_id, label, embedding AS ne,
+                 {_norm_sql('embedding')} AS nn
+          FROM embeddings),
+    pairs AS (
+      SELECT query_id, neighbor_id, n.label AS neg_label,
+             {_dot_sql('qe', 'ne')} / (qn * nn) AS cosine
+      FROM q JOIN n ON n.label <> q.qlabel
+    )
+    SELECT query_id, neighbor_id, CAST(neg_label AS INTEGER) AS neg_label,
+           CAST(rnk AS BIGINT) AS rnk, cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS rnk FROM pairs)
+    WHERE rnk <= {TOPK}
+    """,
+    tags=("similarity", "ann", "training"),
+)
+def e_hard_negatives_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: per query, the top-{TOPK} most-similar
+    vectors carrying a DIFFERENT label.
+
+    The data op behind contrastive embedding training (DPR/SimCSE
+    style): random negatives are too easy, so each anchor is paired
+    with the negatives it most confuses — nearest-by-cosine among
+    other-label vectors, with the mined label carried through for the
+    training-pair writer. ``e_filtered_topk`` inverted: label
+    INEQUALITY can't be the join key, but the query side stays
+    broadcast-small and each corpus row scores only against the ≤ |Q|
+    queries of other labels — the exact brute-force shape of the truth
+    baseline, audit-bounded by N_QUERIES like every query-side op in
+    the family. At 100 TB the mining runs over the ANN machinery
+    (IVF/PQ shortlists re-ranked exactly) per label shard; this is the
+    exact form those shortcuts are audited against.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qe"),
+        _norm(F.col("embedding")).alias("qn"),
+    )
+    n = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neg_label"),
+        F.col("embedding").alias("ne"),
+        _norm(F.col("embedding")).alias("nn"),
+    )
+    pairs = (
+        n.join(F.broadcast(q), F.col("neg_label") != F.col("qlabel"))
+        .select(
+            "query_id", "neighbor_id", "neg_label",
+            _cosine_spark().alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPK)
+        .select(
+            "query_id", "neighbor_id",
+            F.col("neg_label").cast("int").alias("neg_label"),
+            F.col("rnk").cast("long").alias("rnk"), "cosine",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Embedding norm statistics (order-insensitive aggregates only)
 # --------------------------------------------------------------------------
 
@@ -1851,6 +1926,109 @@ def e_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return vn.join(cn, "label").select(
         "label", "vec_ct", "centroid_norm", "avg_norm"
+    )
+
+
+# --------------------------------------------------------------------------
+# Centroid-cosine outliers (mislabeled-data detector)
+# --------------------------------------------------------------------------
+
+OUTLIER_COS = 0.05  # cosine-to-own-centroid below this flags a vector
+
+
+@query(
+    "e_centroid_outliers",
+    oracle=f"""
+    WITH pe AS (
+      SELECT label, i AS idx, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, range(1, {DIM + 1}) t(i)
+    ),
+    comp AS (
+      SELECT label, idx,
+             CAST(SUM(CAST(x AS DECIMAL(32,12))) AS DOUBLE) / COUNT(*) AS m
+      FROM pe GROUP BY label, idx
+    ),
+    cent AS (SELECT label, list(m ORDER BY idx) AS ce FROM comp GROUP BY label),
+    cn AS (SELECT label, ce, {_norm_sql('ce')} AS cnorm FROM cent),
+    v AS (SELECT label, vec_id, embedding,
+                 {_norm_sql('embedding')} AS nrm FROM embeddings),
+    s AS (
+      SELECT v.label, vec_id,
+             {_dot_sql('embedding', 'ce')} / (nrm * cnorm) AS cosc
+      FROM v JOIN cn USING (label)
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS vec_ct,
+           CAST(SUM(CAST(cosc AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+               AS mean_cos,
+           MIN(cosc) AS min_cos,
+           CAST(SUM(CASE WHEN cosc < {OUTLIER_COS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM s GROUP BY label
+    """,
+    tags=("similarity", "stats", "audit"),
+)
+def e_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mislabeled-data detector: per label, vectors whose cosine to
+    their OWN label centroid falls below {OUTLIER_COS}.
+
+    The standard curation sweep over labeled embedding data (CLIP/
+    classifier training sets): a vector anti-aligned with its label's
+    centroid is a labeling error, an encoder failure, or genuine
+    distribution edge — all worth surfacing before training. Extends
+    ``e_centroid_stats`` (is the label coherent in aggregate?) to the
+    per-vector question (WHICH vectors break coherence), rolled up per
+    label: mean/min cosine-to-centroid and the flagged count.
+
+    Determinism: centroids are exact-decimal per-dim means (the
+    e_centroid_stats discipline) assembled into arrays by idx-sorted
+    struct collection — identical in both engines — and the per-vector
+    cosine is the shared left-fold; the mean over vectors runs in
+    exact decimal. Scale shape: the centroid matrix is |labels|×{DIM}
+    rows (map-side combined before its shuffle, broadcastable at any
+    corpus size); the scoring pass is one broadcast join + row-local
+    fold; the rollup map-side-combines. The corpus is read twice and
+    never shuffled.
+    """
+    from pyspark.sql.types import DecimalType
+
+    v = load(spark, sf_dir, "embeddings")
+    pe = v.select(
+        "label", F.posexplode("embedding").alias("idx", "xf")
+    ).select("label", "idx", F.col("xf").cast("double").alias("x"))
+    comp = pe.groupBy("label", "idx").agg(
+        (
+            F.sum(F.col("x").cast(DecimalType(32, 12))).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    cent = comp.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("idx", "m"))),
+            lambda s: s["m"],
+        ).alias("ce")
+    ).withColumn("cnorm", _norm(F.col("ce")))
+    scored = (
+        v.select(
+            "label", "vec_id", "embedding",
+            _norm(F.col("embedding")).alias("nrm"),
+        )
+        .join(F.broadcast(cent), "label")
+        .select(
+            "label", "vec_id",
+            (_dot(F.col("embedding"), F.col("ce"))
+             / (F.col("nrm") * F.col("cnorm"))).alias("cosc"),
+        )
+    )
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("vec_ct"),
+        (
+            F.sum(F.col("cosc").cast(DecimalType(28, 12))).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_cos"),
+        F.min("cosc").alias("min_cos"),
+        F.sum((F.col("cosc") < OUTLIER_COS).cast("int"))
+        .cast("long").alias("n_outliers"),
     )
 
 
