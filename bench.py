@@ -174,6 +174,7 @@ HEADLINE = [
     "t_perplexity_buckets",
     "e_hard_negatives_topk",
     "e_centroid_outliers",
+    "t_lsh_precision_stats",
 ]
 
 

@@ -2206,6 +2206,58 @@ RECALL_FLOOR = 0.3
 
 
 @query(
+    "t_lsh_precision_stats",
+    oracle=f"""
+    WITH {_minhash_pairs_ctes(0.0)}
+    SELECT LEAST(9, CAST(floor(jaccard * 10) AS BIGINT)) / 10.0 AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_cands,
+           CAST(SUM(CASE WHEN jaccard >= {JACCARD_THRESHOLD}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_verified
+    FROM pairs GROUP BY 1
+    """,
+    tags=("textops", "dedup", "lsh", "audit"),
+)
+def t_lsh_precision_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate PRECISION by jaccard decile — the other half of
+    the banding trade the recall curve measures.
+
+    ``t_lsh_recall_curve`` answers "what fraction of true pairs do the
+    band collisions surface"; this answers "what fraction of band
+    collisions are worth verifying" — the exact-jaccard distribution
+    of EVERY candidate the production chain generates (verify at
+    threshold 0, so false positives land in their true decile instead
+    of vanishing). The verify leg's cost is proportional to total
+    candidates while its yield is the ≥-threshold tail, so
+    Σ n_verified / Σ n_cands IS the banding's precision and the
+    per-decile histogram shows where the wasted verifies concentrate —
+    the number that says whether to NARROW banding (precision-bound)
+    while the recall curve says whether to WIDEN it (recall-bound).
+    Band count and derived bits respond to the same knobs as the
+    production chain, so the audit measures the banding AS BUILT.
+
+    Scale shape: candidate generation is the shared skew-guarded band
+    self-join; the verify is the pair-keyed count kernel at floor 0
+    (same exchange volume as the production verify — candidates ×
+    doc-length narrow rows); the rollup is ≤ 10 rows. At 100 TB the
+    audit runs on a corpus sample, like every audit in the family.
+    """
+    sh, cand = _lsh_candidates(spark, sf_dir)
+    jc = pairkey_verify(cand, sh, 0.0).select("d1", "d2", "jaccard")
+    # zero-shared candidates never reach the count kernel's output;
+    # they are real candidates with jaccard exactly 0 — restore them
+    allc = cand.join(jc, ["d1", "d2"], "left").select(
+        F.coalesce("jaccard", F.lit(0.0)).alias("j")
+    )
+    decile = F.least(F.lit(9), F.floor(F.col("j") * 10)).cast("long") / 10.0
+    return allc.groupBy(decile.alias("decile")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cands"),
+        F.sum((F.col("j") >= JACCARD_THRESHOLD).cast("int"))
+        .cast("long").alias("n_verified"),
+    )
+
+
+
+@query(
     "t_lsh_recall_curve",
     oracle=f"""
     WITH {_SHINGLE_CTE},
