@@ -3905,12 +3905,12 @@ PPL_BUCKET_SCALE = 100  # logprob histogram granularity (2 decimals)
       FROM ex2 JOIN cnt USING (w), n
     ),
     d AS (
-      SELECT doc_id, source,
+      SELECT doc_id, source, SUM(lp) AS slp, COUNT(*) AS ntok,
              CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS avg_lp
       FROM tok GROUP BY doc_id, source
     ),
     db AS (
-      SELECT source, avg_lp,
+      SELECT source, slp, ntok,
              CAST(floor(avg_lp * {PPL_BUCKET_SCALE}) AS BIGINT) AS bucket
       FROM d
     ),
@@ -3928,7 +3928,7 @@ PPL_BUCKET_SCALE = 100  # logprob histogram granularity (2 decimals)
       FROM hc h JOIN tot USING (source) GROUP BY h.source
     ),
     tagged AS (
-      SELECT db.source, avg_lp,
+      SELECT db.source, slp, ntok,
              CASE WHEN bucket >= b1 THEN 'head'
                   WHEN bucket >= b2 THEN 'middle'
                   ELSE 'tail' END AS tier
@@ -3936,8 +3936,7 @@ PPL_BUCKET_SCALE = 100  # logprob histogram granularity (2 decimals)
     )
     SELECT source, tier,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(CAST(avg_lp AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
-               AS mean_doc_logprob
+           CAST(SUM(slp) AS DOUBLE) / SUM(ntok) AS mean_token_logprob
     FROM tagged GROUP BY source, tier
     """,
     tags=("textops", "quality", "lm"),
@@ -3977,11 +3976,13 @@ def t_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast(DecimalType(24, 9))
     tok = ex.join(vocab, "w").select("doc_id", "source", lp.alias("lp"))
     d = tok.groupBy("doc_id", "source").agg(
-        (F.sum("lp").cast("double") / F.count(F.lit(1))).alias("avg_lp")
+        F.sum("lp").alias("slp"),
+        F.count(F.lit(1)).alias("ntok"),
+        (F.sum("lp").cast("double") / F.count(F.lit(1))).alias("avg_lp"),
     )
     db = track_persist(  # consumed by the histogram AND the tagging
         d.select(
-            "source", "avg_lp",
+            "source", "slp", "ntok",
             F.floor(F.col("avg_lp") * PPL_BUCKET_SCALE)
             .cast("long").alias("bucket"),
         )
@@ -4009,17 +4010,19 @@ def t_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tagged = db.join(F.broadcast(th), "source").select(
-        "source", "avg_lp",
+        "source", "slp", "ntok",
         F.when(F.col("bucket") >= F.col("b1"), "head")
         .when(F.col("bucket") >= F.col("b2"), "middle")
         .otherwise("tail").alias("tier"),
     )
+    # token-weighted tier mean: decimal-exact all the way to ONE final
+    # double division. (A mean over per-doc double averages would need
+    # a double→decimal re-cast whose tie-breaking measurably differs
+    # between engines — a last-digit mismatch surfaced at sf0.1.)
     return tagged.groupBy("source", "tier").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        (
-            F.sum(F.col("avg_lp").cast(DecimalType(28, 12))).cast("double")
-            / F.count(F.lit(1))
-        ).alias("mean_doc_logprob"),
+        (F.sum("slp").cast("double") / F.sum("ntok"))
+        .alias("mean_token_logprob"),
     )
 
 

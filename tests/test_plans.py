@@ -700,8 +700,8 @@ def test_perplexity_buckets_are_terciles(spark):
         assert head is not None, (src, tiers)
         assert head["n_docs"] >= (n + 2) // 3, (src, tiers)
         if "tail" in tiers:
-            assert head["mean_doc_logprob"] \
-                > tiers["tail"]["mean_doc_logprob"], (src, tiers)
+            assert head["mean_token_logprob"] \
+                > tiers["tail"]["mean_token_logprob"], (src, tiers)
 
 
 def test_sq8_rerank_scores_are_true_cosines(spark):
