@@ -3839,7 +3839,14 @@ def t_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     libm implementations, so each token logprob is rounded to 9
     decimals (transcendental outputs never land on a half-way point)
     and every cross-row sum runs in exact decimal — bit-identical
-    regardless of partitioning, in both engines.
+    regardless of partitioning, in both engines. One boundary to know:
+    the mean-of-per-doc-averages needs a double→decimal re-cast of a
+    COMPUTED quotient, which is tie-free only while group sizes have
+    no prime factors beyond 2/5 (then X/n is exactly representable at
+    the cast scale; true of the fixtures' per-source counts). For
+    arbitrary group sizes use the token-weighted mean instead —
+    decimal-exact to one final division (``t_perplexity_buckets``,
+    which hit exactly this tie at sf0.1 and switched).
 
     Scale shape: corpus token frequency is a map-side-combined
     vocabulary aggregate joined back onto the token stream — NOT a
