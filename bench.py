@@ -175,6 +175,7 @@ HEADLINE = [
     "e_hard_negatives_topk",
     "e_centroid_outliers",
     "t_lsh_precision_stats",
+    "x_modality_agreement",
 ]
 
 

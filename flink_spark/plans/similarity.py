@@ -1051,6 +1051,71 @@ def x_ensemble_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Cross-modal pair agreement (threshold-calibration audit)
+# --------------------------------------------------------------------------
+
+@query(
+    "x_modality_agreement",
+    oracle=f"""
+    WITH
+    lexp AS (
+      WITH {_MINHASH_PAIRS_CTES}
+      SELECT d1, d2 FROM pairs
+    ),
+    semp AS (
+      WITH {_EMB_PAIRS_CTES}
+      SELECT d1, d2 FROM pairs
+    ),
+    j AS (
+      SELECT l.d1 IS NOT NULL AS in_lex, s.d1 IS NOT NULL AS in_sem
+      FROM lexp l FULL OUTER JOIN semp s
+        ON l.d1 = s.d1 AND l.d2 = s.d2
+    )
+    SELECT CASE WHEN in_lex AND in_sem THEN 'both'
+                WHEN in_lex THEN 'lex_only'
+                ELSE 'sem_only' END AS agreement,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM j GROUP BY 1
+    """,
+    tags=("similarity", "textops", "dedup", "ensemble", "audit"),
+)
+def x_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-level agreement between the lexical and semantic near-dup
+    detectors: both / lex_only / sem_only counts at the production
+    thresholds.
+
+    The calibration companion of ``x_ensemble_dup_clusters`` (which
+    UNIONS the two graphs): before trusting an ensemble — or choosing
+    to run only one modality at 100 TB — an operator needs the overlap
+    NUMBERS: how much of the lexical evidence the semantic detector
+    reproduces (sem as a cheaper proxy for lex?) and how much is
+    modality-exclusive (the pairs only the ensemble catches). Both
+    pair sets are the exact verified production chains (banded
+    candidates, pair-keyed / exact-cosine verify, doc_id ≡ vec_id as
+    in the ensemble); the audit adds ONE full-outer equi-join of two
+    pair tables on their compound key — no fan-out possible — and a
+    3-row rollup.
+    """
+    from flink_spark.plans.textops import _minhash_pairs
+
+    lex = _minhash_pairs(spark, sf_dir).select("d1", "d2")
+    sem = _emb_neardup_pairs(spark, sf_dir).select(
+        F.col("d1").alias("s1"), F.col("d2").alias("s2")
+    )
+    j = lex.join(
+        sem, (lex.d1 == sem.s1) & (lex.d2 == sem.s2), "full_outer"
+    ).select(
+        F.col("d1").isNotNull().alias("in_lex"),
+        F.col("s1").isNotNull().alias("in_sem"),
+    )
+    return j.groupBy(
+        F.when(F.col("in_lex") & F.col("in_sem"), "both")
+        .when(F.col("in_lex"), "lex_only")
+        .otherwise("sem_only").alias("agreement")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+
+
 @query(
     "e_leakage_safe_split",
     oracle=f"""

@@ -106,6 +106,7 @@ _SNAPSHOT_FIRST = (
     "e_hard_negatives_topk",
     "e_centroid_outliers",
     "t_lsh_precision_stats",
+    "x_modality_agreement",
     # block 1 — code changed at the r10/r11 boundary (8): the SRP
     # banding default moved 4 -> 8 bands (decided by the recall audit,
     # SCALING.md §R10); every catalog query whose candidates ride the
@@ -154,11 +155,11 @@ _SNAPSHOT_FIRST = (
     "s_daily_unique_users",
     "s_new_vs_returning",
     "s_returning_users_7d",
-    "s_cep_funnel_skip",
-    # 11+8+27+4 = 50 above: the head is exactly the driver's cap.
+    # 12+8+27+3 = 50 above: the head is exactly the driver's cap.
     # --- the driver's 50-query cap lands here ---
     # Everything below is r9/r10-green on unchanged code; the oldest
     # remaining r9 rows queue first for the r12 rotation.
+    "s_cep_funnel_skip",
     "s_retention_cohorts",
     "s_abandoned_browse",
     "w_tumble_10s_keyed",
