@@ -176,6 +176,7 @@ HEADLINE = [
     "e_centroid_outliers",
     "t_lsh_precision_stats",
     "x_modality_agreement",
+    "e_ann_variant_recall",
 ]
 
 

@@ -3325,3 +3325,104 @@ def pq_reconstruction_error(spark: SparkSession, sf_dir: str, codebook) -> float
         F.sum("s").alias("s"), F.sum("n").alias("n")
     ).collect()[0]
     return parts["s"] / parts["n"]
+
+
+# --------------------------------------------------------------------------
+# Cross-variant ANN recall scoreboard
+# --------------------------------------------------------------------------
+
+# Audited variants (name -> Spark fn resolved at module scope). Their
+# oracle SQL is composed verbatim from the registry at decoration time
+# — by this point in the module every variant is registered.
+_ANN_VARIANTS = (
+    "e_ann_lsh_topk",
+    "e_ann_ivf_topk",
+    "e_pq_adc_topk",
+    "e_ivfpq_topk",
+    "e_sq8_topk",
+)
+
+
+def _variant_recall_oracle() -> str:
+    from flink_spark.registry import _REGISTRY
+
+    ctes = ",\n    ".join(
+        f"v_{n} AS ({_REGISTRY[n].oracle})" for n in _ANN_VARIANTS
+    )
+    legs = "\n    UNION ALL\n    ".join(
+        f"""SELECT '{n}' AS variant,
+           CAST(COUNT(v.neighbor_id) AS BIGINT) AS hits,
+           CAST(COUNT(v.neighbor_id) AS DOUBLE)
+             / {N_QUERIES * LSH_TOPK} AS recall
+    FROM exk e LEFT JOIN v_{n} v
+      ON e.query_id = v.query_id AND e.neighbor_id = v.neighbor_id"""
+        for n in _ANN_VARIANTS
+    )
+    return f"""
+    WITH ex AS ({_EXACT_TOPK_ORACLE}),
+    exk AS (SELECT query_id, neighbor_id FROM ex WHERE rnk <= {LSH_TOPK}),
+    {ctes}
+    {legs}
+    """
+
+
+@query(
+    "e_ann_variant_recall",
+    oracle=_variant_recall_oracle(),
+    tags=("similarity", "ann", "audit"),
+)
+def e_ann_variant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{LSH_TOPK} of EVERY ANN variant against exact truth, one
+    scoreboard row per variant.
+
+    The family summary an index operator reads first: LSH / IVF /
+    PQ-ADC / IVF+PQ / SQ8 each trade recall for a different pruned
+    resource (candidates / cells / bytes-per-subspace / both /
+    bytes-per-dim), and ``e_ann_recall_audit`` exposes only the IVF
+    leg per-query. This query runs all five production paths and the
+    brute-force truth in one plan and reports corpus-level hits and
+    recall per variant — the table that says which shortcut is safe
+    for a given recall budget AT THE ACTIVE knob settings (each leg
+    responds to its own env dials, and the oracle composes each
+    variant's registered SQL verbatim, so the scoreboard re-derives
+    whatever the production chains would do). Recall is an exact
+    integer ratio — bit-exact compare.
+
+    Cost shape: the composition of the six queries it audits, each
+    with its documented scale story; the scoreboard itself adds five
+    k·|Q|-row joins and a 5-row union. Audit-bounded by N_QUERIES.
+    """
+    fns = {
+        "e_ann_lsh_topk": e_ann_lsh_topk,
+        "e_ann_ivf_topk": e_ann_ivf_topk,
+        "e_pq_adc_topk": e_pq_adc_topk,
+        "e_ivfpq_topk": e_ivfpq_topk,
+        "e_sq8_topk": e_sq8_topk,
+    }
+    exact = (
+        e_cosine_topk(spark, sf_dir)
+        .filter(F.col("rnk") <= LSH_TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    exact = track_persist(exact)  # one truth table, five probes
+    out = None
+    for name in _ANN_VARIANTS:
+        got = fns[name](spark, sf_dir).select(
+            "query_id", F.col("neighbor_id").alias("_vn")
+        )
+        leg = (
+            exact.join(
+                got,
+                (exact.query_id == got.query_id)
+                & (exact.neighbor_id == got._vn),
+                "left",
+            )
+            .agg(
+                F.count("_vn").cast("long").alias("hits"),
+                (F.count("_vn").cast("double") / (N_QUERIES * LSH_TOPK))
+                .alias("recall"),
+            )
+            .select(F.lit(name).alias("variant"), "hits", "recall")
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out

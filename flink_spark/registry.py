@@ -107,6 +107,7 @@ _SNAPSHOT_FIRST = (
     "e_centroid_outliers",
     "t_lsh_precision_stats",
     "x_modality_agreement",
+    "e_ann_variant_recall",
     # block 1 — code changed at the r10/r11 boundary (8): the SRP
     # banding default moved 4 -> 8 bands (decided by the recall audit,
     # SCALING.md §R10); every catalog query whose candidates ride the
@@ -154,11 +155,11 @@ _SNAPSHOT_FIRST = (
     # VERDICT r10 item #1). Trim from the tail as block 0 grows.
     "s_daily_unique_users",
     "s_new_vs_returning",
-    "s_returning_users_7d",
-    # 12+8+27+3 = 50 above: the head is exactly the driver's cap.
+    # 13+8+27+2 = 50 above: the head is exactly the driver's cap.
     # --- the driver's 50-query cap lands here ---
     # Everything below is r9/r10-green on unchanged code; the oldest
     # remaining r9 rows queue first for the r12 rotation.
+    "s_returning_users_7d",
     "s_cep_funnel_skip",
     "s_retention_cohorts",
     "s_abandoned_browse",
