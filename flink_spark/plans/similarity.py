@@ -3426,3 +3426,55 @@ def e_ann_variant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = leg if out is None else out.unionByName(leg)
     return out
+
+
+# --------------------------------------------------------------------------
+# Materialized-index search, driven inside the correctness gate
+# --------------------------------------------------------------------------
+
+def _indexed_search_oracle() -> str:
+    from flink_spark.registry import _REGISTRY
+
+    # result-identical to the in-flight IVF+PQ query by construction
+    # (same md5 quantizers; pinned in tests) — its oracle IS the truth
+    return _REGISTRY["e_ivfpq_topk"].oracle
+
+
+@query(
+    "e_indexed_search_topk",
+    oracle=_indexed_search_oracle(),
+    tags=("similarity", "ann", "ivf", "pq", "index"),
+)
+def e_indexed_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION index path, end-to-end inside the correctness
+    gate: ``build_ann_index`` materializes the cell-partitioned PQ
+    code store once, ``search_ann_index`` probes it with a STATIC
+    partition filter (non-probed cells never open), and the result is
+    hash-compared against ``e_ivfpq_topk``'s oracle — the in-flight
+    query it is result-identical to by construction (same md5
+    quantizers).
+
+    Until now this path lived only in pytest
+    (``tests/test_ann_recall.py`` pins result-equality and the
+    PartitionFilters plan node); as a catalog query the driver
+    re-proves per snapshot that the one-time-build + pruned-read
+    dataflow — the shape that actually serves batches at 100 TB, with
+    per-batch I/O of probes × (corpus/cells)/64 bytes — returns the
+    same answers as the rebuild-per-run query. Bounded by
+    construction: the index is corpus-sized parquet in a temp dir
+    (gate scale), deleted before returning; the |Q| × k result
+    materializes so cleanup can happen eagerly.
+    """
+    import shutil
+    import tempfile
+
+    idx_dir = tempfile.mkdtemp(prefix="flink_spark-ann-index-")
+    try:
+        cells = build_ann_index(spark, sf_dir, idx_dir)
+        out = search_ann_index(spark, sf_dir, idx_dir, cells)
+        rows = out.collect()  # |Q| × k rows by construction
+        return spark.createDataFrame(
+            rows, "query_id long, neighbor_id long, rnk long, cosine double"
+        )
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)

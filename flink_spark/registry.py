@@ -108,6 +108,7 @@ _SNAPSHOT_FIRST = (
     "t_lsh_precision_stats",
     "x_modality_agreement",
     "e_ann_variant_recall",
+    "e_indexed_search_topk",
     # block 1 — code changed at the r10/r11 boundary (8): the SRP
     # banding default moved 4 -> 8 bands (decided by the recall audit,
     # SCALING.md §R10); every catalog query whose candidates ride the
@@ -154,11 +155,11 @@ _SNAPSHOT_FIRST = (
     # window family first (they guard the streaming semantics;
     # VERDICT r10 item #1). Trim from the tail as block 0 grows.
     "s_daily_unique_users",
-    "s_new_vs_returning",
-    # 13+8+27+2 = 50 above: the head is exactly the driver's cap.
+    # 14+8+27+1 = 50 above: the head is exactly the driver's cap.
     # --- the driver's 50-query cap lands here ---
     # Everything below is r9/r10-green on unchanged code; the oldest
     # remaining r9 rows queue first for the r12 rotation.
+    "s_new_vs_returning",
     "s_returning_users_7d",
     "s_cep_funnel_skip",
     "s_retention_cohorts",
