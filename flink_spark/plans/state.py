@@ -714,13 +714,23 @@ def s_semantic_split_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch ``e_leakage_safe_split`` assignment. Valid under the same
     convergence precondition (every non-min member of a cosine
     near-dup component at SPLIT_COSINE has a verified edge to some
-    smaller vec_id — pinned for the fixtures by
-    ``tests/test_streaming_dedup.py::
+    smaller vec_id — pinned for the GATE fixtures, sf0.001 and sf0.01,
+    by ``tests/test_streaming_dedup.py::
     test_semantic_fixture_components_incrementally_connected``);
     ``gkey_sum`` pins the full anchor assignment. The stream's band
     width is pinned to the batch operator's derived value
     (``lsh_bits_for`` on the corpus count) so candidate geometry is
     identical on both sides.
+
+    Measured boundary, recorded honestly: at sf0.1 the fixture
+    VIOLATES the precondition (5 of 96 cosine components have a
+    middle member whose every verified edge points to a later id),
+    so the replay legitimately diverges from the batch oracle there —
+    first-sight assignments are immutable by design, the conflict
+    ledger (``semantic_split_conflicts``) counts the bridges, and the
+    batch re-split is the repair path. Run this gate query at the
+    fixtures whose precondition the test pins; at other scales its
+    value is the DIVERGENCE measurement, not an equality check.
 
     Bounded by construction: the replay harness collects the corpus
     once to slice it (test-harness license, raises past 2M rows) and
