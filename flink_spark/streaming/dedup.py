@@ -906,3 +906,175 @@ def run_semantic_dedup_stream(
 def kept_vectors(spark: SparkSession, store_dir: str) -> DataFrame:
     """The accepted-vector survivor set accumulated so far."""
     return _store(spark, store_dir, "vecs")
+
+
+# --------------------------------------------------------------------------
+# Split-store repair: the batch re-split, applied IN PLACE
+# --------------------------------------------------------------------------
+
+def _replace_table(
+    spark: SparkSession, store_dir: str, name: str, df: DataFrame
+) -> None:
+    """Atomically replace a store table's live state with ``df``.
+
+    The ``compact_store`` pointer-commit discipline with REPLACEMENT
+    content: materialize ``df`` as ``base-(g+1)`` (a fresh directory —
+    the lineage may read the table being replaced), commit by
+    atomically swapping the ``_COMPACTED`` marker, then GC the folded
+    epoch dirs and the superseded base. Crash-safe the same way:
+    before the marker lands readers resolve the old state; after, the
+    folded dirs are ignored whether or not deletion finished. Run
+    while the stream is STOPPED, like compaction.
+    """
+    import shutil
+
+    path = os.path.join(store_dir, name)
+    os.makedirs(path, exist_ok=True)
+    mark = _marker(path)
+    epochs = sorted(
+        int(e.split("=")[1]) for e in os.listdir(path)
+        if e.startswith("epoch=") and int(e.split("=")[1]) > mark["through"]
+    )
+    through = epochs[-1] if epochs else mark["through"]
+    gen = mark["base"] + 1
+    df.write.mode("overwrite").parquet(os.path.join(path, f"base-{gen}"))
+    tmp = os.path.join(path, "_COMPACTED.tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump({"through": through, "base": gen}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, os.path.join(path, "_COMPACTED"))
+    for e in epochs:
+        shutil.rmtree(os.path.join(path, f"epoch={e}"), ignore_errors=True)
+    if mark["base"] >= 0:
+        shutil.rmtree(
+            os.path.join(path, f"base-{mark['base']}"), ignore_errors=True
+        )
+
+
+def repair_split_store(
+    spark: SparkSession, store_dir: str, threshold: float = SPLIT_JACCARD
+) -> int:
+    """EXECUTE the repair path the conflict ledger motivates: recompute
+    the batch leakage-safe assignment over the store's full state and
+    rewrite ``splits`` in place; clear the ledger. Returns the number
+    of conflict rows repaired away. Run while the stream is STOPPED
+    (the ``compact_store`` caveat).
+
+    Every docstring that says "a late bridge inherits the smallest-id
+    anchor's side; batch re-splits are the repair path" pointed at a
+    manual procedure until now. This is the procedure: the full
+    verified pair graph over the STORED shingle/band state (the
+    skew-guarded banded self-join + the shared pair-keyed count
+    verify — the exact batch-operator shape, running on state the
+    stream already paid to build, so no re-tokenization), connected
+    components, and the batch rule split = md5-bucket(component min).
+    After the rewrite every assignment equals what
+    ``t_leakage_safe_split`` would have produced on the same corpus;
+    arriving docs then anchor to the REPAIRED sides (the anchor rule
+    reads the rewritten store), and the ledger starts empty so new
+    conflicts are counted from a clean slate. Assignments made before
+    the repair may flip — that is the repair's entire point; a trainer
+    invokes it at a shard/checkpoint boundary where re-decides are
+    absorbable.
+    """
+    from flink_spark.plans.pairjoin import pair_self_join
+
+    sh = _store(spark, store_dir, "shingles")
+    bands = _store(spark, store_dir, "bands")
+    splits_old = _store(spark, store_dir, "splits")
+    n_conf = int(_store(spark, store_dir, "conflicts").count())
+
+    cand = pair_self_join(bands, "doc_id", ["bkey"]).distinct().persist()
+    cand.count()  # pairkey_verify consumes candidates twice
+    pairs = pairkey_verify(cand, sh, threshold).select("d1", "d2").persist()
+    pairs.count()
+    labels = connected_components(pairs)
+    gkey = F.coalesce("cluster_id", "doc_id")
+    new = (
+        splits_old.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(split_bucket_col(gkey) < TRAIN_PCT, "train")
+            .otherwise("val").alias("split"),
+            gkey.alias("gkey"),
+        )
+    )
+    _replace_table(spark, store_dir, "splits", new)
+    _replace_table(
+        spark, store_dir, "conflicts",
+        spark.createDataFrame([], _EMPTY_SCHEMA["conflicts"]),
+    )
+    cand.unpersist()
+    pairs.unpersist()
+    return n_conf
+
+
+def repair_semantic_split_store(
+    spark: SparkSession, store_dir: str, threshold: float | None = None
+) -> int:
+    """Embedding twin of ``repair_split_store``: batch re-split of the
+    semantic split store from its own stored vectors/bands, rewriting
+    ``vsplits`` and clearing ``vconflicts``. Returns the repaired
+    conflict-row count. Run while the stream is STOPPED.
+
+    This is the repair the sf0.1 boundary measurement motivates
+    (``s_semantic_split_replay``: 5 of 96 components there violate the
+    incremental-connectivity precondition, so first-sight assignments
+    diverge from the batch rule): candidates from the STORED band rows
+    (the pinned geometry — no re-banding), the exact-cosine Arrow
+    verify, CC, and the batch rule on the component min.
+    """
+    from flink_spark.plans.pairjoin import pair_self_join
+    from flink_spark.plans.similarity import (
+        SPLIT_COSINE,
+        _pair_cosines_pandas,
+    )
+
+    if threshold is None:
+        threshold = SPLIT_COSINE
+    svecs = _store(spark, store_dir, "svecs")
+    vbands = _store(spark, store_dir, "vbands")
+    vsplits_old = _store(spark, store_dir, "vsplits")
+    n_conf = int(_store(spark, store_dir, "vconflicts").count())
+
+    cand = pair_self_join(
+        vbands.withColumnRenamed("vec_id", "doc_id"), "doc_id", ["bkey"]
+    ).distinct().persist()
+    cand.count()
+    x = svecs.select(
+        F.col("vec_id").alias("d1"),
+        F.col("embedding").alias("embedding1"), F.col("nrm").alias("nrm1"),
+    )
+    y = svecs.select(
+        F.col("vec_id").alias("d2"),
+        F.col("embedding").alias("embedding2"), F.col("nrm").alias("nrm2"),
+    )
+    pairs = (
+        _pair_cosines_pandas(cand.join(x, "d1").join(y, "d2"))
+        .filter(F.col("cosine") >= threshold)
+        .select("d1", "d2")
+        .persist()
+    )
+    pairs.count()
+    labels = connected_components(pairs)
+    gkey = F.coalesce("cluster_id", "doc_id")
+    new = (
+        vsplits_old.select(F.col("vec_id").alias("doc_id"))
+        .join(labels, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias("vec_id"),
+            F.when(split_bucket_col(gkey) < TRAIN_PCT, "train")
+            .otherwise("val").alias("split"),
+            gkey.alias("gkey"),
+        )
+    )
+    _replace_table(spark, store_dir, "vsplits", new)
+    _replace_table(
+        spark, store_dir, "vconflicts",
+        spark.createDataFrame([], _EMPTY_SCHEMA["vconflicts"]),
+    )
+    cand.unpersist()
+    pairs.unpersist()
+    return n_conf

@@ -841,3 +841,96 @@ def test_semantic_fixture_components_incrementally_connected(spark):
             mn = min(members)
             bad = [m for m in members if m != mn and not has_smaller[m]]
             assert not bad, (sf_dir, sorted(members), bad)
+
+
+def test_repair_split_store_resolves_conflicts(spark, tmp_path):
+    """The repair path, EXECUTED: after a bridged conflict, the
+    in-place batch re-split rewrites every assignment to the batch
+    rule (component-min hash), clears the ledger, and subsequent
+    arrivals anchor to the REPAIRED sides."""
+    from flink_spark.streaming.dedup import (
+        repair_split_store,
+        split_assign_batch,
+        split_assignments,
+        split_conflicts,
+    )
+
+    base = [f"tok{i}" for i in range(56)]
+
+    def variant(changes, tag):
+        t = list(base)
+        for j, p in enumerate(changes):
+            t[p] = f"{tag}{j}"
+        return " ".join(t)
+
+    A = (0, variant([14, 24], "axx"))
+    B = (1, variant([30, 40], "bxx"))
+    C = (2, variant([], "c"))
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    store = str(tmp_path / "store")
+    split_assign_batch(mk([A, B]), 0, store)
+    split_assign_batch(mk([C]), 1, store)
+    assert split_conflicts(spark, store).count() == 1
+    before = {r.doc_id: (r.split, r.gkey)
+              for r in split_assignments(spark, store).collect()}
+    assert before == {0: ("val", 0), 1: ("train", 1), 2: ("val", 0)}
+
+    repaired = repair_split_store(spark, store)
+    assert repaired == 1
+    after = {r.doc_id: (r.split, r.gkey)
+             for r in split_assignments(spark, store).collect()}
+    # batch rule over the full graph: one component {0,1,2}, min 0,
+    # md5-bucket(0) -> val. Doc 1's pre-repair assignment FLIPS — the
+    # repair's entire point.
+    assert after == {0: ("val", 0), 1: ("val", 0), 2: ("val", 0)}
+    assert split_conflicts(spark, store).count() == 0
+
+    # a post-repair arrival (exact dup of C) anchors to the repaired
+    # component and the ledger stays clean
+    split_assign_batch(mk([(3, C[1])]), 2, store)
+    final = {r.doc_id: (r.split, r.gkey)
+             for r in split_assignments(spark, store).collect()}
+    assert final[3] == ("val", 0)
+    assert split_conflicts(spark, store).count() == 0
+
+
+def test_repair_semantic_split_store_resolves_conflicts(spark, tmp_path):
+    """Embedding twin: the in-place batch re-split of the semantic
+    split store rewrites to the batch rule and clears vconflicts."""
+    from flink_spark.streaming.dedup import (
+        _split_bits,
+        repair_semantic_split_store,
+        semantic_split_assign_batch,
+        semantic_split_assignments,
+        semantic_split_conflicts,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    store = str(tmp_path / "store")
+    _split_bits(store, 4)
+    semantic_split_assign_batch(
+        mk([(0, _CONFLICT_A), (1, _CONFLICT_B)]), 0, store
+    )
+    semantic_split_assign_batch(mk([(2, _CONFLICT_C)]), 1, store)
+    assert semantic_split_conflicts(spark, store).count() == 1
+
+    repaired = repair_semantic_split_store(spark, store)
+    assert repaired == 1
+    after = {r.vec_id: (r.split, r.gkey)
+             for r in semantic_split_assignments(spark, store).collect()}
+    assert after == {0: ("val", 0), 1: ("val", 0), 2: ("val", 0)}
+    assert semantic_split_conflicts(spark, store).count() == 0
+
+    # post-repair arrival near C anchors to the repaired component
+    semantic_split_assign_batch(mk([(3, _CONFLICT_C)]), 2, store)
+    final = {r.vec_id: (r.split, r.gkey)
+             for r in semantic_split_assignments(spark, store).collect()}
+    assert final[3] == ("val", 0)
+    assert semantic_split_conflicts(spark, store).count() == 0
