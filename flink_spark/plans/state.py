@@ -780,3 +780,167 @@ def s_semantic_split_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _dedup_replay_oracle(slices: int = 3) -> str:
+    """SQL emulation of the incremental component-drop dedup across an
+    id-ordered ``slices``-epoch replay — built by unrolling the epochs.
+
+    Per epoch e over batch s_e and kept-so-far g_{e-1}: the epoch's
+    graph is the GLOBAL verified pair set restricted to
+    (d2 ∈ s_e) ∧ (d1 ∈ s_e ∪ g_{e-1}) — exactly the streaming body's
+    in-batch + store↔batch candidate legs, because stored bands exist
+    only for kept docs and the id-ordered replay keeps d1 < d2 across
+    epochs. Components via one recursive reachability CTE per epoch;
+    a component touching g_{e-1} poisons (every batch member drops);
+    clean components keep their min; pairless docs pass. The oracle is
+    generated, not hand-written, so the epoch count is a parameter.
+    """
+    from flink_spark.plans.textops import _MINHASH_PAIRS_CTES
+
+    per = (f"(SELECT (COUNT(*) + {slices - 1}) // {slices}"
+           " FROM documents)")
+    # AS MATERIALIZED everywhere a CTE is referenced more than once:
+    # DuckDB inlines CTEs by default, and the epoch chain references
+    # sliced/pairs/s_e/lab_e/g_e repeatedly — inlined, every reference
+    # re-expands the whole upstream chain (exponential re-scans; the
+    # parquet re-opens alone blow the fd limit at 3 epochs).
+    parts = [
+        "pairs_m AS MATERIALIZED (SELECT d1, d2 FROM pairs)",
+        "sliced AS MATERIALIZED (SELECT doc_id,"
+        " (ROW_NUMBER() OVER (ORDER BY doc_id)"
+        f" - 1) // {per} AS slice FROM documents)"
+    ]
+    prev_g = None
+    for e in range(1, slices + 1):
+        s = f"s{e}"
+        parts.append(
+            f"{s} AS MATERIALIZED"
+            f" (SELECT doc_id FROM sliced WHERE slice = {e - 1})"
+        )
+        d1_src = f"d1 IN (SELECT doc_id FROM {s})"
+        if prev_g is not None:
+            d1_src = f"({d1_src} OR d1 IN (SELECT doc_id FROM {prev_g}))"
+        parts.append(
+            f"e{e} AS MATERIALIZED (SELECT d1, d2 FROM pairs_m"
+            f" WHERE {d1_src}"
+            f" AND d2 IN (SELECT doc_id FROM {s}))"
+        )
+        parts.append(
+            f"ed{e} AS (SELECT d1 AS u, d2 AS v FROM e{e}"
+            f" UNION ALL SELECT d2, d1 FROM e{e})"
+        )
+        parts.append(
+            f"n{e} AS (SELECT DISTINCT u AS doc_id FROM ed{e})"
+        )
+        parts.append(
+            f"reach{e}(root, doc_id) AS ("
+            f"SELECT doc_id, doc_id FROM n{e}"
+            f" UNION SELECT r.root, t.v FROM reach{e} r"
+            f" JOIN ed{e} t ON r.doc_id = t.u)"
+        )
+        parts.append(
+            f"lab{e} AS MATERIALIZED (SELECT doc_id, MIN(root)"
+            f" AS cluster_id FROM reach{e} GROUP BY doc_id)"
+        )
+        if prev_g is None:
+            parts.append(
+                f"poi{e} AS (SELECT cluster_id FROM lab{e} WHERE false)"
+            )
+        else:
+            parts.append(
+                f"poi{e} AS (SELECT DISTINCT l.cluster_id FROM lab{e} l"
+                f" JOIN {prev_g} g ON l.doc_id = g.doc_id)"
+            )
+        parts.append(
+            f"keep{e} AS (SELECT MIN(l.doc_id) AS doc_id FROM lab{e} l"
+            f" JOIN {s} b ON l.doc_id = b.doc_id"
+            f" WHERE l.cluster_id NOT IN (SELECT cluster_id FROM poi{e})"
+            f" GROUP BY l.cluster_id)"
+        )
+        parts.append(
+            f"sing{e} AS (SELECT doc_id FROM {s} WHERE doc_id NOT IN"
+            f" (SELECT doc_id FROM lab{e}))"
+        )
+        g = f"g{e}"
+        carry = (f"SELECT doc_id FROM {prev_g} UNION ALL "
+                 if prev_g is not None else "")
+        parts.append(
+            f"{g} AS MATERIALIZED ({carry}SELECT doc_id FROM keep{e}"
+            f" UNION ALL SELECT doc_id FROM sing{e})"
+        )
+        prev_g = g
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+    {body}
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(g.doc_id) AS BIGINT) AS id_sum
+    FROM {prev_g} g JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """
+
+
+@query(
+    "s_dedup_stream_replay",
+    oracle=_dedup_replay_oracle(),
+    tags=("state", "streaming", "dedup"),
+)
+def s_dedup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL near-dup dedup, driven end-to-end inside the
+    correctness gate: replay ``documents`` as a 3-slice id-ordered
+    file stream through ``run_dedup_stream`` (real Structured
+    Streaming — checkpoint, foreachBatch epochs, kept-survivor store
+    with only survivors' bands gatekeeping) and roll up the final
+    kept set per source.
+
+    The last streaming family to face the driver's oracle — and
+    unlike the split replays it needs NO convergence precondition:
+    the oracle EMULATES the epoch semantics exactly
+    (``_dedup_replay_oracle`` unrolls the three component-drop rounds
+    as three recursive-CC stages over the same global verified pair
+    set), so the equality is exact at ANY corpus, not just
+    preconditioned fixtures. Epoch boundaries are a pure function of
+    the id order (the ``doc_stream`` chunk rule, mirrored by the
+    oracle's ROW_NUMBER slicing), which is what makes the emulation
+    possible.
+
+    Bounded by construction: the replay harness collects the corpus
+    once to slice it (test-harness license, raises past 2M rows); the
+    rollup is ≤ |sources| rows, materialized so the temp store and
+    checkpoint are deleted before returning.
+    """
+    import shutil
+    import tempfile
+
+    from flink_spark.streaming.dedup import (
+        doc_stream,
+        kept_docs,
+        run_dedup_stream,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    work = tempfile.mkdtemp(prefix="flink_spark-dedup-replay-")
+    try:
+        stream = doc_stream(
+            spark, docs.select("doc_id", "text"), f"{work}/replay", slices=3
+        )
+        q = run_dedup_stream(stream, f"{work}/store", f"{work}/ck")
+        q.processAllAvailable()
+        q.stop()
+        out = (
+            kept_docs(spark, f"{work}/store")
+            .join(docs.select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_kept"),
+                F.sum("doc_id").cast("long").alias("id_sum"),
+            )
+        )
+        rows = out.collect()  # ≤ |sources| rows by construction
+        return spark.createDataFrame(
+            rows, "source string, n_kept bigint, id_sum bigint"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

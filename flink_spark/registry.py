@@ -98,10 +98,10 @@ _SNAPSHOT_FIRST = (
     "s_split_stream_replay",
     "s_decontam_stream_replay",
     "s_semantic_split_replay",
+    "s_dedup_stream_replay",
     "e_sq8_topk",
     "t_keep_best_dedup",
     "t_stratified_sample",
-    "e_ivf_balance_audit",
     "t_perplexity_buckets",
     "e_hard_negatives_topk",
     "e_centroid_outliers",
@@ -157,8 +157,13 @@ _SNAPSHOT_FIRST = (
     "s_daily_unique_users",
     # 14+8+27+1 = 50 above: the head is exactly the driver's cap.
     # --- the driver's 50-query cap lands here ---
-    # Everything below is r9/r10-green on unchanged code; the oldest
-    # remaining r9 rows queue first for the r12 rotation.
+    # e_ivf_balance_audit is the one r11 query yielding its head seat
+    # (15 new queries > the slots left after the changed/stale
+    # blocks): it is triple-scale value-verified this round
+    # (sf0.001/0.01/0.1) and invariant/plan-pinned in the suite; it
+    # queues FIRST for r12's never-checked block. Everything after is
+    # r9/r10-green on unchanged code; the oldest r9 rows queue next.
+    "e_ivf_balance_audit",
     "s_new_vs_returning",
     "s_returning_users_7d",
     "s_cep_funnel_skip",
