@@ -740,3 +740,55 @@ def test_ivf_balance_audit_accounts_every_vector(spark):
         assert r["load_factor"] == pytest.approx(
             r["n_vecs"] * cells / total, rel=1e-12
         )
+
+
+def test_sq8_dequantization_error_bound(spark):
+    """SQ8's encode/decode honors the scalar-quantization contract:
+    every dequantized coordinate is within half a quantization step
+    ((max-min)/2/255 per dim) of the original float — the bound that
+    makes the 1.0 scoreboard recall unsurprising rather than lucky."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from flink_spark.plans.similarity import DIM, SQ_LEVELS, _norm
+    from flink_spark.sources import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    st = emb.agg(
+        F.array(*[
+            F.min(F.element_at("embedding", i).cast("double"))
+            for i in range(1, DIM + 1)
+        ]).alias("mins"),
+        F.array(*[
+            F.max(F.element_at("embedding", i).cast("double"))
+            for i in range(1, DIM + 1)
+        ]).alias("maxs"),
+    )
+    deq = F.expr(
+        f"transform(sequence(1, {DIM}), i -> "
+        "CASE WHEN element_at(maxs, i) = element_at(mins, i) "
+        "THEN element_at(mins, i) "
+        f"ELSE element_at(mins, i) + round({SQ_LEVELS} * "
+        "(CAST(element_at(embedding, i) AS DOUBLE) - element_at(mins, i))"
+        " / (element_at(maxs, i) - element_at(mins, i))) "
+        f"* (element_at(maxs, i) - element_at(mins, i)) / {SQ_LEVELS} END)"
+    )
+    worst = (
+        emb.crossJoin(F.broadcast(st))
+        .select(deq.alias("deq0"), "embedding", "mins", "maxs")
+        .select(
+            F.expr(
+                f"aggregate(sequence(1, {DIM}), 0D, (acc, i) -> "
+                "greatest(acc, CASE WHEN element_at(maxs, i) = "
+                "element_at(mins, i) THEN 0D ELSE "
+                "abs(element_at(deq0, i) "
+                "- CAST(element_at(embedding, i) AS DOUBLE)) "
+                "/ (element_at(maxs, i) - element_at(mins, i)) END))"
+            ).alias("worst_rel")
+        )
+    )
+    m = worst.agg(F.max("worst_rel").alias("m")).collect()[0]["m"]
+    # half a step, relative to the dim's range, plus float slack
+    assert m <= 0.5 / SQ_LEVELS + 1e-9, m
+    assert not math.isnan(m)
