@@ -180,15 +180,25 @@ HEADLINE = [
 ]
 
 
-# Session-drift canary (round 10): three cheap, plan-stable queries
-# whose min-of-N wall is measured FIRST each bench session and compared
-# to a pinned reference (the r9 VERDICT session at sf0.1, local[32]).
-# min-of-N killed intra-session noise, but identical plans still move
-# up to 1.4x BETWEEN sessions (SCALING.md §R9) — the canary's
-# session_factor lets a cross-round reader normalize per-query deltas
-# before calling them regressions. Only meaningful at the reference
-# shape (sf0.1, 32 cpus); the factor is reported regardless, flagged
-# by the recorded reference shape.
+# Session-drift canary (round 10, bracketed round 12): three cheap,
+# plan-stable queries whose min-of-N wall is compared to a pinned
+# reference (the r9 VERDICT session at sf0.1, local[32]). min-of-N
+# killed intra-session noise, but identical plans still move up to
+# 1.4x BETWEEN sessions (SCALING.md §R9) — the canary's session_factor
+# lets a cross-round reader normalize per-query deltas before calling
+# them regressions. Round 11 exposed the start-only blind spot: the
+# canary read 0.782 (fast session) while 55 plan-unchanged queries ran
+# a near-uniform 1.2-1.4x slower raw than r10 — the machine drifted
+# AFTER the canary sampled, and the single early factor silently
+# mis-normalized the whole session. So the canary now runs TWICE — at
+# session start (cold-ish) and again after the last timed pass — and
+# normalization uses the MEAN of the two factors; the spread between
+# them is reported so a reader can see how much the session moved and
+# distrust per-query deltas accordingly. Budget verdicts (SCALING.md)
+# are declared only on min-of-N across >=2 independent bench sessions,
+# never on one session's normalized wall. Only meaningful at the
+# reference shape (sf0.1, 32 cpus); reported regardless, flagged by
+# the recorded reference shape.
 CANARY = ["q1_pricing_summary", "t_exact_dedup", "w_tumble_10s_keyed"]
 CANARY_REF = {"sf": 0.1, "cpus": 32, "total_sec": 2.128}  # r9 session
 
@@ -221,19 +231,23 @@ def main() -> None:
             release_persisted()
         return time.time() - t0
 
-    # canary first, before the machine heats up with the big queries:
-    # one untimed warm pass (JVM + codegen), then min over n_runs —
-    # the same discipline as the main list, just isolated up front.
-    for name in CANARY:
-        run(name)
-    canary: dict[str, float] = {}
-    for _ in range(max(2, n_runs)):
+    def run_canary() -> tuple[dict[str, float], float]:
+        # one untimed warm pass (JVM + codegen on first call; a no-op
+        # cost-wise on the end-of-session call), then min over n_runs —
+        # the same discipline as the main list, just isolated.
         for name in CANARY:
-            t = run(name)
-            if name not in canary or t < canary[name]:
-                canary[name] = t
-    canary = {n: round(t, 3) for n, t in canary.items()}
-    canary_total = round(sum(canary.values()), 3)
+            run(name)
+        sample: dict[str, float] = {}
+        for _ in range(max(2, n_runs)):
+            for name in CANARY:
+                t = run(name)
+                if name not in sample or t < sample[name]:
+                    sample[name] = t
+        sample = {n: round(t, 3) for n, t in sample.items()}
+        return sample, round(sum(sample.values()), 3)
+
+    # canary leg 1: session start, before the machine heats up.
+    canary_start, canary_start_total = run_canary()
 
     # warmup: one full untimed pass over the headline list. Each distinct
     # plan pays its whole-stage-codegen (Janino) compile exactly once per
@@ -268,9 +282,21 @@ def main() -> None:
                 times[name] = t
     times = {n: round(t, 3) for n, t in times.items()}
 
+    # canary leg 2: session end, after the machine has been under the
+    # full headline load — catches the drift the start-only canary
+    # missed in r11.
+    canary_end, canary_end_total = run_canary()
+
     total = round(sum(times.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    session_factor = round(canary_total / CANARY_REF["total_sec"], 3)
+    factor_start = round(canary_start_total / CANARY_REF["total_sec"], 3)
+    factor_end = round(canary_end_total / CANARY_REF["total_sec"], 3)
+    # Normalize with the MEAN of the bracketing factors: the timed
+    # passes ran between the two canary legs, so the mean is the least
+    # biased single estimate of the session speed they experienced. The
+    # spread is the reader's error bar — a large spread means the
+    # session drifted mid-run and per-query deltas are soft.
+    session_factor = round((factor_start + factor_end) / 2, 3)
     # normalized = raw / session_factor: the per-query wall this session
     # WOULD have measured at the pinned reference session's speed.
     # Cross-round readers compare normalized-to-normalized and skip the
@@ -285,13 +311,20 @@ def main() -> None:
         "normalized_total_sec": round(sum(normalized.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "canary": {
-            "queries": canary,
-            "total_sec": canary_total,
+            "queries": canary_start,
+            "queries_end": canary_end,
+            "total_sec": canary_start_total,
+            "total_sec_end": canary_end_total,
             "ref": CANARY_REF,
             # >1 = this session is slower than the reference session
             # on plan-identical work; divide per-query deltas by this
-            # before reading them as regressions
+            # before reading them as regressions. The mean of the two
+            # bracketing legs; start/end and their spread tell you how
+            # much the session moved while the timed passes ran.
             "session_factor": session_factor,
+            "session_factor_start": factor_start,
+            "session_factor_end": factor_end,
+            "session_factor_spread": round(abs(factor_end - factor_start), 3),
         },
     }))
 
