@@ -521,10 +521,23 @@ def s_split_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     true min — the batch gkey). Components violating that (a middle
     member whose edges all point to LATER ids, bridged only after its
     own assignment) diverge by design — first-sight splits are
-    immutable; the conflict ledger counts them. The fixtures' pair
-    graphs satisfy the condition (pinned by
-    ``tests/test_streaming_dedup.py::test_fixture_components_incrementally_connected``),
-    so the gate compares exact hashes. ``gkey_sum`` pins the full
+    immutable; the conflict ledger counts them.
+
+    SELF-HONEST AT EVERY SCALE (r11 item #4): after the stream the
+    query checks that precondition itself — ``replay_converged`` over
+    the store's own pair graph, the distributed twin of the pinned
+    pytest (``tests/test_streaming_dedup.py::
+    test_fixture_components_incrementally_connected``) — and when it
+    fails, runs ``repair_split_store`` (the in-place batch re-split,
+    provably equal to the batch rule) before the rollup. So the hash
+    equality holds at ANY corpus: on preconditioned fixtures the
+    STREAMING assignment is what's verified (the pytest pins that the
+    gate fixtures take this path, keeping the gate meaningful); on a
+    violating corpus the query exercises the production repair path
+    instead of silently red-hashing. The ledger alone would be an
+    unsound trigger — a late bridge of side-agreeing clusters logs
+    nothing while gkeys diverge — which is why the check is the full
+    precondition, not a ledger peek. ``gkey_sum`` pins the full
     anchor assignment, not just the side counts.
 
     Bounded by construction: the replay harness collects the corpus
@@ -538,7 +551,10 @@ def s_split_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from flink_spark.streaming.dedup import (
+        _store_pair_graph,
         doc_stream,
+        repair_split_store,
+        replay_converged,
         run_split_stream,
         split_assignments,
     )
@@ -552,6 +568,12 @@ def s_split_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = run_split_stream(stream, f"{work}/store", f"{work}/ck")
         q.processAllAvailable()
         q.stop()
+        pairs = _store_pair_graph(spark, f"{work}/store")
+        try:
+            if not replay_converged(pairs):
+                repair_split_store(spark, f"{work}/store", pairs=pairs)
+        finally:
+            pairs.unpersist()
         out = (
             split_assignments(spark, f"{work}/store")
             .join(docs.select("doc_id", "source"), "doc_id")
@@ -711,26 +733,29 @@ def s_semantic_split_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Semantic twin of ``s_split_stream_replay`` — both modalities'
     streaming splits now face the driver's DuckDB oracle, which is the
-    batch ``e_leakage_safe_split`` assignment. Valid under the same
-    convergence precondition (every non-min member of a cosine
-    near-dup component at SPLIT_COSINE has a verified edge to some
-    smaller vec_id — pinned for the GATE fixtures, sf0.001 and sf0.01,
-    by ``tests/test_streaming_dedup.py::
-    test_semantic_fixture_components_incrementally_connected``);
-    ``gkey_sum`` pins the full anchor assignment. The stream's band
-    width is pinned to the batch operator's derived value
-    (``lsh_bits_for`` on the corpus count) so candidate geometry is
-    identical on both sides.
+    batch ``e_leakage_safe_split`` assignment. On preconditioned
+    corpora (every non-min member of a cosine near-dup component at
+    SPLIT_COSINE has a verified edge to some smaller vec_id — pinned
+    for the GATE fixtures, sf0.001 and sf0.01, by
+    ``tests/test_streaming_dedup.py::
+    test_semantic_fixture_components_incrementally_connected``) the
+    STREAMING assignment is what faces the oracle; ``gkey_sum`` pins
+    the full anchor assignment. The stream's band width is pinned to
+    the batch operator's derived value (``lsh_bits_for`` on the corpus
+    count) so candidate geometry is identical on both sides.
 
-    Measured boundary, recorded honestly: at sf0.1 the fixture
-    VIOLATES the precondition (5 of 96 cosine components have a
-    middle member whose every verified edge points to a later id),
-    so the replay legitimately diverges from the batch oracle there —
-    first-sight assignments are immutable by design, the conflict
-    ledger (``semantic_split_conflicts``) counts the bridges, and the
-    batch re-split is the repair path. Run this gate query at the
-    fixtures whose precondition the test pins; at other scales its
-    value is the DIVERGENCE measurement, not an equality check.
+    SELF-HONEST AT EVERY SCALE (r11 item #4): sf0.1 VIOLATES the
+    precondition (5 of 96 cosine components have a middle member whose
+    every verified edge points to a later id), so the replay there
+    legitimately diverges from the batch rule — first-sight
+    assignments are immutable by design. Rather than red-hashing at
+    that scale, the query now checks the precondition itself
+    (``replay_converged`` over the store's own cosine pair graph) and,
+    when it fails, runs ``repair_semantic_split_store`` — the in-place
+    batch re-split demonstrated in r11 to close exactly this
+    divergence (3 divergent assignments → 0, ledger empty) — before
+    the rollup. Hash-green everywhere, and at violating scales the
+    gate exercises the production repair path end-to-end.
 
     Bounded by construction: the replay harness collects the corpus
     once to slice it (test-harness license, raises past 2M rows) and
@@ -742,7 +767,10 @@ def s_semantic_split_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from flink_spark.plans.similarity import lsh_bits_for
     from flink_spark.streaming.dedup import (
+        _sem_store_pair_graph,
         doc_stream,
+        repair_semantic_split_store,
+        replay_converged,
         run_semantic_split_stream,
         semantic_split_assignments,
     )
@@ -762,6 +790,14 @@ def s_semantic_split_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.processAllAvailable()
         q.stop()
+        pairs = _sem_store_pair_graph(spark, f"{work}/store")
+        try:
+            if not replay_converged(pairs):
+                repair_semantic_split_store(
+                    spark, f"{work}/store", pairs=pairs
+                )
+        finally:
+            pairs.unpersist()
         out = (
             semantic_split_assignments(spark, f"{work}/store")
             .join(emb.select("vec_id", "label"), "vec_id")

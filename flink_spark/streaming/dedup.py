@@ -124,6 +124,42 @@ def _write(df: DataFrame, store_dir: str, name: str, epoch_id: int) -> None:
     )
 
 
+def _commit_base(
+    path: str, df: DataFrame, mark: dict, through: int, epochs: list[int]
+) -> None:
+    """The store's single pointer-commit primitive: materialize ``df``
+    as ``base-(mark.base+1)`` (a fresh directory — the lineage may read
+    the table being replaced), commit by atomically swapping the
+    ``_COMPACTED`` marker to ``(through, new base)`` (write-temp +
+    fsync + ``os.replace``, the same discipline as ``upsert_sink``'s
+    manifest), then GC the folded ``epochs`` dirs and the superseded
+    base. Shared by ``compact_store`` and ``_replace_table`` so the
+    crash-safety-critical sequence exists exactly once.
+
+    Crash safety: before the marker lands, readers still resolve the
+    old base + epochs (the half-written new base is invisible); after
+    it lands, folded epoch dirs are ignored whether or not their
+    deletion finished (``_store`` filters ≤ through), so the GC is
+    plain idempotent.
+    """
+    import shutil
+
+    gen = mark["base"] + 1
+    df.write.mode("overwrite").parquet(os.path.join(path, f"base-{gen}"))
+    tmp = os.path.join(path, "_COMPACTED.tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump({"through": through, "base": gen}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, os.path.join(path, "_COMPACTED"))
+    for e in epochs:
+        shutil.rmtree(os.path.join(path, f"epoch={e}"), ignore_errors=True)
+    if mark["base"] >= 0:
+        shutil.rmtree(
+            os.path.join(path, f"base-{mark['base']}"), ignore_errors=True
+        )
+
+
 def exact_dedup_batch(
     batch: DataFrame, epoch_id: int, store_dir: str
 ) -> None:
@@ -727,24 +763,8 @@ def compact_store(spark: SparkSession, store_dir: str) -> None:
         )
         if not epochs:
             continue
-        gen = mark["base"] + 1
         live = _store(spark, store_dir, name)
-        live.write.mode("overwrite").parquet(os.path.join(path, f"base-{gen}"))
-        tmp = os.path.join(path, "_COMPACTED.tmp")
-        with open(tmp, "w", encoding="utf-8") as fh:
-            json.dump({"through": epochs[-1], "base": gen}, fh)
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.replace(tmp, os.path.join(path, "_COMPACTED"))
-        # idempotent GC: folded epochs + the superseded base
-        import shutil
-
-        for e in epochs:
-            shutil.rmtree(os.path.join(path, f"epoch={e}"), ignore_errors=True)
-        if mark["base"] >= 0:
-            shutil.rmtree(
-                os.path.join(path, f"base-{mark['base']}"), ignore_errors=True
-            )
+        _commit_base(path, live, mark, epochs[-1], epochs)
 
 
 # --------------------------------------------------------------------------
@@ -917,17 +937,10 @@ def _replace_table(
 ) -> None:
     """Atomically replace a store table's live state with ``df``.
 
-    The ``compact_store`` pointer-commit discipline with REPLACEMENT
-    content: materialize ``df`` as ``base-(g+1)`` (a fresh directory —
-    the lineage may read the table being replaced), commit by
-    atomically swapping the ``_COMPACTED`` marker, then GC the folded
-    epoch dirs and the superseded base. Crash-safe the same way:
-    before the marker lands readers resolve the old state; after, the
-    folded dirs are ignored whether or not deletion finished. Run
-    while the stream is STOPPED, like compaction.
+    The ``_commit_base`` pointer-commit primitive with REPLACEMENT
+    content (``compact_store`` folds live state; this swaps it), same
+    crash safety. Run while the stream is STOPPED, like compaction.
     """
-    import shutil
-
     path = os.path.join(store_dir, name)
     os.makedirs(path, exist_ok=True)
     mark = _marker(path)
@@ -936,24 +949,107 @@ def _replace_table(
         if e.startswith("epoch=") and int(e.split("=")[1]) > mark["through"]
     )
     through = epochs[-1] if epochs else mark["through"]
-    gen = mark["base"] + 1
-    df.write.mode("overwrite").parquet(os.path.join(path, f"base-{gen}"))
-    tmp = os.path.join(path, "_COMPACTED.tmp")
-    with open(tmp, "w", encoding="utf-8") as fh:
-        json.dump({"through": through, "base": gen}, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, os.path.join(path, "_COMPACTED"))
-    for e in epochs:
-        shutil.rmtree(os.path.join(path, f"epoch={e}"), ignore_errors=True)
-    if mark["base"] >= 0:
-        shutil.rmtree(
-            os.path.join(path, f"base-{mark['base']}"), ignore_errors=True
-        )
+    _commit_base(path, df, mark, through, epochs)
+
+
+def _store_pair_graph(
+    spark: SparkSession, store_dir: str, threshold: float = SPLIT_JACCARD
+) -> DataFrame:
+    """Verified LEXICAL pair graph over the store's FULL shingle/band
+    state — the exact batch-operator shape (skew-guarded banded
+    self-join + pair-keyed count verify) on state the stream already
+    paid to build, so no re-tokenization. Returns a PERSISTED,
+    materialized ``(d1, d2)`` DataFrame; the caller unpersists."""
+    from flink_spark.plans.pairjoin import pair_self_join
+
+    sh = _store(spark, store_dir, "shingles")
+    bands = _store(spark, store_dir, "bands")
+    cand = pair_self_join(bands, "doc_id", ["bkey"]).distinct().persist()
+    cand.count()  # pairkey_verify consumes candidates twice
+    pairs = pairkey_verify(cand, sh, threshold).select("d1", "d2").persist()
+    pairs.count()
+    cand.unpersist()
+    return pairs
+
+
+def _sem_store_pair_graph(
+    spark: SparkSession, store_dir: str, threshold: float | None = None
+) -> DataFrame:
+    """Verified COSINE pair graph over the semantic split store's FULL
+    vector/band state (stored band rows = the pinned geometry, no
+    re-banding; exact-cosine Arrow verify). Returns a PERSISTED,
+    materialized ``(d1, d2)`` DataFrame; the caller unpersists."""
+    from flink_spark.plans.pairjoin import pair_self_join
+    from flink_spark.plans.similarity import (
+        SPLIT_COSINE,
+        _pair_cosines_pandas,
+    )
+
+    if threshold is None:
+        threshold = SPLIT_COSINE
+    svecs = _store(spark, store_dir, "svecs")
+    vbands = _store(spark, store_dir, "vbands")
+    cand = pair_self_join(
+        vbands.withColumnRenamed("vec_id", "doc_id"), "doc_id", ["bkey"]
+    ).distinct().persist()
+    cand.count()
+    x = svecs.select(
+        F.col("vec_id").alias("d1"),
+        F.col("embedding").alias("embedding1"), F.col("nrm").alias("nrm1"),
+    )
+    y = svecs.select(
+        F.col("vec_id").alias("d2"),
+        F.col("embedding").alias("embedding2"), F.col("nrm").alias("nrm2"),
+    )
+    pairs = (
+        _pair_cosines_pandas(cand.join(x, "d1").join(y, "d2"))
+        .filter(F.col("cosine") >= threshold)
+        .select("d1", "d2")
+        .persist()
+    )
+    pairs.count()
+    cand.unpersist()
+    return pairs
+
+
+def replay_converged(pairs: DataFrame) -> bool:
+    """The replay gate queries' convergence precondition, checked
+    DISTRIBUTED (the pytest twin collects to a driver union-find; this
+    form never leaves the cluster): in every component of the verified
+    pair graph, every non-min member has a verified edge to some
+    SMALLER id.
+
+    Sufficiency (induction over id order): the component min m has no
+    edge to a smaller id (it would contradict minimality), so m
+    anchors to itself — gkey(m) = m. Every other member d has a direct
+    edge to some x < d; x is stored when d arrives (id-ordered
+    replay), so d joins x's cluster and inherits its anchor's gkey,
+    which by induction is m. No member ever starts a separate cluster,
+    so no bridge of disagreeing assignments can occur either — the
+    precondition implies BOTH exact gkey equality with the batch rule
+    and an empty conflict ledger. (The ledger alone is NOT a valid
+    check: a late bridge of two clusters whose md5 buckets happen to
+    agree logs nothing while the gkeys still diverge.)
+
+    ``connected_components`` is min-label, so ``cluster_id`` IS the
+    component min; non-min members lacking any pair in which they are
+    the larger endpoint are exactly the violations. Consumes ``pairs``
+    twice — pass it persisted.
+    """
+    has_smaller = pairs.select(
+        F.greatest("d1", "d2").alias("doc_id")
+    ).distinct()
+    bad = (
+        connected_components(pairs)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .join(has_smaller, "doc_id", "left_anti")
+    )
+    return bad.isEmpty()
 
 
 def repair_split_store(
-    spark: SparkSession, store_dir: str, threshold: float = SPLIT_JACCARD
+    spark: SparkSession, store_dir: str, threshold: float = SPLIT_JACCARD,
+    pairs: DataFrame | None = None,
 ) -> int:
     """EXECUTE the repair path the conflict ledger motivates: recompute
     the batch leakage-safe assignment over the store's full state and
@@ -977,18 +1073,24 @@ def repair_split_store(
     the repair may flip — that is the repair's entire point; a trainer
     invokes it at a shard/checkpoint boundary where re-decides are
     absorbable.
-    """
-    from flink_spark.plans.pairjoin import pair_self_join
 
-    sh = _store(spark, store_dir, "shingles")
-    bands = _store(spark, store_dir, "bands")
+    The two table rewrites are SEPARATE pointer-commits, deliberately
+    ordered splits-then-conflicts: a crash between them leaves
+    REPAIRED assignments under a stale non-empty ledger, which
+    over-reports (the ledger claims conflicts already fixed) and heals
+    by re-running the repair. The reverse order would risk the
+    dangerous dual — an empty ledger over unrepaired assignments,
+    i.e. silent divergence. ``pairs``: optionally a precomputed
+    (persisted) ``_store_pair_graph`` result, e.g. when the caller
+    already built it for ``replay_converged``; the caller then keeps
+    ownership of its unpersist.
+    """
     splits_old = _store(spark, store_dir, "splits")
     n_conf = int(_store(spark, store_dir, "conflicts").count())
 
-    cand = pair_self_join(bands, "doc_id", ["bkey"]).distinct().persist()
-    cand.count()  # pairkey_verify consumes candidates twice
-    pairs = pairkey_verify(cand, sh, threshold).select("d1", "d2").persist()
-    pairs.count()
+    own_pairs = pairs is None
+    if own_pairs:
+        pairs = _store_pair_graph(spark, store_dir, threshold)
     labels = connected_components(pairs)
     gkey = F.coalesce("cluster_id", "doc_id")
     new = (
@@ -1006,13 +1108,14 @@ def repair_split_store(
         spark, store_dir, "conflicts",
         spark.createDataFrame([], _EMPTY_SCHEMA["conflicts"]),
     )
-    cand.unpersist()
-    pairs.unpersist()
+    if own_pairs:
+        pairs.unpersist()
     return n_conf
 
 
 def repair_semantic_split_store(
-    spark: SparkSession, store_dir: str, threshold: float | None = None
+    spark: SparkSession, store_dir: str, threshold: float | None = None,
+    pairs: DataFrame | None = None,
 ) -> int:
     """Embedding twin of ``repair_split_store``: batch re-split of the
     semantic split store from its own stored vectors/bands, rewriting
@@ -1024,40 +1127,18 @@ def repair_semantic_split_store(
     incremental-connectivity precondition, so first-sight assignments
     diverge from the batch rule): candidates from the STORED band rows
     (the pinned geometry — no re-banding), the exact-cosine Arrow
-    verify, CC, and the batch rule on the component min.
+    verify, CC, and the batch rule on the component min. Same
+    splits-then-conflicts commit ordering and crash window as the
+    lexical twin (see its docstring); ``pairs`` optionally takes a
+    precomputed persisted ``_sem_store_pair_graph`` result, whose
+    unpersist stays with the caller.
     """
-    from flink_spark.plans.pairjoin import pair_self_join
-    from flink_spark.plans.similarity import (
-        SPLIT_COSINE,
-        _pair_cosines_pandas,
-    )
-
-    if threshold is None:
-        threshold = SPLIT_COSINE
-    svecs = _store(spark, store_dir, "svecs")
-    vbands = _store(spark, store_dir, "vbands")
     vsplits_old = _store(spark, store_dir, "vsplits")
     n_conf = int(_store(spark, store_dir, "vconflicts").count())
 
-    cand = pair_self_join(
-        vbands.withColumnRenamed("vec_id", "doc_id"), "doc_id", ["bkey"]
-    ).distinct().persist()
-    cand.count()
-    x = svecs.select(
-        F.col("vec_id").alias("d1"),
-        F.col("embedding").alias("embedding1"), F.col("nrm").alias("nrm1"),
-    )
-    y = svecs.select(
-        F.col("vec_id").alias("d2"),
-        F.col("embedding").alias("embedding2"), F.col("nrm").alias("nrm2"),
-    )
-    pairs = (
-        _pair_cosines_pandas(cand.join(x, "d1").join(y, "d2"))
-        .filter(F.col("cosine") >= threshold)
-        .select("d1", "d2")
-        .persist()
-    )
-    pairs.count()
+    own_pairs = pairs is None
+    if own_pairs:
+        pairs = _sem_store_pair_graph(spark, store_dir, threshold)
     labels = connected_components(pairs)
     gkey = F.coalesce("cluster_id", "doc_id")
     new = (
@@ -1075,6 +1156,6 @@ def repair_semantic_split_store(
         spark, store_dir, "vconflicts",
         spark.createDataFrame([], _EMPTY_SCHEMA["vconflicts"]),
     )
-    cand.unpersist()
-    pairs.unpersist()
+    if own_pairs:
+        pairs.unpersist()
     return n_conf

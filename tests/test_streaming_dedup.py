@@ -843,6 +843,31 @@ def test_semantic_fixture_components_incrementally_connected(spark):
             assert not bad, (sf_dir, sorted(members), bad)
 
 
+def test_replay_converged_distributed_twin(spark):
+    """``replay_converged`` — the gate queries' in-query distributed
+    form of the two union-find precondition tests above — passes the
+    gate fixture's pair graph and flags the canonical diverging shape
+    (a middle member whose every verified edge points to LATER ids).
+    That shape includes the side-agreeing bridge the conflict ledger
+    cannot see, which is why the queries check the precondition and
+    not the ledger."""
+    from flink_spark.plans.textops import SPLIT_JACCARD, _minhash_pairs
+    from flink_spark.registry import track_persist
+    from flink_spark.streaming.dedup import replay_converged
+
+    pairs = track_persist(
+        _minhash_pairs(spark, SF_DIR, SPLIT_JACCARD).select("d1", "d2")
+    )
+    assert replay_converged(pairs)
+    release_persisted()
+
+    bad = spark.createDataFrame(
+        [(1, 9), (5, 9)], "d1 long, d2 long"
+    ).persist()
+    assert not replay_converged(bad)
+    bad.unpersist()
+
+
 def test_repair_split_store_resolves_conflicts(spark, tmp_path):
     """The repair path, EXECUTED: after a bridged conflict, the
     in-place batch re-split rewrites every assignment to the batch
@@ -878,7 +903,18 @@ def test_repair_split_store_resolves_conflicts(spark, tmp_path):
               for r in split_assignments(spark, store).collect()}
     assert before == {0: ("val", 0), 1: ("train", 1), 2: ("val", 0)}
 
-    repaired = repair_split_store(spark, store)
+    # the gate queries' in-query precondition check flags this store
+    # (doc 1's only verified edge points to the LATER doc 2), and the
+    # repair accepts the already-built pair graph instead of rebuilding
+    from flink_spark.streaming.dedup import (
+        _store_pair_graph,
+        replay_converged,
+    )
+
+    pairs = _store_pair_graph(spark, store)
+    assert not replay_converged(pairs)
+    repaired = repair_split_store(spark, store, pairs=pairs)
+    pairs.unpersist()
     assert repaired == 1
     after = {r.doc_id: (r.split, r.gkey)
              for r in split_assignments(spark, store).collect()}
@@ -921,7 +957,15 @@ def test_repair_semantic_split_store_resolves_conflicts(spark, tmp_path):
     semantic_split_assign_batch(mk([(2, _CONFLICT_C)]), 1, store)
     assert semantic_split_conflicts(spark, store).count() == 1
 
-    repaired = repair_semantic_split_store(spark, store)
+    from flink_spark.streaming.dedup import (
+        _sem_store_pair_graph,
+        replay_converged,
+    )
+
+    vpairs = _sem_store_pair_graph(spark, store)
+    assert not replay_converged(vpairs)
+    repaired = repair_semantic_split_store(spark, store, pairs=vpairs)
+    vpairs.unpersist()
     assert repaired == 1
     after = {r.vec_id: (r.split, r.gkey)
              for r in semantic_split_assignments(spark, store).collect()}
