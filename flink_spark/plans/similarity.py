@@ -1423,13 +1423,35 @@ def m_resize_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_CELLS_ENV = os.environ.get("FLINK_SPARK_IVF_CELLS")
 IVF_CELLS = int(_IVF_CELLS_ENV) if _IVF_CELLS_ENV else 8  # fixed-mode count
 IVF_MIN_CELLS, IVF_MAX_CELLS = 8, 4096
-# nprobe — the IVF recall/latency dial; a plain constant on both sides
-IVF_PROBES = int(os.environ.get("FLINK_SPARK_IVF_PROBES", "2"))
+# nprobe — the IVF recall/latency dial. Round 11 measured the old
+# fixed default (2) as a recall cliff built into the geometry: cells
+# track sqrt(n), so fixed probes shrink the scanned fraction — and
+# recall — as the corpus grows (recall@3 0.43 at sf0.01 defaults,
+# 0.00 at 500k; SCALING.md §R11). Round 12 applies the 8-band SRP
+# playbook to this dial: by default probes are DERIVED from the cell
+# count to hold the scanned fraction at ~1/IVF_SCAN_DENOM of the
+# corpus (probes ≈ cells/8 → ~12.5%, an ~8× saving over brute force at
+# any scale), priced at 500k in SCALING.md §R12. On the adversarial
+# decade replica recall rises roughly linearly with the fraction
+# (locality-free worst case); on corpora with neighbor structure the
+# same fraction buys far more. FLINK_SPARK_IVF_PROBES pins a fixed
+# count on both sides (the oracle re-derives the active value either
+# way); IVF_PROBES stays exported as the fixed-mode value for direct
+# kernel callers.
+_IVF_PROBES_ENV = os.environ.get("FLINK_SPARK_IVF_PROBES")
+IVF_PROBES = int(_IVF_PROBES_ENV) if _IVF_PROBES_ENV else 2  # fixed-mode
+IVF_SCAN_DENOM = 8
 
 
 def ivf_cells_for(n: int) -> int:
     """cells ≈ sqrt(n) (FAISS heuristic), clamped to [8, 4096]."""
     return min(IVF_MAX_CELLS, max(IVF_MIN_CELLS, math.ceil(math.sqrt(max(n, 1)))))
+
+
+def ivf_probes_for(cells: int) -> int:
+    """probes ≈ cells/IVF_SCAN_DENOM (scanned fraction held ~constant),
+    floored at the old default 2, capped at the cell count."""
+    return max(2, min(cells, math.ceil(cells / IVF_SCAN_DENOM)))
 
 
 def _active_ivf_cells(spark: SparkSession, sf_dir: str) -> int:
@@ -1438,12 +1460,31 @@ def _active_ivf_cells(spark: SparkSession, sf_dir: str) -> int:
     return ivf_cells_for(table_rows(spark, sf_dir, "embeddings"))
 
 
+def _active_ivf_probes(spark: SparkSession, sf_dir: str) -> int:
+    """Env-pinned probe count, or the scanned-fraction rule over the
+    active cell count (itself env-pinnable — probes then follow the
+    pinned geometry)."""
+    if _IVF_PROBES_ENV:
+        return int(_IVF_PROBES_ENV)
+    return ivf_probes_for(_active_ivf_cells(spark, sf_dir))
+
+
 if _IVF_CELLS_ENV:
     _IVF_CELLS_CTE = f"nc(cells) AS (SELECT {int(_IVF_CELLS_ENV)})"
 else:
     _IVF_CELLS_CTE = (
         f"nc(cells) AS (SELECT LEAST({IVF_MAX_CELLS}, GREATEST({IVF_MIN_CELLS}, "
         "CAST(ceil(sqrt(COUNT(*))) AS INTEGER))) FROM embeddings)"
+    )
+
+# SQL twin of _active_ivf_probes, chained after nc so a pinned cell
+# count flows through the derived rule exactly as on the Spark side.
+if _IVF_PROBES_ENV:
+    _IVF_PROBES_CTE = f"np(probes) AS (SELECT {int(_IVF_PROBES_ENV)})"
+else:
+    _IVF_PROBES_CTE = (
+        "np(probes) AS (SELECT GREATEST(2, LEAST(cells, "
+        f"CAST(ceil(cells / {IVF_SCAN_DENOM}.0) AS INTEGER))) FROM nc)"
     )
 
 
@@ -1699,16 +1740,17 @@ def _pair_cosines_pandas(pairs: DataFrame) -> DataFrame:
 # trick this replaces only expressed probes=2).
 _IVF_TOPK_ORACLE = f"""
     WITH {_IVF_CELLS_CTE},
+    {_IVF_PROBES_CTE},
     scored AS (
       SELECT vec_id, embedding, {_norm_sql('embedding')} AS nrm,
-             {_cell_scores_sql('embedding')} AS d, cells
-      FROM embeddings, nc
+             {_cell_scores_sql('embedding')} AS d, cells, probes
+      FROM embeddings, nc, np
     ),
     cellassign AS (
       SELECT *, list_transform(list_slice(list_sort(
                   list_transform(range(1, cells + 1),
                                  j -> {{'nv': -d[j], 'i': j}})),
-                1, {IVF_PROBES}), x -> x.i) AS topc
+                1, probes), x -> x.i) AS topc
       FROM scored
     ),
     q AS (
@@ -1736,20 +1778,24 @@ _IVF_TOPK_ORACLE = f"""
 )
 def e_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN: coarse quantizer cells, query probes the nearest
-    ``IVF_PROBES`` cells (env knob ``FLINK_SPARK_IVF_PROBES``).
+    ``ivf_probes_for(cells)`` cells (≈ cells/8, holding the scanned
+    fraction constant as the corpus grows; env knob
+    ``FLINK_SPARK_IVF_PROBES`` pins a fixed count).
 
     The inverted-file structure of FAISS-style IVF indexes: every
     vector is assigned to the cell whose coarse direction scores
     highest (argmax dot, first-index tiebreak); a query searches only
-    the vectors in its top-``IVF_PROBES`` cells — THE recall/latency
-    dial of IVF (FAISS ``nprobe``). Directions here are md5-derived ±1
+    the vectors in its top-probes cells — THE recall/latency dial of
+    IVF (FAISS ``nprobe``). Directions here are md5-derived ±1
     vectors so the oracle reproduces assignment exactly (trained
     k-means centroids drop in without changing the dataflow: a
     broadcast cell table + the same probed join). Candidate volume is
     |Q| x probes x (N / cells) — the cell count tracks sqrt(n) by
-    default (``ivf_cells_for``, computed from a cheap count on both
-    the Spark and oracle sides), which keeps per-cell lists
-    executor-sized at 100 TB with no manual tuning.
+    default (``ivf_cells_for``) and probes track cells/8
+    (``ivf_probes_for``, the r12 scanned-fraction rule — both
+    computed from a cheap count on both the Spark and oracle sides),
+    which keeps per-cell lists executor-sized AND recall
+    scale-stable at 100 TB with no manual tuning.
     """
     emb = load(spark, sf_dir, "embeddings")
     n_cells = _active_ivf_cells(spark, sf_dir)
@@ -1757,7 +1803,7 @@ def e_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select(
             "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
         ),
-        spark, n_cells, IVF_PROBES,
+        spark, n_cells, _active_ivf_probes(spark, sf_dir),
     )
     q = (
         probed.filter(F.col("vec_id") < N_QUERIES)
@@ -2860,16 +2906,17 @@ def e_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "e_ivfpq_topk",
     oracle=f"""
     WITH {_IVF_CELLS_CTE},
+    {_IVF_PROBES_CTE},
     scored AS (
       SELECT vec_id, embedding, {_norm_sql('embedding')} AS nrm,
-             {_cell_scores_sql('embedding')} AS d, cells
-      FROM embeddings, nc
+             {_cell_scores_sql('embedding')} AS d, cells, probes
+      FROM embeddings, nc, np
     ),
     cellassign AS (
       SELECT *, list_transform(list_slice(list_sort(
                   list_transform(range(1, cells + 1),
                                  j -> {{'nv': -d[j], 'i': j}})),
-                1, {IVF_PROBES}), x -> x.i) AS topc
+                1, probes), x -> x.i) AS topc
       FROM scored
     ),
     coded AS (
@@ -2941,9 +2988,10 @@ def e_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     n_cells = _active_ivf_cells(spark, sf_dir)
+    n_probes = _active_ivf_probes(spark, sf_dir)
     base = emb.select("vec_id", "embedding")
     corpus = _with_pq_codes(
-        _with_probe_cells(base, spark, n_cells, IVF_PROBES)
+        _with_probe_cells(base, spark, n_cells, n_probes)
     ).select(
         F.col("vec_id").alias("neighbor_id"),
         F.element_at("topc", 1).alias("cell"),
@@ -2952,7 +3000,7 @@ def e_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrows = sorted(
         _with_probe_cells(
             base.filter(F.col("vec_id") < N_QUERIES), spark, n_cells,
-            IVF_PROBES,
+            n_probes,
         ).select("vec_id", "embedding", "topc").collect(),
         key=lambda r: r["vec_id"],
     )
@@ -3188,7 +3236,7 @@ def append_ann_index(
 
 def search_ann_index(
     spark: SparkSession, sf_dir: str, index_dir: str, cells: int,
-    probes: int = IVF_PROBES, topk: int = LSH_TOPK,
+    probes: int | None = None, topk: int = LSH_TOPK,
     cents=None, codebook=None,
 ) -> DataFrame:
     """Query a ``build_ann_index`` store: probe cells, ADC-scan only
@@ -3198,9 +3246,17 @@ def search_ann_index(
     run — the scan reads pre-encoded codes, and the driver-known
     probe list becomes a STATIC partition filter (PartitionFilters
     in the scan node, asserted in tests), so non-probed cells are
-    never opened.
+    never opened. ``probes`` defaults to the env pin or the
+    scanned-fraction rule over THIS index's cell count (matching the
+    catalog query's active value when the index was built at the
+    derived geometry).
     """
     import numpy as np
+
+    if probes is None:
+        probes = (
+            int(_IVF_PROBES_ENV) if _IVF_PROBES_ENV else ivf_probes_for(cells)
+        )
 
     emb = load(spark, sf_dir, "embeddings")
     qrows = sorted(
