@@ -3398,10 +3398,44 @@ _ANN_VARIANTS = (
     "e_sq8_topk",
 )
 
+# Sampled scoreboard mode (r11 item #7): at 500k vectors the full
+# scoreboard costs ~50 s because exact truth brute-force-scans the
+# corpus for every one of the N_QUERIES probes. With
+# FLINK_SPARK_RECALL_SAMPLE=k (0 = off, the default and the gate
+# shape), the scoreboard audits only the k sampled probe queries —
+# the query-id filter pushes down through every leg's window/join to
+# the scans, so truth-side cost shrinks ~k/N_QUERIES. The sample is
+# md5-ordered (smallest k digests of the probe ids), deterministic,
+# and re-derived identically by the oracle. Confidence: per-(query,
+# truth-neighbor) hits are Bernoulli(r), so the sampled recall's
+# standard error is ~sqrt(r·(1−r)/(k·topk)) — at k=4, topk=3 that is
+# ≤0.15, coarse but enough to catch the cliff-vs-healthy distinction
+# the scoreboard exists for in a per-corpus production job; audits
+# keep the full set.
+RECALL_SAMPLE = int(os.environ.get("FLINK_SPARK_RECALL_SAMPLE", "0"))
+
+
+def recall_sample_ids(k: int) -> list[int]:
+    """The ``k`` probe-query ids (of the fixed ``N_QUERIES``) with the
+    smallest md5 digest — order-stable under growing ``k``, so a
+    bigger sample strictly extends a smaller one."""
+    ranked = sorted(
+        range(N_QUERIES),
+        key=lambda i: hashlib.md5(str(i).encode()).hexdigest(),
+    )
+    return sorted(ranked[:k])
+
 
 def _variant_recall_oracle() -> str:
     from flink_spark.registry import _REGISTRY
 
+    if RECALL_SAMPLE:
+        ids = recall_sample_ids(RECALL_SAMPLE)
+        qfilter = f" AND query_id IN ({', '.join(map(str, ids))})"
+        denom = len(ids) * LSH_TOPK
+    else:
+        qfilter = ""
+        denom = N_QUERIES * LSH_TOPK
     ctes = ",\n    ".join(
         f"v_{n} AS ({_REGISTRY[n].oracle})" for n in _ANN_VARIANTS
     )
@@ -3409,14 +3443,15 @@ def _variant_recall_oracle() -> str:
         f"""SELECT '{n}' AS variant,
            CAST(COUNT(v.neighbor_id) AS BIGINT) AS hits,
            CAST(COUNT(v.neighbor_id) AS DOUBLE)
-             / {N_QUERIES * LSH_TOPK} AS recall
+             / {denom} AS recall
     FROM exk e LEFT JOIN v_{n} v
       ON e.query_id = v.query_id AND e.neighbor_id = v.neighbor_id"""
         for n in _ANN_VARIANTS
     )
     return f"""
     WITH ex AS ({_EXACT_TOPK_ORACLE}),
-    exk AS (SELECT query_id, neighbor_id FROM ex WHERE rnk <= {LSH_TOPK}),
+    exk AS (SELECT query_id, neighbor_id FROM ex
+            WHERE rnk <= {LSH_TOPK}{qfilter}),
     {ctes}
     {legs}
     """
@@ -3446,7 +3481,12 @@ def e_ann_variant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cost shape: the composition of the six queries it audits, each
     with its documented scale story; the scoreboard itself adds five
-    k·|Q|-row joins and a 5-row union. Audit-bounded by N_QUERIES.
+    k·|Q|-row joins and a 5-row union. Audit-bounded by N_QUERIES —
+    or by the ``FLINK_SPARK_RECALL_SAMPLE`` subsample (see the knob
+    comment above ``recall_sample_ids``): the query-id filter pushes
+    down through every leg, shrinking the brute-force truth cost
+    proportionally, so the scoreboard can ride in per-corpus
+    production jobs rather than only audits.
     """
     fns = {
         "e_ann_lsh_topk": e_ann_lsh_topk,
@@ -3455,17 +3495,18 @@ def e_ann_variant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "e_ivfpq_topk": e_ivfpq_topk,
         "e_sq8_topk": e_sq8_topk,
     }
-    exact = (
-        e_cosine_topk(spark, sf_dir)
-        .filter(F.col("rnk") <= LSH_TOPK)
-        .select("query_id", "neighbor_id")
-    )
-    exact = track_persist(exact)  # one truth table, five probes
+    ids = recall_sample_ids(RECALL_SAMPLE) if RECALL_SAMPLE else None
+    denom = (len(ids) if ids is not None else N_QUERIES) * LSH_TOPK
+    exact = e_cosine_topk(spark, sf_dir).filter(F.col("rnk") <= LSH_TOPK)
+    if ids is not None:
+        exact = exact.filter(F.col("query_id").isin(ids))
+    exact = track_persist(exact.select("query_id", "neighbor_id"))
     out = None
     for name in _ANN_VARIANTS:
-        got = fns[name](spark, sf_dir).select(
-            "query_id", F.col("neighbor_id").alias("_vn")
-        )
+        got = fns[name](spark, sf_dir)
+        if ids is not None:
+            got = got.filter(F.col("query_id").isin(ids))
+        got = got.select("query_id", F.col("neighbor_id").alias("_vn"))
         leg = (
             exact.join(
                 got,
@@ -3475,8 +3516,7 @@ def e_ann_variant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .agg(
                 F.count("_vn").cast("long").alias("hits"),
-                (F.count("_vn").cast("double") / (N_QUERIES * LSH_TOPK))
-                .alias("recall"),
+                (F.count("_vn").cast("double") / denom).alias("recall"),
             )
             .select(F.lit(name).alias("variant"), "hits", "recall")
         )

@@ -144,3 +144,60 @@ print("PACK-RULE-ENGAGED")
     )
     assert "KNOB-SYMMETRY-OK" in out.stdout, out.stderr[-2000:]
     assert "PACK-RULE-ENGAGED" in out.stdout, out.stderr[-2000:]
+
+
+def test_recall_sample_agrees_with_full(spark):
+    """FLINK_SPARK_RECALL_SAMPLE=k restricts the scoreboard to the k
+    md5-sampled probe queries. Two pins: (a) by-query consistency —
+    the sampled hits equal the FULL run's hits restricted to exactly
+    those query ids (computed here, knob off, from the same composed
+    legs); (b) knob symmetry — the sampled query still matches its
+    re-derived DuckDB oracle."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    import flink_spark.plans.similarity as S
+    from flink_spark.registry import release_persisted
+
+    sf = "/root/testdata/sf0.001"
+    k = 4
+    ids = S.recall_sample_ids(k)
+    assert len(ids) == k and set(ids) < set(range(S.N_QUERIES))
+    # growing k strictly extends the sample (order-stable rule)
+    assert set(ids) < set(S.recall_sample_ids(k + 2))
+
+    exact = (
+        S.e_cosine_topk(spark, sf)
+        .filter((F.col("rnk") <= S.LSH_TOPK) & F.col("query_id").isin(ids))
+        .select("query_id", "neighbor_id")
+    )
+    full = {}
+    for name in S._ANN_VARIANTS:
+        got = getattr(S, name)(spark, sf).select("query_id", "neighbor_id")
+        full[name] = exact.join(got, ["query_id", "neighbor_id"]).count()
+        release_persisted()
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = f"""
+import sys, json
+sys.path.insert(0, {repo!r})
+from flink_spark.session import get_spark
+from flink_spark.testing import compare, duck_connect
+from flink_spark.registry import all_queries
+spark = get_spark(cpus=4, shuffle_partitions=4)
+q = all_queries()["e_ann_variant_recall"]
+errs = compare(spark, duck_connect({sf!r}), q, {sf!r})
+assert not errs, errs[:2]
+rows = {{r["variant"]: r["hits"] for r in q.fn(spark, {sf!r}).collect()}}
+print("SAMPLED:" + json.dumps(rows))
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        env=dict(os.environ, FLINK_SPARK_RECALL_SAMPLE=str(k)),
+        capture_output=True, text=True, timeout=420,
+    )
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("SAMPLED:")]
+    assert line, (out.stdout[-1000:], out.stderr[-2000:])
+    sampled = json.loads(line[0][len("SAMPLED:"):])
+    assert sampled == full
