@@ -2095,7 +2095,18 @@ def e_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     e_centroid_stats discipline) assembled into arrays by idx-sorted
     struct collection — identical in both engines — and the per-vector
     cosine is the shared left-fold; the mean over vectors runs in
-    exact decimal. Scale shape: the centroid matrix is |labels|×{DIM}
+    exact decimal. Accepted boundary (the r11 quotient-cast lesson,
+    documented here as on ``t_unigram_lm_score``): ``mean_cos`` sums
+    a double→DECIMAL(28,12) re-cast of the COMPUTED cosine quotient,
+    which Spark and DuckDB could tie-break differently if a cosine
+    landed exactly on a scale-12 half-way point. Unlike the X/n
+    averages that actually hit this (``t_perplexity_buckets`` —
+    quotients of small integers land on half-way points whenever n
+    has prime factors beyond 2/5), a dot/(‖a‖·‖b‖) quotient has no
+    mechanism to produce ...5 at digit 13, so the boundary is
+    accepted rather than restructured; there is no exact-sum
+    formulation because the summands are intrinsically quotients
+    with per-vector denominators. Scale shape: the centroid matrix is |labels|×{DIM}
     rows (map-side combined before its shuffle, broadcastable at any
     corpus size); the scoring pass is one broadcast join + row-local
     fold; the rollup map-side-combines. The corpus is read twice and
