@@ -63,6 +63,8 @@ from flink_spark.plans.pairjoin import MAX_BUCKET, pair_self_join
 from flink_spark.plans.textops import (
     _MINHASH_PAIRS_CTES,
     TRAIN_PCT,
+    _pipeline_oracle,
+    _training_pipeline_df,
     split_bucket_col,
 )
 from flink_spark.registry import query, track_persist
@@ -1114,6 +1116,45 @@ def x_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("in_lex"), "lex_only")
         .otherwise("sem_only").alias("agreement")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+
+
+@query(
+    "x_ensemble_training_pipeline",
+    oracle=_pipeline_oracle(_EMB_PAIRS_CTES),
+    tags=("textops", "similarity", "pipeline", "ensemble"),
+)
+def x_ensemble_training_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The flagship training pipeline with an ENSEMBLE dedup/split
+    stage — ``x_modality_agreement``'s finding, fed back into the
+    pipeline it indicts (r11 item #6).
+
+    The agreement audit measured ZERO pair overlap between the
+    lexical (MinHash) and semantic (banded-SRP cosine) near-dup
+    detectors at production thresholds: every semantic dup is a dup
+    ``t_training_pipeline``'s lexical-only stage provably misses —
+    paraphrases, re-encodes, template-free mirrors. This variant
+    swaps the pipeline's verified pair graph for the UNION of the
+    two (semantic pairs restricted to the exact-canonical quality
+    survivors the lexical stage operates on), so the near-dedup DROP
+    set, the connected components, and the leakage-safe split key
+    all see cross-modal evidence; transitive cross-modal chains
+    (A~B lexically, B~C semantically) land on one side of the
+    train/val split, which is the leakage the lexical-only split
+    cannot prevent. Same 13-column funnel output, so the two
+    pipelines diff stage-by-stage.
+
+    Decision on file (SCALING.md §R12): the ensemble ships as this
+    separate catalog MODE, not as the flagship default — it requires
+    a corpus-wide embedding table the text-only flagship contract
+    does not assume, and its funnel legitimately differs wherever
+    embeddings exist (costing + adoption guidance in SCALING.md).
+    Scale shape: inherits both generators' banded/verified/
+    skew-guarded shapes; the union adds one distinct on a pair set
+    (tiny vs corpus); everything downstream is unchanged.
+    """
+    return _training_pipeline_df(spark, sf_dir, ensemble=True)
 
 
 @query(

@@ -2999,9 +2999,56 @@ def t_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Flagship composition: the full training-data pipeline in one plan
 # --------------------------------------------------------------------------
 
-@query(
-    "t_training_pipeline",
-    oracle=f"""
+def _pipeline_oracle(sem_pairs_ctes: str | None = None) -> str:
+    """The flagship pipeline oracle, optionally in ENSEMBLE form.
+
+    With ``sem_pairs_ctes`` (a CTE-list fragment producing a cosine
+    near-dup ``pairs`` table over ``embeddings`` — the caller passes
+    ``similarity._EMB_PAIRS_CTES``, injected as a string so this
+    module never imports similarity at load time), the dedup/split
+    pair graph becomes the UNION of the lexical verified pairs and
+    the semantic pairs restricted to exact-canonical quality
+    survivors (the universe the lexical stage operates on) — the
+    ensemble `x_modality_agreement` measured as strictly additive
+    (zero pair overlap at production thresholds). Default: the
+    lexical-only flagship oracle, byte-for-byte as before.
+    """
+    lex_pairs = f"""pairs AS (
+      SELECT d1, d2
+      FROM cand
+      JOIN sh2 x ON d1 = x.doc_id
+      JOIN sh2 y ON d2 = y.doc_id
+      WHERE CAST(len(list_intersect(x.sl, y.sl)) AS DOUBLE)
+              / (len(x.sl) + len(y.sl) - len(list_intersect(x.sl, y.sl)))
+            >= {JACCARD_THRESHOLD}
+    )"""
+    if sem_pairs_ctes is not None:
+        # The enclosing WITH is RECURSIVE and the union CTE below is
+        # named `pairs`; DuckDB's recursive binder captures ANY
+        # `pairs` reference inside that CTE's body — including one in
+        # a nested WITH that REDEFINES the name (the nested definition
+        # does not shadow the recursive self-reference, measured: the
+        # semantic branch silently evaluated against the empty working
+        # table and contributed zero rows). Rename the fragment's
+        # final CTE so no self-name appears in the union's body.
+        sem_ctes = sem_pairs_ctes.replace("pairs AS (", "sem_pairs0 AS (", 1)
+        pairs_section = lex_pairs.replace("pairs AS (", "lexpairs AS (", 1)
+        pairs_section += f""",
+    semp AS (
+      WITH {sem_ctes}
+      SELECT d1, d2 FROM sem_pairs0
+    ),
+    keepers AS (SELECT doc_id FROM e WHERE canon = 1),
+    pairs AS (
+      SELECT d1, d2 FROM lexpairs
+      UNION
+      SELECT s.d1, s.d2 FROM semp s
+      JOIN keepers k1 ON s.d1 = k1.doc_id
+      JOIN keepers k2 ON s.d2 = k2.doc_id
+    )"""
+    else:
+        pairs_section = lex_pairs
+    return f"""
     WITH RECURSIVE {_PACK_SHARDS_CTE},
     t0 AS (
       SELECT doc_id, source, text, {_TOKS} AS t FROM documents
@@ -3035,15 +3082,7 @@ def t_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
       FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
     ),
-    pairs AS (
-      SELECT d1, d2
-      FROM cand
-      JOIN sh2 x ON d1 = x.doc_id
-      JOIN sh2 y ON d2 = y.doc_id
-      WHERE CAST(len(list_intersect(x.sl, y.sl)) AS DOUBLE)
-              / (len(x.sl) + len(y.sl) - len(list_intersect(x.sl, y.sl)))
-            >= {JACCARD_THRESHOLD}
-    ),
+    {pairs_section},
     dups AS (SELECT DISTINCT d2 FROM pairs),
     {CC_SQL_CTES},
     evt AS (
@@ -3161,7 +3200,12 @@ def t_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COALESCE(m.kept_tokens, 0) AS BIGINT) AS kept_tokens,
            CAST(COALESCE(m.n_contexts, 0) AS BIGINT) AS n_contexts
     FROM funnel f2 LEFT JOIN m USING (source)
-    """,
+    """
+
+
+@query(
+    "t_training_pipeline",
+    oracle=_pipeline_oracle(),
     tags=("textops", "pipeline", "flagship"),
 )
 def t_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3206,7 +3250,18 @@ def t_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated once, and stages 6-8 run on the (much smaller)
     survivor set with no unbounded sort anywhere.
     """
-    fs, _vpairs, mk, mix_stats = _training_pipeline_parts(spark, sf_dir)
+    return _training_pipeline_df(spark, sf_dir)
+
+
+def _training_pipeline_df(
+    spark: SparkSession, sf_dir: str, ensemble: bool = False
+) -> DataFrame:
+    """Shared funnel body of ``t_training_pipeline`` and its ensemble
+    twin ``x_ensemble_training_pipeline`` — ``ensemble`` switches the
+    dedup/split pair graph in ``_training_pipeline_parts``."""
+    fs, _vpairs, mk, mix_stats = _training_pipeline_parts(
+        spark, sf_dir, ensemble=ensemble
+    )
     quotas = spark.createDataFrame(
         [(s, q) for s, (_, q) in mix_stats.items()],
         "source string, mix_quota long",
@@ -3257,7 +3312,9 @@ def t_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _training_pipeline_parts(spark: SparkSession, sf_dir: str):
+def _training_pipeline_parts(
+    spark: SparkSession, sf_dir: str, ensemble: bool = False
+):
     """Stages 1-8 of ``t_training_pipeline`` up to the selected,
     split-and-pack-tagged doc table ``mk`` — factored out so the
     leakage invariant test can read the per-doc split assignments the
@@ -3265,6 +3322,14 @@ def _training_pipeline_parts(spark: SparkSession, sf_dir: str):
     the per-doc flag table, the verified near-dup pair graph, the
     selected-doc table with (shard, is_train, in_cluster, pack_id),
     and the per-source mixture stats.
+
+    ``ensemble``: the dedup/split pair graph becomes lexical ∪
+    semantic — the banded-SRP cosine pairs (``t_embedding_neardup``'s
+    generator, imported lazily to keep module load acyclic) with both
+    endpoints restricted to the exact-canonical quality survivors the
+    lexical stage operates on. ``x_modality_agreement`` measured the
+    two detectors as ZERO-overlap at production thresholds, so every
+    semantic pair is a dup the lexical-only flagship provably misses.
     """
     from pyspark.sql import Window
 
@@ -3348,10 +3413,25 @@ def _training_pipeline_parts(spark: SparkSession, sf_dir: str):
     # reads it once (via dups) and populates the cache before the CC
     # label pass (stage 7) issues its first action — so the eager
     # barrier would be one pure-overhead job over the verify subtree.
-    vpairs = track_persist(
-        pairkey_verify(cand, sh2, JACCARD_THRESHOLD).select("d1", "d2"),
-        eager=False,
-    )
+    vpairs_lex = pairkey_verify(cand, sh2, JACCARD_THRESHOLD).select("d1", "d2")
+    if ensemble:
+        from flink_spark.plans.similarity import _emb_neardup_pairs
+
+        # both endpoints restricted to the lexical stage's universe
+        # (exact-canonical quality survivors); UNION ≡ the oracle's
+        # set-union — a pair both modalities find collapses to one row
+        keep = winners.select(F.col("_keep").alias("doc_id"))
+        sem = (
+            _emb_neardup_pairs(spark, sf_dir)
+            .select("d1", "d2")
+            .join(keep.withColumnRenamed("doc_id", "d1"), "d1")
+            .join(keep.withColumnRenamed("doc_id", "d2"), "d2")
+        )
+        vpairs = track_persist(
+            vpairs_lex.unionByName(sem).distinct(), eager=False
+        )
+    else:
+        vpairs = track_persist(vpairs_lex, eager=False)
     dups = vpairs.select("d2").distinct()
     ev = (
         docs.filter(F.col("source") == EVAL_SOURCE)

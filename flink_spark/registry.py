@@ -91,79 +91,29 @@ def release_persisted() -> None:
 # remainder (all green in the latest snapshot) follow in registration
 # order and absorb the cap.
 _SNAPSHOT_FIRST = (
-    # ===== r11 rotation =====
-    # block 0 — NEW, no driver row in any snapshot yet (the streaming
-    # gate query landed post-snapshot last round; this round's new
-    # operators are appended here as they land)
-    "s_split_stream_replay",
-    "s_decontam_stream_replay",
-    "s_semantic_split_replay",
-    "s_dedup_stream_replay",
-    "e_sq8_topk",
-    "t_keep_best_dedup",
-    "t_stratified_sample",
-    "t_perplexity_buckets",
-    "e_hard_negatives_topk",
-    "e_centroid_outliers",
-    "t_lsh_precision_stats",
-    "x_modality_agreement",
-    "e_ann_variant_recall",
-    "e_indexed_search_topk",
-    # block 1 — code changed at the r10/r11 boundary (8): the SRP
-    # banding default moved 4 -> 8 bands (decided by the recall audit,
-    # SCALING.md §R10); every catalog query whose candidates ride the
-    # SRP band keys re-greens under the new default. Oracles re-derive
-    # the active value, verified at sf0.001 this session.
-    "e_ann_lsh_topk",
-    "t_embedding_neardup",
-    "e_dup_clusters",
-    "e_lsh_recall_curve",
-    "x_ensemble_dup_clusters",
-    "e_leakage_safe_split",
-    "e_semantic_dedup",
-    "e_semantic_decontaminate",
-    # block 2 — the 27 queries whose newest green row is r8 (two
-    # rounds stale; VERDICT r10 item #1). Code unchanged since then.
-    "e_filtered_topk",
-    "t_context_chunks",
-    "t_distinctive_terms",
-    "t_table_profile",
-    "a_salted_hot_key_agg",
-    "ads_category_fullouter",
-    "ads_channel_stats",
-    "ads_conditional_score",
-    "ads_funnel_union",
-    "ads_gmv_topk_brand",
-    "ads_hourly_stats",
-    "ads_keyword_score",
-    "ads_province_stats",
-    "ads_subsidy_rate",
-    "ads_topk_users",
-    "f_scalar_datetime",
-    "j_lru_dim_join",
-    "p_cdc_map_projection",
-    "p_conditional_delta",
-    "p_json_extract",
-    "p_projection_filter",
-    "p_split_counts",
-    "q10_returned_items",
-    "q5_local_supplier_volume",
-    "r_config_routing",
-    "u_union_metrics",
-    "w_topn_per_window",
-    # block 3 — fill to the cap from the r9-green block, CEP/state/
-    # window family first (they guard the streaming semantics;
-    # VERDICT r10 item #1). Trim from the tail as block 0 grows.
-    "s_daily_unique_users",
-    # 14+8+27+1 = 50 above: the head is exactly the driver's cap.
-    # --- the driver's 50-query cap lands here ---
-    # e_ivf_balance_audit is the one r11 query yielding its head seat
-    # (15 new queries > the slots left after the changed/stale
-    # blocks): it is triple-scale value-verified this round
-    # (sf0.001/0.01/0.1) and invariant/plan-pinned in the suite; it
-    # queues FIRST for r12's never-checked block. Everything after is
-    # r9/r10-green on unchanged code; the oldest r9 rows queue next.
+    # ===== r12 rotation =====
+    # block 0 — never driver-checked: the one r11 demotion leads the
+    # head, exactly as recorded last round.
     "e_ivf_balance_audit",
+    # block 1 — NEW this round.
+    "x_ensemble_training_pipeline",
+    # block 2 — code changed this round (subset not already covered by
+    # the stale block below): the two replay gates grew the in-query
+    # precondition-check + self-repair path, and the IVF probe default
+    # moved from fixed-2 to the derived scanned-fraction rule, which
+    # the recall audit and the variant scoreboard exercise end-to-end.
+    # (e_ann_ivf_topk / e_ivfpq_topk also changed but sit in the r9
+    # stale block already; t_training_pipeline's refactor and
+    # e_indexed_search_topk's new probe default are demoted below the
+    # cap — both sf0.001/0.01-value-verified this session — and queue
+    # first for r13.)
+    "s_split_stream_replay",
+    "s_semantic_split_replay",
+    "e_ann_recall_audit",
+    "e_ann_variant_recall",
+    # block 3 — the 44 queries whose newest green row is r9 (VERDICT
+    # r11 item #2: nothing older than r10 after this snapshot). Code
+    # unchanged except e_ann_ivf_topk/e_ivfpq_topk (the probes rule).
     "s_new_vs_returning",
     "s_returning_users_7d",
     "s_cep_funnel_skip",
@@ -207,6 +157,14 @@ _SNAPSHOT_FIRST = (
     "e_ivfpq_topk",
     "t_bpe_train",
     "t_bpe_segment",
+    "w_cumulate_windows",
+    # 1+1+4+44 = 50: the head is exactly the driver's cap.
+    # --- the driver's 50-query cap lands here ---
+    # r12-changed, demoted under the cap (both value-verified at
+    # sf0.001 AND sf0.01 this session; the flagship additionally at
+    # sf0.1): they queue first for r13's changed-code block.
+    "t_training_pipeline",
+    "e_indexed_search_topk",
 )
 
 

@@ -438,6 +438,56 @@ def test_training_pipeline_split_is_leakage_safe(spark):
     assert sum(r.in_cluster for r in rows) == flagged
 
 
+def test_ensemble_pipeline_split_is_leakage_safe(spark):
+    """``x_ensemble_training_pipeline``'s stage 7 keys the split by the
+    components of the UNION pair graph: the lexical-only invariant
+    above must hold over lexical ∪ semantic edges — so a cross-modal
+    chain (A~B lexically, B~C semantically) cannot straddle train/val
+    — and the ensemble graph must be a strict superset of the lexical
+    one on the fixture (x_modality_agreement's zero-overlap finding
+    means every semantic pair is NEW evidence)."""
+    from flink_spark.plans.textops import _training_pipeline_parts
+    from flink_spark.registry import release_persisted
+
+    try:
+        _fs, vlex, _mk, _ = _training_pipeline_parts(spark, SF_DIR)
+        lex = {(r.d1, r.d2) for r in vlex.collect()}
+        release_persisted()
+        _fs, vpairs, mk, _stats = _training_pipeline_parts(
+            spark, SF_DIR, ensemble=True
+        )
+        pairs = [(r.d1, r.d2) for r in vpairs.collect()]
+        rows = mk.select("doc_id", "is_train", "in_cluster").collect()
+    finally:
+        release_persisted()
+    assert lex < set(pairs), "semantic edges must extend the lexical graph"
+    side = {r.doc_id: r.is_train for r in rows}
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    comp_side: dict = {}
+    flagged = 0
+    for doc, s in side.items():
+        if doc not in parent:
+            continue
+        flagged += 1
+        root = find(doc)
+        comp_side.setdefault(root, set()).add(s)
+    assert all(len(s) == 1 for s in comp_side.values()), (
+        "an ensemble near-dup component straddles the train/val split"
+    )
+    assert sum(r.in_cluster for r in rows) == flagged
+
+
 def test_leakage_safe_split_loose_threshold(spark):
     """The loose twin's contract: its pair graph is a SUPERSET of the
     dedup-threshold graph (same LSH candidates, lower verify gate) and
