@@ -177,6 +177,8 @@ HEADLINE = [
     "t_lsh_precision_stats",
     "x_modality_agreement",
     "e_ann_variant_recall",
+    # round 12
+    "x_ensemble_training_pipeline",
 ]
 
 
