@@ -2621,6 +2621,17 @@ assert PQ_M * PQ_DSUB == DIM, "PQ_M must divide the embedding width"
 # (not a corpus fraction) — the float-vector reads per query stay R
 # point lookups at any corpus size. The accuracy dial of PQ search
 # (FAISS's k_factor): raise it to trade re-rank I/O for recall.
+# DECIDED constant (r12, after the IVF probes moved to a derived
+# rule): unlike probing — where a fixed count silently shrinks the
+# scanned fraction cells are SUPPOSED to cover — constant float I/O
+# per query IS this operator's contract; deriving R from N would
+# reintroduce the O(N) read the codes exist to avoid. The measured
+# 500k dial (SCALING.md §R12): recall climbs ~linearly with R on the
+# structure-free decade replica (0.067@50 → 0.6@3200 for the ADC
+# scan), i.e. the worst-case geometry needs R ~ O(N) and no constant
+# is "right" there; on real corpora ADC ordering correlates with
+# cosine and small R recovers most recall. The variant scoreboard is
+# the per-corpus instrument for choosing R; the env knob applies it.
 PQ_RERANK = int(os.environ.get("FLINK_SPARK_PQ_RERANK", "50"))
 
 
