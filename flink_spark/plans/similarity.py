@@ -73,6 +73,43 @@ from flink_spark.sources import load, table_rows
 DIM = 64              # embedding width of the fixture corpus
 N_QUERIES = 10        # vec_id < 10 form the query set
 TOPK = 5
+
+# Sampled recall-audit mode (r11 item #7): at 500k vectors the full
+# variant scoreboard costs ~45 s because exact truth
+# brute-force-scans the corpus for every one of the N_QUERIES probes.
+# With FLINK_SPARK_RECALL_SAMPLE=k (0 = off, the default and the gate
+# shape), the recall audits (`e_ann_recall_audit`,
+# `e_ann_variant_recall`) cover only the k sampled probe queries —
+# the query-id filter pushes down through every leg's window/join to
+# the scans, so truth-side cost shrinks ~k/N_QUERIES. The sample is
+# md5-ordered (smallest k digests of the probe ids), deterministic,
+# and re-derived identically by the oracle. Confidence: per-(query,
+# truth-neighbor) hits are Bernoulli(r), so the sampled recall's
+# standard error is ~sqrt(r·(1−r)/(k·topk)) — at k=4, topk=3 that is
+# ≤0.15, coarse but enough to catch the cliff-vs-healthy distinction
+# the scoreboard exists for in a per-corpus production job; audits
+# keep the full set.
+RECALL_SAMPLE = int(os.environ.get("FLINK_SPARK_RECALL_SAMPLE", "0"))
+
+
+def recall_sample_ids(k: int) -> list[int]:
+    """The ``k`` probe-query ids (of the fixed ``N_QUERIES``) with the
+    smallest md5 digest — order-stable under growing ``k``, so a
+    bigger sample strictly extends a smaller one."""
+    ranked = sorted(
+        range(N_QUERIES),
+        key=lambda i: hashlib.md5(str(i).encode()).hexdigest(),
+    )
+    return sorted(ranked[:k])
+
+
+def _recall_sample_sql(col: str = "query_id") -> str:
+    """`` AND <col> IN (...)`` under the active sample, else empty —
+    the oracle-side twin of the Spark legs' ``isin`` filter."""
+    if not RECALL_SAMPLE:
+        return ""
+    ids = ", ".join(map(str, recall_sample_ids(RECALL_SAMPLE)))
+    return f" AND {col} IN ({ids})"
 # SRP-LSH is BANDED (r bands × b bits, the Broder/MinHash banding
 # applied to sign-random-projections): a vector gets one bucket key
 # per band, each from its own b hyperplanes; candidates are pairs
@@ -1886,7 +1923,8 @@ def e_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.query_id,
            CAST(COUNT(i.neighbor_id) AS BIGINT) AS hits,
            CAST(COUNT(i.neighbor_id) AS DOUBLE) / {LSH_TOPK} AS recall
-    FROM (SELECT * FROM ex WHERE rnk <= {LSH_TOPK}) e
+    FROM (SELECT * FROM ex
+          WHERE rnk <= {LSH_TOPK}{_recall_sample_sql()}) e
     LEFT JOIN iv i ON e.query_id = i.query_id
                   AND e.neighbor_id = i.neighbor_id
     GROUP BY 1
@@ -1906,7 +1944,10 @@ def e_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     catalog query it is driver-value-checked every snapshot and runs
     at any sf_dir, which is what an index operator monitoring a
     production rollout needs. Recall is an exact integer ratio
-    (hits / k), so the oracle compare is bit-exact.
+    (hits / k), so the oracle compare is bit-exact. Respects
+    ``FLINK_SPARK_RECALL_SAMPLE`` (one row per sampled query) like
+    the variant scoreboard — see the knob comment at
+    ``recall_sample_ids``.
 
     Plan shape: composes the two queries it audits — the exact side
     is the one deliberate brute-force scan in the catalog (the truth
@@ -1914,12 +1955,14 @@ def e_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the audit itself adds one (query_id, neighbor_id) equi-join of
     two k-row-per-query frames and a map-side count.
     """
-    exact = e_cosine_topk(spark, sf_dir).filter(
-        F.col("rnk") <= LSH_TOPK
-    ).select("query_id", "neighbor_id")
-    ivf = e_ann_ivf_topk(spark, sf_dir).select(
-        "query_id", "neighbor_id"
-    ).withColumn("hit", F.lit(1))
+    exact = e_cosine_topk(spark, sf_dir).filter(F.col("rnk") <= LSH_TOPK)
+    ivf = e_ann_ivf_topk(spark, sf_dir)
+    if RECALL_SAMPLE:
+        ids = recall_sample_ids(RECALL_SAMPLE)
+        exact = exact.filter(F.col("query_id").isin(ids))
+        ivf = ivf.filter(F.col("query_id").isin(ids))
+    exact = exact.select("query_id", "neighbor_id")
+    ivf = ivf.select("query_id", "neighbor_id").withColumn("hit", F.lit(1))
     j = exact.join(ivf, ["query_id", "neighbor_id"], "left")
     hits = F.sum(F.coalesce("hit", F.lit(0)))
     return j.groupBy("query_id").agg(
@@ -3461,44 +3504,11 @@ _ANN_VARIANTS = (
     "e_sq8_topk",
 )
 
-# Sampled scoreboard mode (r11 item #7): at 500k vectors the full
-# scoreboard costs ~50 s because exact truth brute-force-scans the
-# corpus for every one of the N_QUERIES probes. With
-# FLINK_SPARK_RECALL_SAMPLE=k (0 = off, the default and the gate
-# shape), the scoreboard audits only the k sampled probe queries —
-# the query-id filter pushes down through every leg's window/join to
-# the scans, so truth-side cost shrinks ~k/N_QUERIES. The sample is
-# md5-ordered (smallest k digests of the probe ids), deterministic,
-# and re-derived identically by the oracle. Confidence: per-(query,
-# truth-neighbor) hits are Bernoulli(r), so the sampled recall's
-# standard error is ~sqrt(r·(1−r)/(k·topk)) — at k=4, topk=3 that is
-# ≤0.15, coarse but enough to catch the cliff-vs-healthy distinction
-# the scoreboard exists for in a per-corpus production job; audits
-# keep the full set.
-RECALL_SAMPLE = int(os.environ.get("FLINK_SPARK_RECALL_SAMPLE", "0"))
-
-
-def recall_sample_ids(k: int) -> list[int]:
-    """The ``k`` probe-query ids (of the fixed ``N_QUERIES``) with the
-    smallest md5 digest — order-stable under growing ``k``, so a
-    bigger sample strictly extends a smaller one."""
-    ranked = sorted(
-        range(N_QUERIES),
-        key=lambda i: hashlib.md5(str(i).encode()).hexdigest(),
-    )
-    return sorted(ranked[:k])
-
-
 def _variant_recall_oracle() -> str:
     from flink_spark.registry import _REGISTRY
 
-    if RECALL_SAMPLE:
-        ids = recall_sample_ids(RECALL_SAMPLE)
-        qfilter = f" AND query_id IN ({', '.join(map(str, ids))})"
-        denom = len(ids) * LSH_TOPK
-    else:
-        qfilter = ""
-        denom = N_QUERIES * LSH_TOPK
+    qfilter = _recall_sample_sql()
+    denom = (RECALL_SAMPLE or N_QUERIES) * LSH_TOPK
     ctes = ",\n    ".join(
         f"v_{n} AS ({_REGISTRY[n].oracle})" for n in _ANN_VARIANTS
     )

@@ -186,11 +186,20 @@ from flink_spark.session import get_spark
 from flink_spark.testing import compare, duck_connect
 from flink_spark.registry import all_queries
 spark = get_spark(cpus=4, shuffle_partitions=4)
+con = duck_connect({sf!r})
 q = all_queries()["e_ann_variant_recall"]
-errs = compare(spark, duck_connect({sf!r}), q, {sf!r})
+errs = compare(spark, con, q, {sf!r})
 assert not errs, errs[:2]
 rows = {{r["variant"]: r["hits"] for r in q.fn(spark, {sf!r}).collect()}}
 print("SAMPLED:" + json.dumps(rows))
+# the per-query audit honors the same knob: one row per sampled id,
+# still oracle-symmetric
+a = all_queries()["e_ann_recall_audit"]
+errs = compare(spark, con, a, {sf!r})
+assert not errs, errs[:2]
+got_ids = sorted(r["query_id"] for r in a.fn(spark, {sf!r}).collect())
+assert got_ids == {ids!r}, got_ids
+print("AUDIT-SAMPLED-OK")
 """
     out = subprocess.run(
         [sys.executable, "-c", script],
@@ -201,3 +210,4 @@ print("SAMPLED:" + json.dumps(rows))
     assert line, (out.stdout[-1000:], out.stderr[-2000:])
     sampled = json.loads(line[0][len("SAMPLED:"):])
     assert sampled == full
+    assert "AUDIT-SAMPLED-OK" in out.stdout, out.stderr[-2000:]
