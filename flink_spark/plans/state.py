@@ -818,7 +818,10 @@ def s_semantic_split_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
-def _dedup_replay_oracle(slices: int = 3) -> str:
+def _dedup_replay_oracle(
+    slices: int = 3, pairs_ctes: str | None = None,
+    pairs_name: str = "pairs",
+) -> str:
     """SQL emulation of the incremental component-drop dedup across an
     id-ordered ``slices``-epoch replay — built by unrolling the epochs.
 
@@ -830,10 +833,17 @@ def _dedup_replay_oracle(slices: int = 3) -> str:
     epochs. Components via one recursive reachability CTE per epoch;
     a component touching g_{e-1} poisons (every batch member drops);
     clean components keep their min; pairless docs pass. The oracle is
-    generated, not hand-written, so the epoch count is a parameter.
+    generated, not hand-written, so the epoch count is a parameter —
+    and so is the GLOBAL PAIR SET: ``pairs_ctes``/``pairs_name``
+    swap in any CTE fragment producing a verified (d1, d2) table
+    (default: the MinHash pairs; the ensemble gate passes the
+    lexical ∪ cosine union), which is what lets one emulation serve
+    every pair-graph-semantics streaming dedup.
     """
     from flink_spark.plans.textops import _MINHASH_PAIRS_CTES
 
+    if pairs_ctes is None:
+        pairs_ctes = _MINHASH_PAIRS_CTES
     per = (f"(SELECT (COUNT(*) + {slices - 1}) // {slices}"
            " FROM documents)")
     # AS MATERIALIZED everywhere a CTE is referenced more than once:
@@ -842,7 +852,7 @@ def _dedup_replay_oracle(slices: int = 3) -> str:
     # re-expands the whole upstream chain (exponential re-scans; the
     # parquet re-opens alone blow the fd limit at 3 epochs).
     parts = [
-        "pairs_m AS MATERIALIZED (SELECT d1, d2 FROM pairs)",
+        f"pairs_m AS MATERIALIZED (SELECT d1, d2 FROM {pairs_name})",
         "sliced AS MATERIALIZED (SELECT doc_id,"
         " (ROW_NUMBER() OVER (ORDER BY doc_id)"
         f" - 1) // {per} AS slice FROM documents)"
@@ -908,7 +918,7 @@ def _dedup_replay_oracle(slices: int = 3) -> str:
         prev_g = g
     body = ",\n    ".join(parts)
     return f"""
-    WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+    WITH RECURSIVE {pairs_ctes},
     {body}
     SELECT d.source,
            CAST(COUNT(*) AS BIGINT) AS n_kept,
@@ -963,6 +973,112 @@ def s_dedup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, docs.select("doc_id", "text"), f"{work}/replay", slices=3
         )
         q = run_dedup_stream(stream, f"{work}/store", f"{work}/ck")
+        q.processAllAvailable()
+        q.stop()
+        out = (
+            kept_docs(spark, f"{work}/store")
+            .join(docs.select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_kept"),
+                F.sum("doc_id").cast("long").alias("id_sum"),
+            )
+        )
+        rows = out.collect()  # ≤ |sources| rows by construction
+        return spark.createDataFrame(
+            rows, "source string, n_kept bigint, id_sum bigint"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _ensemble_pairs_ctes() -> str:
+    """The GLOBAL cross-modal pair set as a CTE fragment for the
+    epoch-emulation oracle: lexical MinHash pairs ∪ banded-SRP cosine
+    pairs, each composed verbatim from its module constant inside a
+    NESTED ``WITH`` (scoped names — the two fragments both define
+    ``bands``/``cand``/``pairs`` internally and may not meet at one
+    level). The union CTE is deliberately NOT named ``pairs``: the
+    enclosing oracle is ``WITH RECURSIVE``, and DuckDB's recursive
+    binder captures a nested ``pairs`` reference inside the body of a
+    same-named outer CTE (the lesson from ``textops._pipeline_oracle``
+    — the nested definition does not shadow the recursive self)."""
+    from flink_spark.plans.similarity import _EMB_PAIRS_CTES
+    from flink_spark.plans.textops import _MINHASH_PAIRS_CTES
+
+    return f"""lexp AS (
+      WITH {_MINHASH_PAIRS_CTES}
+      SELECT d1, d2 FROM pairs
+    ),
+    semp AS (
+      WITH {_EMB_PAIRS_CTES}
+      SELECT d1, d2 FROM pairs
+    ),
+    allpairs AS (
+      SELECT d1, d2 FROM lexp
+      UNION
+      SELECT d1, d2 FROM semp
+    )"""
+
+
+@query(
+    "s_ensemble_dedup_replay",
+    oracle=_dedup_replay_oracle(
+        pairs_ctes=_ensemble_pairs_ctes(), pairs_name="allpairs"
+    ),
+    tags=("state", "streaming", "dedup", "ensemble"),
+)
+def s_ensemble_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental CROSS-MODAL dedup, driven end-to-end inside the
+    correctness gate: replay ``documents`` LEFT-JOINED to their
+    embeddings (doc_id = vec_id, the shared asset-id layout) as a
+    3-slice id-ordered stream through ``run_ensemble_dedup_stream``
+    (real Structured Streaming — checkpoint, foreachBatch epochs, a
+    survivor store holding BOTH modalities' state) and roll up the
+    final kept set per source.
+
+    The streaming form of the ``x_modality_agreement`` finding: the
+    lexical and semantic near-dup detectors overlap on ZERO pairs at
+    production thresholds, so a lexical-only streaming dedup passes
+    every paraphrase/re-encode dup. Here either kind of evidence
+    drops a component and either kind of surviving state gatekeeps
+    future arrivals. Like ``s_dedup_stream_replay`` the oracle needs
+    NO convergence precondition: ``_dedup_replay_oracle`` emulates
+    the epoch semantics exactly over the UNION pair set (lexical ∪
+    cosine — the same parameterized unrolling, epoch membership is a
+    pure function of the id order), so the equality is exact at any
+    corpus. The stream's SRP band width is pinned to the batch
+    operator's derived value (``lsh_bits_for``), and the semantic
+    verify threshold is the shared ``COSDUP_THRESHOLD``, so candidate
+    geometry is identical on both sides.
+
+    Bounded by construction: the replay harness collects the corpus
+    once to slice it (test-harness license, raises past 2M rows); the
+    rollup is ≤ |sources| rows, materialized so the temp store and
+    checkpoint are deleted before returning.
+    """
+    import shutil
+    import tempfile
+
+    from flink_spark.plans.similarity import lsh_bits_for
+    from flink_spark.streaming.dedup import (
+        doc_stream,
+        kept_docs,
+        run_ensemble_dedup_stream,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    n_vec = emb.count()
+    feed = docs.select("doc_id", "text").join(emb, "doc_id", "left")
+    work = tempfile.mkdtemp(prefix="flink_spark-ensdedup-replay-")
+    try:
+        stream = doc_stream(spark, feed, f"{work}/replay", slices=3)
+        q = run_ensemble_dedup_stream(
+            stream, f"{work}/store", f"{work}/ck", bits=lsh_bits_for(n_vec)
+        )
         q.processAllAvailable()
         q.stop()
         out = (

@@ -165,6 +165,10 @@ _SNAPSHOT_FIRST = (
     # sf0.1): they queue first for r13's changed-code block.
     "t_training_pipeline",
     "e_indexed_search_topk",
+    # r12-NEW post-rotation (the head was already at the 50-cap when it
+    # landed): the ensemble streaming-dedup gate — sf0.001/0.01/0.1
+    # builder-verified this round; queues with the block above for r13.
+    "s_ensemble_dedup_replay",
 )
 
 

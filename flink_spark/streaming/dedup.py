@@ -929,6 +929,177 @@ def kept_vectors(spark: SparkSession, store_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Incremental ENSEMBLE dedup: lexical ∪ semantic evidence, one store
+# --------------------------------------------------------------------------
+
+def _ens_bits(store_dir: str, bits: int | None) -> int:
+    """Pin the SRP band-key width for the ensemble store's lifetime
+    (the ``_split_bits`` contract, own config file)."""
+    return _pinned_config(
+        store_dir, "_ENSEMBLE_CONFIG", "bits", bits, "band geometry"
+    )
+
+
+def ensemble_dedup_batch(
+    batch: DataFrame, epoch_id: int, store_dir: str
+) -> None:
+    """foreachBatch body: incremental CROSS-MODAL near-dedup — the
+    streaming form of the finding ``x_modality_agreement`` measured
+    (ZERO pair overlap between lexical and semantic detectors at
+    production thresholds, so a lexical-only streaming dedup misses
+    every paraphrase/re-encode dup and vice versa).
+
+    ``batch``: (doc_id, text, embedding) with ``embedding`` nullable —
+    the caller pre-joins the embedding table (production computes
+    embeddings upstream of dedup anyway). Per batch, the verified pair
+    graph is the UNION of:
+
+    - lexical: MinHash band candidates (in-batch + store↔batch),
+      pair-keyed Jaccard verify at ``JACCARD_THRESHOLD`` — exactly
+      ``neardup_dedup_batch``'s legs;
+    - semantic: pinned-width SRP band candidates over the non-null
+      embedding rows (in-batch + store↔batch), exact-cosine verify at
+      ``SEMDEDUP_THRESHOLD`` — the pair-graph form shared with
+      ``x_ensemble_dup_clusters`` (NOT the cell-greedy SemDeDup rule:
+      pair semantics are what make the epoch-emulated oracle exact).
+
+    Components over the union drop by the standard survivor rule: a
+    component touching ANY stored doc drops whole (its members are
+    transitive cross-modal near-dups of an accepted doc), an untouched
+    component keeps its min id, pairless docs pass. Survivors append
+    BOTH modality states (shingles/bands; svecs/vbands when the doc
+    has an embedding), so either kind of evidence gatekeeps future
+    arrivals. Scale shape: both candidate legs are band-key equi-joins
+    with the batch as build side; the store is only ever key-joined;
+    CC runs on the batch-bounded pair graph.
+    """
+    from flink_spark.plans.similarity import (
+        SEMDEDUP_THRESHOLD,
+        _norm,
+        _pair_cosines_pandas,
+        _with_band_keys,
+    )
+
+    spark = batch.sparkSession
+    bits = _ens_bits(store_dir, None)
+    _split_bands(store_dir)
+    docs = batch.select("doc_id", "text")
+
+    # lexical legs (the neardup_dedup_batch shapes)
+    sh_new, bands_new = _shingle_bands(docs)
+    sh_old = _store(spark, store_dir, "shingles", before_epoch=epoch_id)
+    bands_old = _store(spark, store_dir, "bands", before_epoch=epoch_id)
+    lex_pairs = _batch_pair_graph(  # persisted + materialized
+        bands_new, sh_new, bands_old, sh_old, JACCARD_THRESHOLD
+    )
+
+    # semantic legs (the semantic_split_assign_batch shapes)
+    vec_new = (
+        batch.filter(F.col("embedding").isNotNull())
+        .select(F.col("doc_id").alias("vec_id"), "embedding")
+        .withColumn("nrm", _norm(F.col("embedding")))
+        .persist()
+    )
+    vec_new.count()
+    vbanded = _with_band_keys(
+        vec_new.select("vec_id", "embedding"), spark, bits
+    ).select("vec_id", F.explode("bkeys").alias("bkey")).persist()
+    vbanded.count()
+    svecs_old = _store(spark, store_dir, "svecs", before_epoch=epoch_id)
+    vbands_old = _store(spark, store_dir, "vbands", before_epoch=epoch_id)
+
+    a, b = vbanded.alias("a"), vbanded.alias("b")
+    vcand_in = (
+        a.join(b, (F.col("a.bkey") == F.col("b.bkey"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("d1"), F.col("b.vec_id").alias("d2"))
+        .distinct()
+    )
+    o = vbands_old.alias("o")
+    vcand_cross = (
+        o.join(vbanded.alias("n"), F.col("o.bkey") == F.col("n.bkey"))
+        .select(F.col("o.vec_id").alias("d1"), F.col("n.vec_id").alias("d2"))
+        .distinct()
+    )
+
+    def vverified(cand: DataFrame, lv: DataFrame, rv: DataFrame) -> DataFrame:
+        x = lv.select(
+            F.col("vec_id").alias("d1"),
+            F.col("embedding").alias("embedding1"), F.col("nrm").alias("nrm1"),
+        )
+        y = rv.select(
+            F.col("vec_id").alias("d2"),
+            F.col("embedding").alias("embedding2"), F.col("nrm").alias("nrm2"),
+        )
+        return (
+            _pair_cosines_pandas(cand.join(x, "d1").join(y, "d2"))
+            .filter(F.col("cosine") >= SEMDEDUP_THRESHOLD)
+            .select("d1", "d2")
+        )
+
+    sem_pairs = vverified(vcand_in, vec_new, vec_new).unionByName(
+        vverified(vcand_cross, svecs_old, vec_new)
+    )
+    pairs = lex_pairs.unionByName(sem_pairs).persist()
+    pairs.count()
+
+    labels = connected_components(pairs)
+    stored_ids = (
+        bands_old.select("doc_id")
+        .unionByName(svecs_old.select(F.col("vec_id").alias("doc_id")))
+        .distinct()
+    )
+    poisoned = (
+        labels.join(stored_ids, "doc_id").select("cluster_id").distinct()
+    )
+    batch_labels = labels.join(stored_ids, "doc_id", "left_anti")
+    comp_keep = (
+        batch_labels.join(poisoned, "cluster_id", "left_anti")
+        .groupBy("cluster_id")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    singles = docs.select("doc_id").join(
+        labels.select("doc_id"), "doc_id", "left_anti"
+    )
+    kept_ids = comp_keep.unionByName(singles)
+
+    kept = docs.join(kept_ids, "doc_id").withColumn(
+        "fp", fingerprint("text")
+    ).select("doc_id", "fp")
+    _write(kept, store_dir, "kept", epoch_id)
+    _write(bands_new.join(kept_ids, "doc_id"), store_dir, "bands", epoch_id)
+    _write(sh_new.join(kept_ids, "doc_id"), store_dir, "shingles", epoch_id)
+    kept_vec_ids = kept_ids.select(F.col("doc_id").alias("vec_id"))
+    _write(vbanded.join(kept_vec_ids, "vec_id"), store_dir, "vbands",
+           epoch_id)
+    _write(vec_new.join(kept_vec_ids, "vec_id"), store_dir, "svecs",
+           epoch_id)
+    for df in (sh_new, bands_new, vec_new, vbanded, pairs):
+        df.unpersist()
+
+
+def run_ensemble_dedup_stream(
+    sdf: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    bits: int | None = None,
+):
+    """Wire a (doc_id, text, embedding) stream into the incremental
+    ensemble-dedup store. ``bits`` pins the SRP band width on first
+    run (size with ``lsh_bits_for`` against the expected vector
+    corpus); restarts adopt the stored value, and the band count is
+    pinned like the split stores."""
+    _ens_bits(store_dir, bits)
+    return (
+        sdf.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(lambda df, eid: ensemble_dedup_batch(df, eid, store_dir))
+        .start()
+    )
+
+
+# --------------------------------------------------------------------------
 # Split-store repair: the batch re-split, applied IN PLACE
 # --------------------------------------------------------------------------
 

@@ -978,3 +978,22 @@ def test_repair_semantic_split_store_resolves_conflicts(spark, tmp_path):
              for r in semantic_split_assignments(spark, store).collect()}
     assert final[3] == ("val", 0)
     assert semantic_split_conflicts(spark, store).count() == 0
+
+
+def test_ensemble_dedup_replay_drops_cross_modal(spark):
+    """The ensemble streaming dedup must BITE beyond the lexical-only
+    stream on the fixture: every doc it keeps is kept by the lexical
+    stream too (the union graph only ADDS drop evidence), and it
+    keeps strictly fewer docs — the semantic-only dups
+    ``x_modality_agreement`` proved the lexical detector cannot see."""
+    from flink_spark.registry import all_queries
+
+    qs = all_queries()
+    lex = {r.source: (r.n_kept, r.id_sum)
+           for r in qs["s_dedup_stream_replay"].fn(spark, SF_DIR).collect()}
+    release_persisted()
+    ens = {r.source: (r.n_kept, r.id_sum)
+           for r in qs["s_ensemble_dedup_replay"].fn(spark, SF_DIR).collect()}
+    release_persisted()
+    assert sum(n for n, _ in ens.values()) < sum(n for n, _ in lex.values())
+    assert all(ens[s][0] <= lex[s][0] for s in ens)
