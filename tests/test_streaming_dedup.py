@@ -997,3 +997,53 @@ def test_ensemble_dedup_replay_drops_cross_modal(spark):
     release_persisted()
     assert sum(n for n, _ in ens.values()) < sum(n for n, _ in lex.values())
     assert all(ens[s][0] <= lex[s][0] for s in ens)
+
+
+def test_ensemble_stream_resumes_and_matches_one_shot(spark, tmp_path):
+    """A restarted ensemble stream (same checkpoint, new slices)
+    resumes against BOTH modality states and lands on exactly the
+    one-shot replay's kept set — the strongest restart check the
+    store's five-table layout admits, since any table resuming from
+    the wrong epoch boundary (or the pinned band geometry not being
+    adopted) changes the survivor set."""
+    from pyspark.sql import functions as F
+
+    from flink_spark.plans.similarity import lsh_bits_for
+    from flink_spark.sources import load
+    from flink_spark.streaming.dedup import run_ensemble_dedup_stream
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    emb = load(spark, SF_DIR, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    bits = lsh_bits_for(emb.count())
+    feed = docs.join(emb, "doc_id", "left")
+    ids = sorted(r.doc_id for r in feed.select("doc_id").collect())
+    half_ids = set(ids[: len(ids) // 2])
+    first = feed.filter(F.col("doc_id").isin(half_ids))
+    second = feed.filter(~F.col("doc_id").isin(half_ids))
+
+    # one-shot truth
+    one = str(tmp_path / "one")
+    q = run_ensemble_dedup_stream(
+        doc_stream(spark, feed, f"{one}/replay", slices=4),
+        f"{one}/store", f"{one}/ck", bits=bits)
+    q.processAllAvailable(); q.stop()
+    want = {r.doc_id
+            for r in kept_docs(spark, f"{one}/store").collect()}
+
+    # split run: 2 slices, stop, restart with 2 more on the SAME
+    # checkpoint (slice boundaries identical to the one-shot's 4)
+    two = str(tmp_path / "two")
+    q = run_ensemble_dedup_stream(
+        doc_stream(spark, first, f"{two}/replay", slices=2),
+        f"{two}/store", f"{two}/ck", bits=bits)
+    q.processAllAvailable(); q.stop()
+    q = run_ensemble_dedup_stream(
+        doc_stream(spark, second, f"{two}/replay", slices=2, start_slice=2),
+        f"{two}/store", f"{two}/ck", bits=None)  # restart adopts stored bits
+    q.processAllAvailable(); q.stop()
+    got = {r.doc_id
+           for r in kept_docs(spark, f"{two}/store").collect()}
+    assert got == want
+    assert len(got) < len(ids)  # the drop path engaged
