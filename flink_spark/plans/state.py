@@ -1096,3 +1096,220 @@ def s_ensemble_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _curation_replay_oracle(slices: int = 3) -> str:
+    """SQL emulation of the FUSED curation stream across an id-ordered
+    ``slices``-epoch replay of the non-eval corpus — the
+    ``_dedup_replay_oracle`` unrolling extended with the three
+    stateless-per-doc gates, each a GLOBAL predicate restricted per
+    epoch (quality and contamination are per-doc facts; the exact and
+    near-dup gates interact with the kept-so-far chain and are
+    unrolled like the dedup oracle). Per epoch e over batch s_e and
+    survivors g_{e-1}:
+
+    - q_e: s_e ∩ quality-passed (global ``qv``);
+    - exact: in-batch min-doc_id winner per fingerprint among q_e,
+      minus fingerprints of g_{e-1} (survivor fps only — dropped docs
+      never gatekeep);
+    - decontam: minus the global contaminated set (stateless);
+    - near-dup: the ensemble pair set restricted to
+      (d2 ∈ dec_e) ∧ (d1 ∈ dec_e ∪ g_{e-1}), components, poison rule,
+      min-keeper, singletons pass — identical to the dedup unrolling.
+    """
+    from flink_spark.plans.textops import (
+        _NORM,
+        _SHINGLE_CTE,
+        EVAL_SOURCE,
+        _quality_pass_sql,
+    )
+
+    per = (f"(SELECT (COUNT(*) + {slices - 1}) // {slices}"
+           " FROM documents WHERE source <> '" + EVAL_SOURCE + "')")
+    parts = [
+        "pairs_m AS MATERIALIZED (SELECT d1, d2 FROM allpairs)",
+        # quality-passed non-eval docs with their fingerprints (global)
+        "qv AS MATERIALIZED (SELECT doc_id,"
+        f" md5({_NORM}) AS fp FROM documents"
+        f" WHERE source <> '{EVAL_SOURCE}' AND {_quality_pass_sql()})",
+        # globally contaminated docs (stateless per doc)
+        "evs AS (SELECT DISTINCT s FROM ex JOIN documents USING (doc_id)"
+        f" WHERE source = '{EVAL_SOURCE}')",
+        "hitd AS MATERIALIZED (SELECT DISTINCT e2.doc_id FROM ex e2"
+        " JOIN evs USING (s) JOIN documents d ON e2.doc_id = d.doc_id"
+        f" WHERE d.source <> '{EVAL_SOURCE}')",
+        "sliced AS MATERIALIZED (SELECT doc_id,"
+        " (ROW_NUMBER() OVER (ORDER BY doc_id)"
+        f" - 1) // {per} AS slice FROM documents"
+        f" WHERE source <> '{EVAL_SOURCE}')",
+    ]
+    prev_g = None
+    for e in range(1, slices + 1):
+        s = f"s{e}"
+        parts.append(
+            f"{s} AS MATERIALIZED"
+            f" (SELECT doc_id FROM sliced WHERE slice = {e - 1})"
+        )
+        if prev_g is None:
+            kf = f"kf{e} AS (SELECT fp FROM qv WHERE false)"
+        else:
+            kf = (f"kf{e} AS (SELECT DISTINCT fp FROM qv"
+                  f" JOIN {prev_g} USING (doc_id))")
+        parts.append(kf)
+        parts.append(
+            f"w{e} AS (SELECT fp, MIN(doc_id) AS doc_id FROM qv"
+            f" JOIN {s} USING (doc_id) GROUP BY fp)"
+        )
+        parts.append(
+            f"dec{e} AS MATERIALIZED (SELECT doc_id FROM w{e}"
+            f" WHERE fp NOT IN (SELECT fp FROM kf{e})"
+            f" AND doc_id NOT IN (SELECT doc_id FROM hitd))"
+        )
+        d1_src = f"d1 IN (SELECT doc_id FROM dec{e})"
+        if prev_g is not None:
+            d1_src = f"({d1_src} OR d1 IN (SELECT doc_id FROM {prev_g}))"
+        parts.append(
+            f"e{e} AS MATERIALIZED (SELECT d1, d2 FROM pairs_m"
+            f" WHERE {d1_src}"
+            f" AND d2 IN (SELECT doc_id FROM dec{e}))"
+        )
+        parts.append(
+            f"ed{e} AS (SELECT d1 AS u, d2 AS v FROM e{e}"
+            f" UNION ALL SELECT d2, d1 FROM e{e})"
+        )
+        parts.append(f"n{e} AS (SELECT DISTINCT u AS doc_id FROM ed{e})")
+        parts.append(
+            f"reach{e}(root, doc_id) AS ("
+            f"SELECT doc_id, doc_id FROM n{e}"
+            f" UNION SELECT r.root, t.v FROM reach{e} r"
+            f" JOIN ed{e} t ON r.doc_id = t.u)"
+        )
+        parts.append(
+            f"lab{e} AS MATERIALIZED (SELECT doc_id, MIN(root)"
+            f" AS cluster_id FROM reach{e} GROUP BY doc_id)"
+        )
+        if prev_g is None:
+            parts.append(
+                f"poi{e} AS (SELECT cluster_id FROM lab{e} WHERE false)"
+            )
+        else:
+            parts.append(
+                f"poi{e} AS (SELECT DISTINCT l.cluster_id FROM lab{e} l"
+                f" JOIN {prev_g} g ON l.doc_id = g.doc_id)"
+            )
+        parts.append(
+            f"keep{e} AS (SELECT MIN(l.doc_id) AS doc_id FROM lab{e} l"
+            f" JOIN dec{e} b ON l.doc_id = b.doc_id"
+            f" WHERE l.cluster_id NOT IN (SELECT cluster_id FROM poi{e})"
+            f" GROUP BY l.cluster_id)"
+        )
+        parts.append(
+            f"sing{e} AS (SELECT doc_id FROM dec{e} WHERE doc_id NOT IN"
+            f" (SELECT doc_id FROM lab{e}))"
+        )
+        g = f"g{e}"
+        carry = (f"SELECT doc_id FROM {prev_g} UNION ALL "
+                 if prev_g is not None else "")
+        parts.append(
+            f"{g} AS MATERIALIZED ({carry}SELECT doc_id FROM keep{e}"
+            f" UNION ALL SELECT doc_id FROM sing{e})"
+        )
+        prev_g = g
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    {_ensemble_pairs_ctes()},
+    {body}
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(g.doc_id) AS BIGINT) AS id_sum
+    FROM {prev_g} g JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """
+
+
+@query(
+    "s_curation_stream_replay",
+    oracle=_curation_replay_oracle(),
+    tags=("state", "streaming", "dedup", "ensemble", "pipeline"),
+)
+def s_curation_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FUSED curation stream, driven end-to-end inside the
+    correctness gate: replay the non-eval corpus (docs LEFT-JOINED to
+    embeddings) as a 3-slice id-ordered stream through
+    ``run_curation_stream`` — quality gate, exact dedup,
+    decontamination, and cross-modal near-dedup in ONE foreachBatch
+    body against one survivor store — and roll up the final kept set
+    per source.
+
+    This is the production shape of the whole curation surface: four
+    separate streams would tokenize/band each doc four times and
+    quadruple the state; fused, each doc pays one pass and the drop
+    gates compose in a deliberate order (contaminated docs never
+    gatekeep; clean near-dups of contaminated docs survive on their
+    own merit — the docstring of ``curation_batch`` records why).
+    Like the other dedup replays, the oracle needs NO convergence
+    precondition: ``_curation_replay_oracle`` unrolls the epoch
+    semantics exactly — the stateless gates as global per-doc
+    predicates restricted per epoch, the exact and near-dup gates
+    through the kept-so-far chain over the GLOBAL ensemble pair set
+    — so the equality is exact at any corpus.
+
+    Bounded by construction: the replay harness collects the corpus
+    once to slice it (test-harness license, raises past 2M rows); the
+    rollup is ≤ |sources| rows, materialized so the temp store and
+    checkpoint are deleted before returning.
+    """
+    import shutil
+    import tempfile
+
+    from flink_spark.functions.text import tokenize, word_shingles
+    from flink_spark.plans.similarity import lsh_bits_for
+    from flink_spark.plans.textops import EVAL_SOURCE, SHINGLE_N
+    from flink_spark.streaming.dedup import (
+        doc_stream,
+        kept_docs,
+        run_curation_stream,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    n_vec = emb.count()
+    ev = (
+        docs.filter(F.col("source") == EVAL_SOURCE)
+        .select(tokenize("text").alias("t"))
+        .filter(F.size("t") >= SHINGLE_N)
+        .select(F.explode(word_shingles(F.col("t"), SHINGLE_N)).alias("s"))
+        .distinct()
+    )
+    feed = (
+        docs.filter(F.col("source") != EVAL_SOURCE)
+        .select("doc_id", "text")
+        .join(emb, "doc_id", "left")
+    )
+    work = tempfile.mkdtemp(prefix="flink_spark-curation-replay-")
+    try:
+        stream = doc_stream(spark, feed, f"{work}/replay", slices=3)
+        q = run_curation_stream(
+            stream, ev, f"{work}/store", f"{work}/ck",
+            bits=lsh_bits_for(n_vec),
+        )
+        q.processAllAvailable()
+        q.stop()
+        out = (
+            kept_docs(spark, f"{work}/store")
+            .join(docs.select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_kept"),
+                F.sum("doc_id").cast("long").alias("id_sum"),
+            )
+        )
+        rows = out.collect()  # ≤ |sources| rows by construction
+        return spark.createDataFrame(
+            rows, "source string, n_kept bigint, id_sum bigint"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

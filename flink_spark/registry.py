@@ -169,6 +169,7 @@ _SNAPSHOT_FIRST = (
     # landed): the ensemble streaming-dedup gate — sf0.001/0.01/0.1
     # builder-verified this round; queues with the block above for r13.
     "s_ensemble_dedup_replay",
+    "s_curation_stream_replay",
 )
 
 

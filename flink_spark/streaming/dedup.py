@@ -973,6 +973,28 @@ def ensemble_dedup_batch(
     with the batch as build side; the store is only ever key-joined;
     CC runs on the batch-bounded pair graph.
     """
+    docs = batch.select("doc_id", "text")
+    kept_ids = _ensemble_dedup_core(
+        batch.select("doc_id", "text", "embedding"), epoch_id, store_dir
+    )
+    kept = docs.join(kept_ids, "doc_id").withColumn(
+        "fp", fingerprint("text")
+    ).select("doc_id", "fp")
+    _write(kept, store_dir, "kept", epoch_id)
+    kept_ids.unpersist()
+
+
+def _ensemble_dedup_core(
+    eligible: DataFrame, epoch_id: int, store_dir: str
+) -> DataFrame:
+    """The union-graph component-drop core shared by
+    ``ensemble_dedup_batch`` and ``curation_batch``: builds the
+    lexical + semantic verified pair graph of ``eligible``
+    (doc_id, text, embedding-nullable) against the store, drops
+    components touching stored docs, writes the four modality-state
+    tables (filtered to survivors) for this epoch, and returns the
+    PERSISTED survivor-id frame (caller writes its own ``kept`` row
+    shape, then unpersists)."""
     from flink_spark.plans.similarity import (
         SEMDEDUP_THRESHOLD,
         _norm,
@@ -980,10 +1002,10 @@ def ensemble_dedup_batch(
         _with_band_keys,
     )
 
-    spark = batch.sparkSession
+    spark = eligible.sparkSession
     bits = _ens_bits(store_dir, None)
     _split_bands(store_dir)
-    docs = batch.select("doc_id", "text")
+    docs = eligible.select("doc_id", "text")
 
     # lexical legs (the neardup_dedup_batch shapes)
     sh_new, bands_new = _shingle_bands(docs)
@@ -995,7 +1017,7 @@ def ensemble_dedup_batch(
 
     # semantic legs (the semantic_split_assign_batch shapes)
     vec_new = (
-        batch.filter(F.col("embedding").isNotNull())
+        eligible.filter(F.col("embedding").isNotNull())
         .select(F.col("doc_id").alias("vec_id"), "embedding")
         .withColumn("nrm", _norm(F.col("embedding")))
         .persist()
@@ -1062,12 +1084,9 @@ def ensemble_dedup_batch(
     singles = docs.select("doc_id").join(
         labels.select("doc_id"), "doc_id", "left_anti"
     )
-    kept_ids = comp_keep.unionByName(singles)
+    kept_ids = comp_keep.unionByName(singles).persist()
+    kept_ids.count()
 
-    kept = docs.join(kept_ids, "doc_id").withColumn(
-        "fp", fingerprint("text")
-    ).select("doc_id", "fp")
-    _write(kept, store_dir, "kept", epoch_id)
     _write(bands_new.join(kept_ids, "doc_id"), store_dir, "bands", epoch_id)
     _write(sh_new.join(kept_ids, "doc_id"), store_dir, "shingles", epoch_id)
     kept_vec_ids = kept_ids.select(F.col("doc_id").alias("vec_id"))
@@ -1077,6 +1096,7 @@ def ensemble_dedup_batch(
            epoch_id)
     for df in (sh_new, bands_new, vec_new, vbanded, pairs):
         df.unpersist()
+    return kept_ids
 
 
 def run_ensemble_dedup_stream(
@@ -1095,6 +1115,112 @@ def run_ensemble_dedup_stream(
         sdf.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(lambda df, eid: ensemble_dedup_batch(df, eid, store_dir))
+        .start()
+    )
+
+
+# --------------------------------------------------------------------------
+# Fused curation stream: quality → exact → decontam → ensemble near-dedup
+# --------------------------------------------------------------------------
+
+def curation_batch(
+    batch: DataFrame, epoch_id: int, store_dir: str,
+    eval_shingles: DataFrame,
+) -> None:
+    """foreachBatch body: the FUSED production curation pipeline, one
+    store, one pass per micro-batch — how the stages actually deploy
+    (running four separate streams would tokenize/band every doc four
+    times and quadruple the state surface). Gate order, deliberate:
+
+    1. quality (stateless; the flagship's 3-rule score ≥ 2) — cheap
+       drops first, nothing downstream pays for them;
+    2. exact dedup — in-batch min-doc_id winner per fingerprint among
+       quality-passed, then drop fingerprints already in the survivor
+       store (dropped docs never gatekeep);
+    3. decontamination (stateless broadcast probe of the static eval
+       shingle set) BEFORE near-dedup — a contaminated doc must never
+       gatekeep, and a clean near-dup of a contaminated doc should
+       survive on its own merit;
+    4. ensemble near-dedup (the ``_ensemble_dedup_core`` union graph:
+       MinHash + SRP cosine, component drop vs the store).
+
+    Survivors land in ``kept`` (doc_id, fp) and both modality states —
+    the same five-table layout as the ensemble store, so ``kept_docs``
+    / ``compact_store`` / the restart contract all apply unchanged.
+    Scale shape: stages 1–3 are row-local map work + one broadcast
+    probe; stage 4 is the documented core.
+    """
+    from flink_spark.functions.text import normalize_text
+    from flink_spark.plans.textops import STOPWORDS
+
+    spark = batch.sparkSession
+    toks = batch.select(
+        "doc_id", "text", "embedding", tokenize("text").alias("t")
+    )
+    n_tok = F.size("t")
+    stop_ratio = (
+        F.size(F.filter("t", lambda x: x.isin(*STOPWORDS))).cast("double")
+        / n_tok
+    )
+    avg_len = (
+        F.length(F.regexp_replace(normalize_text("text"), " ", ""))
+        .cast("double") / n_tok
+    )
+    score = (
+        F.when(n_tok.between(20, 200), 1).otherwise(0)
+        + F.when(stop_ratio.between(0.02, 0.5), 1).otherwise(0)
+        + F.when(avg_len.between(3, 8), 1).otherwise(0)
+    )
+    qual = toks.filter(score >= 2).withColumn(
+        "fp", fingerprint("text")
+    ).persist()
+    qual.count()
+
+    winners = qual.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    kept_fps = _store(
+        spark, store_dir, "kept", before_epoch=epoch_id
+    ).select("fp").distinct()
+    b0 = (
+        qual.join(winners.select("doc_id"), "doc_id")
+        .join(kept_fps, "fp", "left_anti")
+    )
+
+    ex = b0.filter(F.size("t") >= SHINGLE_N).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(F.col("t"), SHINGLE_N))
+        ).alias("s"),
+    )
+    hits = ex.join(F.broadcast(eval_shingles), "s").select("doc_id").distinct()
+    dec = b0.join(hits, "doc_id", "left_anti").persist()
+    dec.count()
+
+    kept_ids = _ensemble_dedup_core(
+        dec.select("doc_id", "text", "embedding"), epoch_id, store_dir
+    )
+    kept = dec.select("doc_id", "fp").join(kept_ids, "doc_id")
+    _write(kept, store_dir, "kept", epoch_id)
+    for df in (qual, dec, kept_ids):
+        df.unpersist()
+
+
+def run_curation_stream(
+    sdf: DataFrame,
+    eval_shingles: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    bits: int | None = None,
+):
+    """Wire a (doc_id, text, embedding) stream through the fused
+    curation pipeline (same pinning/restart contract as the ensemble
+    dedup store)."""
+    _ens_bits(store_dir, bits)
+    return (
+        sdf.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            lambda df, eid: curation_batch(df, eid, store_dir, eval_shingles)
+        )
         .start()
     )
 

@@ -1047,3 +1047,71 @@ def test_ensemble_stream_resumes_and_matches_one_shot(spark, tmp_path):
            for r in kept_docs(spark, f"{two}/store").collect()}
     assert got == want
     assert len(got) < len(ids)  # the drop path engaged
+
+
+def test_curation_stream_gates_bite(spark, tmp_path):
+    """Every fused-curation gate provably engages on the fixture and
+    the survivor set respects each gate's invariant: survivors all
+    pass quality, none are contaminated, the near-dedup dropped
+    something beyond the stateless gates, and no two survivors are a
+    verified ensemble pair (the store's whole point)."""
+    from pyspark.sql import functions as F
+
+    from flink_spark.functions.text import tokenize, word_shingles
+    from flink_spark.plans.similarity import lsh_bits_for
+    from flink_spark.plans.textops import EVAL_SOURCE, SHINGLE_N
+    from flink_spark.sources import load
+    from flink_spark.streaming.dedup import run_curation_stream
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text", "source")
+    emb = load(spark, SF_DIR, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    ev = (
+        docs.filter(F.col("source") == EVAL_SOURCE)
+        .select(tokenize("text").alias("t"))
+        .filter(F.size("t") >= SHINGLE_N)
+        .select(F.explode(word_shingles(F.col("t"), SHINGLE_N)).alias("s"))
+        .distinct()
+    )
+    feed = (
+        docs.filter(F.col("source") != EVAL_SOURCE)
+        .select("doc_id", "text").join(emb, "doc_id", "left")
+    )
+    q = run_curation_stream(
+        doc_stream(spark, feed, str(tmp_path / "replay"), slices=SLICES),
+        ev, str(tmp_path / "store"), str(tmp_path / "ck"),
+        bits=lsh_bits_for(emb.count()),
+    )
+    q.processAllAvailable(); q.stop()
+    kept = {r.doc_id
+            for r in kept_docs(spark, str(tmp_path / "store")).collect()}
+
+    qs = all_queries()
+    qual = {r.doc_id
+            for r in qs["t_quality_score"].fn(spark, SF_DIR)
+            .filter(F.col("quality_score") >= 2).collect()}
+    release_persisted()
+    noneval = {r.doc_id for r in feed.select("doc_id").collect()}
+    qual &= noneval
+    hits = {
+        r.doc_id
+        for r in feed.select("doc_id", tokenize("text").alias("t"))
+        .filter(F.size("t") >= SHINGLE_N)
+        .select("doc_id", F.explode(
+            F.array_distinct(word_shingles(F.col("t"), SHINGLE_N))
+        ).alias("s"))
+        .join(F.broadcast(ev), "s").select("doc_id").distinct().collect()
+    }
+    pairs = {(r.d1, r.d2) for r in
+             qs["t_minhash_lsh_dups"].fn(spark, SF_DIR).collect()}
+    release_persisted()
+
+    assert kept, "curation kept nothing"
+    assert kept <= qual, "a survivor failed the quality gate"
+    assert not (kept & hits), "a contaminated doc survived"
+    assert len(kept) < len(qual - hits), "near-dedup never engaged"
+    # survivor-pair invariant over the lexical half of the ensemble
+    # graph (the semantic half is covered by the ensemble bite test)
+    both = {(a, b) for a, b in pairs if a in kept and b in kept}
+    assert not both, f"verified near-dup pairs among survivors: {both}"
