@@ -91,85 +91,69 @@ def release_persisted() -> None:
 # remainder (all green in the latest snapshot) follow in registration
 # order and absorb the cap.
 _SNAPSHOT_FIRST = (
-    # ===== r12 rotation =====
-    # block 0 — never driver-checked: the one r11 demotion leads the
-    # head, exactly as recorded last round.
-    "e_ivf_balance_audit",
-    # block 1 — NEW this round.
-    "x_ensemble_training_pipeline",
-    # block 2 — code changed this round (subset not already covered by
-    # the stale block below): the two replay gates grew the in-query
-    # precondition-check + self-repair path, and the IVF probe default
-    # moved from fixed-2 to the derived scanned-fraction rule, which
-    # the recall audit and the variant scoreboard exercise end-to-end.
-    # (e_ann_ivf_topk / e_ivfpq_topk also changed but sit in the r9
-    # stale block already; t_training_pipeline's refactor and
-    # e_indexed_search_topk's new probe default are demoted below the
-    # cap — both sf0.001/0.01-value-verified this session — and queue
-    # first for r13.)
-    "s_split_stream_replay",
-    "s_semantic_split_replay",
-    "e_ann_recall_audit",
-    "e_ann_variant_recall",
-    # block 3 — the 44 queries whose newest green row is r9 (VERDICT
-    # r11 item #2: nothing older than r10 after this snapshot). Code
-    # unchanged except e_ann_ivf_topk/e_ivfpq_topk (the probes rule).
-    "s_new_vs_returning",
-    "s_returning_users_7d",
-    "s_cep_funnel_skip",
-    "s_retention_cohorts",
-    "s_abandoned_browse",
-    "w_tumble_10s_keyed",
-    "w_tumble_10s_global",
-    "w_event_time_fallback",
-    "w_keyword_tumble",
-    "w_agg_distinct_users",
-    "w_sessionize",
-    "w_hop_windows",
-    "sql_dwd_topic_db",
-    "ads_rollup_matrix",
-    "j_asof_nearest",
-    "j_range_band",
-    "j_semi_anti_customers",
-    "p_pivot_event_matrix",
-    "t_vocab_prune",
-    "t_repeated_ngram_coverage",
-    "t_source_overlap",
-    "t_length_percentiles",
-    "t_train_val_split",
-    "t_pack_sequences",
-    "t_bpe_token_stats",
-    "t_rolling_fingerprint",
-    "t_exact_dedup",
-    "t_quality_score",
-    "t_repetition_filter",
-    "t_lang_id",
-    "t_keyword_counts",
-    "t_cjk_keyword_counts",
-    "t_chunk_dedup",
-    "t_unigram_lm_score",
-    "t_winnow_fingerprints",
-    "t_quality_mixture_reweight",
-    "t_pii_redact",
-    "e_ann_ivf_topk",
-    "e_centroid_stats",
-    "e_pq_adc_topk",
-    "e_ivfpq_topk",
-    "t_bpe_train",
-    "t_bpe_segment",
-    "w_cumulate_windows",
-    # 1+1+4+44 = 50: the head is exactly the driver's cap.
-    # --- the driver's 50-query cap lands here ---
-    # r12-changed, demoted under the cap (both value-verified at
-    # sf0.001 AND sf0.01 this session; the flagship additionally at
-    # sf0.1): they queue first for r13's changed-code block.
-    "t_training_pipeline",
-    "e_indexed_search_topk",
-    # r12-NEW post-rotation (the head was already at the 50-cap when it
-    # landed): the ensemble streaming-dedup gate — sf0.001/0.01/0.1
-    # builder-verified this round; queues with the block above for r13.
+    # ===== r13 rotation =====
+    # block 0 — never driver-checked: the two post-snapshot r12
+    # streaming pipeline gates (VERDICT r12 item #1: they lead).
     "s_ensemble_dedup_replay",
     "s_curation_stream_replay",
+    # block 1 — code changed in r12 but demoted below that round's cap
+    # (recorded at the time): the flagship's refactor through
+    # _pipeline_oracle and the derived-probe default on the
+    # materialized index. Spliced before the stale drain per the
+    # rotation convention (changed-code outranks stale).
+    "t_training_pipeline",
+    "e_indexed_search_topk",
+    # block 2 — the 40 remaining queries whose newest green row is r10
+    # (t_training_pipeline is drained above). 2+2+40=44.
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "j_broadcast_dim_join",
+    "j_left_outer_enrich",
+    "j_full_outer_metrics",
+    "j_two_key_join",
+    "j_interval_join",
+    "j_left_outer_interval",
+    "j_wide_order_5way",
+    "sql_revenue_forecast",
+    "a_approx_sketch_daily",
+    "t_token_stats",
+    "t_substring_dedup",
+    "t_decontaminate",
+    "t_decontaminate_fraction",
+    "t_decontaminate_spans",
+    "t_source_mixture",
+    "t_ngram_jaccard_dups",
+    "t_minhash_lsh_dups",
+    "t_lsh_recall_curve",
+    "t_dup_clusters",
+    "t_leakage_safe_split",
+    "t_leakage_safe_split_loose",
+    "t_simhash_dups",
+    "t_corpus_pipeline",
+    "t_cross_source_dedup",
+    "t_bm25_topk",
+    "t_zipf_profile",
+    "t_containment_dups",
+    "e_cosine_topk",
+    "e_norm_stats",
+    "m_doc_embedding_join",
+    "m_binary_meta",
+    "m_decode_features",
+    "m_frame_sample",
+    "m_resize_bytes",
+    "s_dedup_latest",
+    "s_cep_jump",
+    "s_cep_browse_buy",
+    "t_shuffle_shards",
+    # block 3 — r11-stale fill to the cap (oldest-first, registration
+    # order as the tiebreak): 44+6=50.
+    "q10_returned_items",
+    "q5_local_supplier_volume",
+    "p_projection_filter",
+    "p_conditional_delta",
+    "p_json_extract",
+    "f_scalar_datetime",
+    # --- the driver's 50-query cap lands here ---
 )
 
 

@@ -1094,7 +1094,7 @@ def _ensemble_dedup_core(
            epoch_id)
     _write(vec_new.join(kept_vec_ids, "vec_id"), store_dir, "svecs",
            epoch_id)
-    for df in (sh_new, bands_new, vec_new, vbanded, pairs):
+    for df in (sh_new, bands_new, vec_new, vbanded, pairs, lex_pairs):
         df.unpersist()
     return kept_ids
 

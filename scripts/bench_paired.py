@@ -41,6 +41,12 @@ def main() -> None:
             [sys.executable, os.path.join(here, "bench.py")],
             capture_output=True, text=True,
         )
+        if out.returncode != 0 or not out.stdout.strip():
+            sys.stderr.write(out.stderr)
+            raise SystemExit(
+                f"bench session {i} failed (rc={out.returncode}); "
+                "stderr above"
+            )
         line = out.stdout.strip().splitlines()[-1]
         sessions.append(json.loads(line))
 
