@@ -33,6 +33,16 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Trust sortBy order on bucketed scans (SPARK-28632 turned this off
+    # because a multi-file bucket is only piecewise-sorted). Every
+    # bucketed writer in this repo (sources.bucketed.write_bucketed and
+    # the streaming survivor-store compaction in streaming.dedup)
+    # repartitions by the bucket key first, so each bucket is ONE file —
+    # exactly the regime where the order is sound. Without it every
+    # per-micro-batch SortMergeJoin re-sorts the STORE side, costing
+    # O(store log store) CPU per batch — the thing sortBy paid for at
+    # write time.
+    "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
 }
 
 

@@ -77,8 +77,40 @@ _EMPTY_SCHEMA = {
 }
 
 
+# Bucket key per store table: the column every per-micro-batch join
+# probes the store on. Compaction hash-clusters the base on it
+# (``_commit_base``), so the store side of those joins is read
+# pre-partitioned — no per-batch Exchange, and with sorted single-file
+# buckets no per-batch Sort either (see ``session._RUNTIME_CONFS``).
+# The epoch TAIL (batches since the last compaction) stays plain
+# parquet: it is micro-batch-sized, and the join bodies probe it as a
+# separate small leg. ``conflicts``/``vconflicts`` are append-only
+# ledgers read whole — no join key, never bucketed.
+_BUCKET_KEY = {
+    "bands": "bkey",      # lexical LSH candidate join
+    "shingles": "doc_id",  # pairkey_verify d1-posting join
+    "kept": "fp",          # exact-dup anti-join
+    "vbands": "bkey",      # SRP candidate join
+    "svecs": "vec_id",     # cosine-verify d1 join
+    "vecs": "cell",        # SemDeDup touched-cell group
+    "splits": "doc_id",    # anchor-inheritance join
+    "vsplits": "vec_id",
+    "clean": "doc_id",
+}
+
+# Bucket count for compacted bases. At 100 TB size this to the store
+# (buckets ≈ store bytes / target file size, thousands); the default
+# suits the local harness. 0 disables bucketing (plain parquet base —
+# the pre-r13 layout, kept readable and used as the SCALING.md
+# before/after control).
+STORE_BUCKETS = int(os.environ.get("FLINK_SPARK_STORE_BUCKETS", "16"))
+
+
 def _marker(path: str) -> dict:
-    """{"through": m, "base": n} — epochs ≤ m live in base-n."""
+    """{"through": m, "base": n} — epochs ≤ m live in base-n. Bucketed
+    bases (r13+) additionally carry {"buckets": b, "key": k} so a
+    fresh session can re-register the catalog table from the marker
+    alone."""
     try:
         with open(os.path.join(path, "_COMPACTED"), encoding="utf-8") as fh:
             return json.load(fh)
@@ -86,19 +118,59 @@ def _marker(path: str) -> dict:
         return {"through": -1, "base": -1}
 
 
-def _store(
+def _table_ident(path: str, gen: int) -> str:
+    """Deterministic catalog identifier for a store table's base
+    generation (bucket metadata only exists through the catalog —
+    a path read silently drops it)."""
+    import hashlib
+
+    h = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:10]
+    return f"fs_store_{h}_{os.path.basename(path)}_{gen}"
+
+
+def _base_df(
+    spark: SparkSession, path: str, name: str, mark: dict
+) -> DataFrame:
+    """The compacted base as a DataFrame — through the catalog (with
+    bucket metadata, re-registering after a session restart) when the
+    marker says the base was written bucketed, else a plain path read
+    (pre-r13 bases, or STORE_BUCKETS=0)."""
+    base = os.path.join(path, f"base-{mark['base']}")
+    if mark.get("buckets") and mark.get("key"):
+        tbl = _table_ident(path, mark["base"])
+        if not spark.catalog.tableExists(tbl):
+            k = mark["key"]
+            spark.sql(
+                f"CREATE TABLE {tbl} ({_EMPTY_SCHEMA[name]}) USING PARQUET "
+                f"CLUSTERED BY ({k}) SORTED BY ({k}) "
+                f"INTO {mark['buckets']} BUCKETS LOCATION '{base}'"
+            )
+        return spark.table(tbl)
+    return spark.read.parquet(base)
+
+
+def _store_parts(
     spark: SparkSession, store_dir: str, name: str,
     before_epoch: int | None = None,
-) -> DataFrame:
-    """Committed store state; ``before_epoch`` excludes the current
-    epoch's own (possibly partial, crash-retried) output — a retried
-    micro-batch must dedup against the state its first attempt saw, or
-    it would match the batch against itself and drop everything.
+) -> tuple[DataFrame | None, DataFrame | None]:
+    """Committed store state as its two physical legs: ``(base, tail)``
+    — the compacted base (bucketed on the table's probe key when
+    written r13+, read through the catalog so the bucket metadata
+    survives) and the plain-parquet epoch tail above the marker.
+    Either is None when empty. The join bodies probe the legs
+    SEPARATELY: a union would erase the base's hash-partitioning and
+    put the whole store back behind a per-batch Exchange — exactly the
+    cost bucketing pre-paid at compaction time. Every stored row lives
+    in exactly one leg (a doc's state is written once, in its arrival
+    epoch, and compaction folds whole epochs), so per-leg join results
+    union losslessly and without duplicates.
 
-    Layout: live state = the compacted base dir (epochs ≤ marker
-    "through", if any) + every ``epoch=N`` dir with N above the
-    marker. Epoch dirs at or below the marker are post-compaction
-    debris and are ignored even if their deletion didn't finish."""
+    ``before_epoch`` excludes the current epoch's own (possibly
+    partial, crash-retried) output — a retried micro-batch must dedup
+    against the state its first attempt saw, or it would match the
+    batch against itself and drop everything. Epoch dirs at or below
+    the marker are post-compaction debris and are ignored even if
+    their deletion didn't finish."""
     path = os.path.join(store_dir, name)
     mark = _marker(path)
     entries = os.listdir(path) if os.path.isdir(path) else []
@@ -108,14 +180,29 @@ def _store(
         and int(e.split("=")[1]) > mark["through"]
         and (before_epoch is None or int(e.split("=")[1]) < before_epoch)
     ]
-    base = os.path.join(path, f"base-{mark['base']}")
-    if mark["base"] >= 0 and os.path.isdir(base):
-        parts.append(base)
-    if not parts:
+    cols = [c.split()[0] for c in _EMPTY_SCHEMA[name].split(", ")]
+    base = None
+    if mark["base"] >= 0 and os.path.isdir(
+        os.path.join(path, f"base-{mark['base']}")
+    ):
+        base = _base_df(spark, path, name, mark).select(*cols)
+    tail = spark.read.parquet(*parts).select(*cols) if parts else None
+    return base, tail
+
+
+def _store(
+    spark: SparkSession, store_dir: str, name: str,
+    before_epoch: int | None = None,
+) -> DataFrame:
+    """Committed store state as ONE DataFrame (base ∪ tail). For
+    whole-state reads (``kept_docs``, compaction, the gate queries).
+    Per-batch JOIN bodies use ``_store_parts`` instead — the union
+    erases the base's bucket partitioning."""
+    base, tail = _store_parts(spark, store_dir, name, before_epoch)
+    legs = [df for df in (base, tail) if df is not None]
+    if not legs:
         return spark.createDataFrame([], _EMPTY_SCHEMA[name])
-    return spark.read.parquet(*parts).select(
-        *[c.split()[0] for c in _EMPTY_SCHEMA[name].split(", ")]
-    )
+    return legs[0] if len(legs) == 1 else legs[0].unionByName(legs[1])
 
 
 def _write(df: DataFrame, store_dir: str, name: str, epoch_id: int) -> None:
@@ -141,14 +228,45 @@ def _commit_base(
     it lands, folded epoch dirs are ignored whether or not their
     deletion finished (``_store`` filters ≤ through), so the GC is
     plain idempotent.
+
+    r13: when the table has a probe key (``_BUCKET_KEY``) and
+    ``STORE_BUCKETS`` > 0, the new base is written hash-clustered on
+    that key as an external bucketed catalog table at the same
+    ``base-N`` directory (bucket metadata only exists through the
+    catalog). ``repartition(buckets, key)`` aligns writer partitions
+    with bucket ids so every bucket is ONE file — the regime where
+    Spark trusts the within-bucket sort and the per-batch
+    SortMergeJoin needs neither Exchange nor Sort on the store side.
+    A crashed-then-retried compaction reuses the same generation
+    (``mark`` unchanged until the marker lands), and saveAsTable's
+    overwrite replaces both the half-written files and the orphan
+    catalog entry. The marker commit is byte-identical to before plus
+    the bucket metadata — the pointer-commit contract is unchanged.
     """
     import shutil
 
     gen = mark["base"] + 1
-    df.write.mode("overwrite").parquet(os.path.join(path, f"base-{gen}"))
+    key = _BUCKET_KEY.get(os.path.basename(path))
+    base_dir = os.path.join(path, f"base-{gen}")
+    marker = {"through": through, "base": gen}
+    if key is not None and STORE_BUCKETS > 0:
+        tbl = _table_ident(path, gen)
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(base_dir, ignore_errors=True)  # crashed prior try
+        (
+            df.repartition(STORE_BUCKETS, key)
+            .write.mode("overwrite")
+            .bucketBy(STORE_BUCKETS, key).sortBy(key)
+            .option("path", base_dir)
+            .format("parquet").saveAsTable(tbl)
+        )
+        marker.update({"buckets": STORE_BUCKETS, "key": key})
+    else:
+        df.write.mode("overwrite").parquet(base_dir)
     tmp = os.path.join(path, "_COMPACTED.tmp")
     with open(tmp, "w", encoding="utf-8") as fh:
-        json.dump({"through": through, "base": gen}, fh)
+        json.dump(marker, fh)
         fh.flush()
         os.fsync(fh.fileno())
     os.replace(tmp, os.path.join(path, "_COMPACTED"))
@@ -158,6 +276,10 @@ def _commit_base(
         shutil.rmtree(
             os.path.join(path, f"base-{mark['base']}"), ignore_errors=True
         )
+        if mark.get("buckets"):
+            df.sparkSession.sql(
+                f"DROP TABLE IF EXISTS {_table_ident(path, mark['base'])}"
+            )
 
 
 def exact_dedup_batch(
@@ -170,9 +292,14 @@ def exact_dedup_batch(
     winners = (
         fps.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     )
-    seen = _store(spark, store_dir, "kept", before_epoch=epoch_id).select("fp")
-    kept = winners.join(seen, "fp", "left_anti").select("doc_id", "fp")
-    _write(kept, store_dir, "kept", epoch_id)
+    # anti-join per store leg (anti against a union ≡ sequential
+    # antis): the bucketed base leg reads pre-partitioned on fp, so
+    # only the batch side shuffles
+    kept = winners.select("doc_id", "fp")
+    for leg in _legs(_store_parts(spark, store_dir, "kept",
+                                  before_epoch=epoch_id)):
+        kept = kept.join(leg.select("fp"), "fp", "left_anti")
+    _write(kept.select("doc_id", "fp"), store_dir, "kept", epoch_id)
 
 
 def _shingle_bands(docs: DataFrame):
@@ -209,19 +336,62 @@ def _verified(
     ).select("d1", "d2")
 
 
+def _legs(parts) -> list[DataFrame]:
+    """The non-empty physical legs of a ``_store_parts`` result."""
+    return [df for df in parts if df is not None]
+
+
+def _cross_candidates(
+    bands_old_parts, bands_new: DataFrame, id_col: str
+) -> DataFrame | None:
+    """Store↔batch band-collision candidates (d1 = stored, d2 = new),
+    probed per store leg: the bucketed base leg joins pre-partitioned
+    on bkey (only the batch side shuffles), the epoch tail is a small
+    plain join. Per-leg distinct equals global distinct because a
+    stored doc's band rows live in exactly one leg. Returns the union
+    PERSISTED (every caller verifies it at least twice) or None when
+    the store is empty; the caller unpersists."""
+    legs = [
+        leg.alias("o").join(bands_new.alias("n"),
+                            F.col("o.bkey") == F.col("n.bkey"))
+        .select(F.col(f"o.{id_col}").alias("d1"),
+                F.col(f"n.{id_col}").alias("d2"))
+        .distinct()
+        for leg in _legs(bands_old_parts)
+    ]
+    if not legs:
+        return None
+    cand = legs[0]
+    for leg in legs[1:]:
+        cand = cand.unionByName(leg)
+    return cand.persist()
+
+
 def _batch_pair_graph(
     bands_new: DataFrame, sh_new: DataFrame,
-    bands_old: DataFrame, sh_old: DataFrame, threshold: float,
+    bands_old_parts, sh_old_parts, threshold: float,
 ) -> DataFrame:
     """Verified pairs touching the batch: within-batch (d1 < d2) plus
     store↔batch (d1 = stored, d2 = new), band-key candidates only.
+
+    The store sides arrive as ``_store_parts`` legs and are probed
+    LEG-WISE: candidates per bands leg (the bucketed base joins with
+    no store-side Exchange — the batch side shuffles to the bucket
+    partitioning), verification per SHINGLES leg. The legs decouple
+    deliberately: compaction folds the store's tables one at a time,
+    so after a mid-``compact_store`` crash a doc's bands can sit in
+    one table's base while its shingles are still in the other
+    table's tail — keying the verify by the shingles legs keeps every
+    candidate verifiable regardless. Per-leg unions are lossless and
+    duplicate-free because a stored doc's rows live in exactly one
+    leg of each table.
 
     Returns the pair union PERSISTED and materialized (callers
     unpersist it when their epoch's writes land). The candidate tables
     are persisted for the duration of the verify — ``pairkey_verify``'s
     contract consumes its candidate input twice (once per posting
     side), so an unpersisted candidate would recompute the band
-    self-join + distinct twice per micro-batch — and released here
+    join + distinct twice per micro-batch — and released here
     once the materialized pairs no longer reference them. The semantic
     twin (``semantic_split_assign_batch``) does NOT need this: its
     cosine verify joins each candidate table exactly once."""
@@ -235,18 +405,18 @@ def _batch_pair_graph(
     )
     pairs_in = _verified(cand_in, sh_new, sh_new, threshold)
 
-    o = bands_old.alias("o")
-    cand_cross = (
-        o.join(bands_new.alias("n"), F.col("o.bkey") == F.col("n.bkey"))
-        .select(F.col("o.doc_id").alias("d1"), F.col("n.doc_id").alias("d2"))
-        .distinct()
-        .persist()
-    )
-    pairs_cross = _verified(cand_cross, sh_old, sh_new, threshold)
-    pairs = pairs_in.unionByName(pairs_cross).persist()
+    cand_cross = _cross_candidates(bands_old_parts, bands_new, "doc_id")
+    pairs = pairs_in
+    if cand_cross is not None:
+        for sh_leg in _legs(sh_old_parts):
+            pairs = pairs.unionByName(
+                _verified(cand_cross, sh_leg, sh_new, threshold)
+            )
+    pairs = pairs.persist()
     pairs.count()
     cand_in.unpersist()
-    cand_cross.unpersist()
+    if cand_cross is not None:
+        cand_cross.unpersist()
     return pairs
 
 
@@ -258,14 +428,21 @@ def neardup_dedup_batch(
     spark = batch.sparkSession
     docs = batch.select("doc_id", "text")
     sh_new, bands_new = _shingle_bands(docs)
-    sh_old = _store(spark, store_dir, "shingles", before_epoch=epoch_id)
-    bands_old = _store(spark, store_dir, "bands", before_epoch=epoch_id)
+    sh_old = _store_parts(spark, store_dir, "shingles", before_epoch=epoch_id)
+    bands_old = _store_parts(spark, store_dir, "bands", before_epoch=epoch_id)
     pairs = _batch_pair_graph(  # persisted + materialized by contract
         bands_new, sh_new, bands_old, sh_old, JACCARD_THRESHOLD
     )
     labels = connected_components(pairs)
 
-    stored_ids = bands_old.select("doc_id").distinct()
+    # every graph node is a batch doc or a stored doc (pairs connect
+    # batch↔batch and store↔batch only), so the stored nodes are just
+    # the graph nodes NOT in the batch — two batch-bounded frames; the
+    # old stored_ids = store.distinct() shape reshuffled the whole
+    # store per micro-batch for the same answer
+    stored_ids = labels.select("doc_id").join(
+        docs.select("doc_id"), "doc_id", "left_anti"
+    )
     # components containing a stored doc: every batch member drops
     poisoned = (
         labels.join(stored_ids, "doc_id").select("cluster_id").distinct()
@@ -361,8 +538,8 @@ def split_assign_batch(
     spark = batch.sparkSession
     docs = batch.select("doc_id")
     sh_new, bands_new = _shingle_bands(batch.select("doc_id", "text"))
-    sh_old = _store(spark, store_dir, "shingles", before_epoch=epoch_id)
-    bands_old = _store(spark, store_dir, "bands", before_epoch=epoch_id)
+    sh_old = _store_parts(spark, store_dir, "shingles", before_epoch=epoch_id)
+    bands_old = _store_parts(spark, store_dir, "bands", before_epoch=epoch_id)
     splits_old = _store(spark, store_dir, "splits", before_epoch=epoch_id)
 
     pairs = _batch_pair_graph(  # persisted + materialized by contract
@@ -372,8 +549,11 @@ def split_assign_batch(
 
     # stored assignments landing in this epoch's components: feeds the
     # anchor rule AND the merge-conflict ledger (persisted — two
-    # consumers, and the join above it re-reads the whole store)
-    members = labels.join(splits_old, "doc_id").persist()
+    # consumers, and the join above it re-reads the whole store).
+    # labels is batch-bounded — broadcast it so the store side of the
+    # probe never shuffles (the splits legs union fine here: a
+    # broadcast-hash probe needs no partitioning from the big side)
+    members = splits_old.join(F.broadcast(labels), "doc_id").persist()
     # per-component anchor: the smallest already-assigned doc_id (the
     # struct-min carries its split/gkey in the same map-side aggregate)
     anchors = (
@@ -512,8 +692,10 @@ def semantic_split_assign_batch(
         .select("vec_id", F.explode("bkeys").alias("bkey")).persist()
     banded.count()
 
-    svecs_old = _store(spark, store_dir, "svecs", before_epoch=epoch_id)
-    vbands_old = _store(spark, store_dir, "vbands", before_epoch=epoch_id)
+    svecs_old = _store_parts(spark, store_dir, "svecs",
+                             before_epoch=epoch_id)
+    vbands_old = _store_parts(spark, store_dir, "vbands",
+                              before_epoch=epoch_id)
     vsplits_old = _store(spark, store_dir, "vsplits", before_epoch=epoch_id)
 
     a, b = banded.alias("a"), banded.alias("b")
@@ -521,12 +703,6 @@ def semantic_split_assign_batch(
         a.join(b, (F.col("a.bkey") == F.col("b.bkey"))
                & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(F.col("a.vec_id").alias("d1"), F.col("b.vec_id").alias("d2"))
-        .distinct()
-    )
-    o = vbands_old.alias("o")
-    cand_cross = (
-        o.join(banded.alias("n"), F.col("o.bkey") == F.col("n.bkey"))
-        .select(F.col("o.vec_id").alias("d1"), F.col("n.vec_id").alias("d2"))
         .distinct()
     )
 
@@ -545,14 +721,25 @@ def semantic_split_assign_batch(
             .select("d1", "d2")
         )
 
-    pairs = verified(cand_in, new, new).unionByName(
-        verified(cand_cross, svecs_old, new)
-    ).persist()
+    # store legs probed separately (see _batch_pair_graph): candidates
+    # per vbands leg — the bucketed base joins with no store-side
+    # Exchange — then the cosine verify per svecs leg (a stored
+    # vector's floats live in exactly one leg, so the union is exact)
+    pairs = verified(cand_in, new, new)
+    cross = _cross_candidates(vbands_old, banded, "vec_id")
+    if cross is not None:
+        for sv_leg in _legs(svecs_old):
+            pairs = pairs.unionByName(verified(cross, sv_leg, new))
+    pairs = pairs.persist()
     pairs.count()
+    if cross is not None:
+        cross.unpersist()
     labels = connected_components(pairs)
 
-    members = labels.join(
-        vsplits_old.withColumnRenamed("vec_id", "doc_id"), "doc_id"
+    # labels is batch-bounded — broadcast it over the stored
+    # assignments so the store-side probe never shuffles
+    members = vsplits_old.withColumnRenamed("vec_id", "doc_id").join(
+        F.broadcast(labels), "doc_id"
     ).persist()  # anchor rule + conflict ledger both consume it
     anchors = (
         members.groupBy("cluster_id")
@@ -861,9 +1048,12 @@ def semantic_dedup_batch(
     new.count()
 
     touched = new.select("cell").distinct()
+    # broadcast the touched-cell set so the store-side prune is a
+    # map-side probe, never a store shuffle (the groupBy-cell exchange
+    # below then moves only touched cells' vectors)
     old = (
         _store(spark, store_dir, "vecs", before_epoch=epoch_id)
-        .join(touched, "cell")
+        .join(F.broadcast(touched), "cell")
     )
     pool = (
         new.withColumn("is_new", F.lit(1))
@@ -1009,8 +1199,10 @@ def _ensemble_dedup_core(
 
     # lexical legs (the neardup_dedup_batch shapes)
     sh_new, bands_new = _shingle_bands(docs)
-    sh_old = _store(spark, store_dir, "shingles", before_epoch=epoch_id)
-    bands_old = _store(spark, store_dir, "bands", before_epoch=epoch_id)
+    sh_old = _store_parts(spark, store_dir, "shingles",
+                          before_epoch=epoch_id)
+    bands_old = _store_parts(spark, store_dir, "bands",
+                             before_epoch=epoch_id)
     lex_pairs = _batch_pair_graph(  # persisted + materialized
         bands_new, sh_new, bands_old, sh_old, JACCARD_THRESHOLD
     )
@@ -1027,20 +1219,16 @@ def _ensemble_dedup_core(
         vec_new.select("vec_id", "embedding"), spark, bits
     ).select("vec_id", F.explode("bkeys").alias("bkey")).persist()
     vbanded.count()
-    svecs_old = _store(spark, store_dir, "svecs", before_epoch=epoch_id)
-    vbands_old = _store(spark, store_dir, "vbands", before_epoch=epoch_id)
+    svecs_old = _store_parts(spark, store_dir, "svecs",
+                             before_epoch=epoch_id)
+    vbands_old = _store_parts(spark, store_dir, "vbands",
+                              before_epoch=epoch_id)
 
     a, b = vbanded.alias("a"), vbanded.alias("b")
     vcand_in = (
         a.join(b, (F.col("a.bkey") == F.col("b.bkey"))
                & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(F.col("a.vec_id").alias("d1"), F.col("b.vec_id").alias("d2"))
-        .distinct()
-    )
-    o = vbands_old.alias("o")
-    vcand_cross = (
-        o.join(vbanded.alias("n"), F.col("o.bkey") == F.col("n.bkey"))
-        .select(F.col("o.vec_id").alias("d1"), F.col("n.vec_id").alias("d2"))
         .distinct()
     )
 
@@ -1059,17 +1247,25 @@ def _ensemble_dedup_core(
             .select("d1", "d2")
         )
 
-    sem_pairs = vverified(vcand_in, vec_new, vec_new).unionByName(
-        vverified(vcand_cross, svecs_old, vec_new)
-    )
+    # store legs probed separately, exactly as in the lexical graph
+    sem_pairs = vverified(vcand_in, vec_new, vec_new)
+    vcross = _cross_candidates(vbands_old, vbanded, "vec_id")
+    if vcross is not None:
+        for sv_leg in _legs(svecs_old):
+            sem_pairs = sem_pairs.unionByName(
+                vverified(vcross, sv_leg, vec_new)
+            )
     pairs = lex_pairs.unionByName(sem_pairs).persist()
     pairs.count()
+    if vcross is not None:
+        vcross.unpersist()
 
     labels = connected_components(pairs)
-    stored_ids = (
-        bands_old.select("doc_id")
-        .unionByName(svecs_old.select(F.col("vec_id").alias("doc_id")))
-        .distinct()
+    # graph nodes are batch docs or stored docs/vectors, so the stored
+    # nodes are the graph nodes NOT in the batch — batch-bounded, no
+    # per-batch store-wide distinct (see neardup_dedup_batch)
+    stored_ids = labels.select("doc_id").join(
+        docs.select("doc_id"), "doc_id", "left_anti"
     )
     poisoned = (
         labels.join(stored_ids, "doc_id").select("cluster_id").distinct()
@@ -1177,13 +1373,13 @@ def curation_batch(
     qual.count()
 
     winners = qual.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    kept_fps = _store(
-        spark, store_dir, "kept", before_epoch=epoch_id
-    ).select("fp").distinct()
-    b0 = (
-        qual.join(winners.select("doc_id"), "doc_id")
-        .join(kept_fps, "fp", "left_anti")
-    )
+    # anti-join per store leg: the bucketed base reads pre-partitioned
+    # on fp (no store-side Exchange or distinct — anti needs neither),
+    # the epoch tail is a small second anti
+    b0 = qual.join(winners.select("doc_id"), "doc_id")
+    for leg in _legs(_store_parts(spark, store_dir, "kept",
+                                  before_epoch=epoch_id)):
+        b0 = b0.join(leg.select("fp"), "fp", "left_anti")
 
     ex = b0.filter(F.size("t") >= SHINGLE_N).select(
         "doc_id",

@@ -1115,3 +1115,98 @@ def test_curation_stream_gates_bite(spark, tmp_path):
     # graph (the semantic half is covered by the ensemble bite test)
     both = {(a, b) for a, b in pairs if a in kept and b in kept}
     assert not both, f"verified near-dup pairs among survivors: {both}"
+
+
+def test_compacted_store_joins_are_store_side_shuffle_free(spark, tmp_path):
+    """The r13 scale contract: after compaction the survivor store's
+    base is a bucketed table on each table's probe key, and the
+    per-micro-batch join shapes read it PRE-PARTITIONED — the plan has
+    an Exchange on the (small) batch side only, never above the store
+    scan, and with sorted single-file buckets no store-side Sort
+    either. Without this, every micro-batch of a long-running stream
+    reshuffles the whole accumulated store (SCALING.md §R13)."""
+    import io
+    import re
+    import contextlib
+
+    from pyspark.sql import functions as F
+
+    from flink_spark.sources import load
+    from flink_spark.streaming.dedup import (
+        _marker,
+        _store_parts,
+        _table_ident,
+        compact_store,
+    )
+
+    docs = load(spark, SF_DIR, "documents")
+    store, ck = str(tmp_path / "store"), str(tmp_path / "ck")
+    q = run_dedup_stream(
+        doc_stream(spark, docs, str(tmp_path / "replay"), slices=2),
+        store, ck, mode="near")
+    q.processAllAvailable(); q.stop()
+    compact_store(spark, store)
+
+    import os
+    for name, key in (("kept", "fp"), ("bands", "bkey"),
+                      ("shingles", "doc_id")):
+        mark = _marker(os.path.join(store, name))
+        assert mark["buckets"] > 0 and mark["key"] == key, (name, mark)
+
+    def plan(df) -> str:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    def assert_store_side_clean(p: str, what: str) -> None:
+        # the store leg is a bucketed scan: present, and NOT fed
+        # through an Exchange or Sort (tree shape: the scan's branch
+        # has no operator between the join and the scan besides
+        # Filter/Project)
+        assert "SelectedBucketsCount" in p, (what, p)
+        # exactly one Exchange: the batch side (formatted output
+        # repeats each node once in the tree and once in the detail
+        # section, so count the detail headers)
+        n_exchange = len(re.findall(r"\(\d+\) Exchange", p))
+        assert n_exchange == 1, (what, n_exchange, p)
+        # no Sort on the store branch: sorted single-file buckets are
+        # trusted (session conf), so the only Sort is the batch side's
+        n_sort = len(re.findall(r"\(\d+\) Sort\b", p))
+        assert n_sort <= 1, (what, n_sort, p)
+
+    # the exact-dup gate shape: batch fps anti-join the kept base
+    # (filter, not limit — limit adds its own batch-side Exchange and
+    # the assertion counts Exchanges)
+    kept_base, _ = _store_parts(spark, store, "kept")
+    batch = docs.filter(F.col("doc_id") % 13 == 0).select(
+        "doc_id", F.md5(F.col("text")).alias("fp"))
+    with_bcast_off = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        anti = batch.join(kept_base.select("fp"), "fp", "left_anti")
+        assert_store_side_clean(plan(anti), "kept anti-join")
+
+        # the LSH candidate shape: store bands equi-join batch bands
+        bands_base, _ = _store_parts(spark, store, "bands")
+        bb = batch.select("doc_id", F.md5("fp").alias("bkey"))
+        cand = bands_base.alias("o").join(
+            bb.alias("n"), F.col("o.bkey") == F.col("n.bkey"))
+        assert_store_side_clean(plan(cand), "bands candidate join")
+
+        # the verify posting shape: store shingles joined by doc_id
+        sh_base, _ = _store_parts(spark, store, "shingles")
+        probe = batch.select(F.col("doc_id").alias("d1"))
+        ver = sh_base.join(probe, sh_base.doc_id == probe.d1)
+        assert_store_side_clean(plan(ver), "shingle posting join")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", with_bcast_off)
+
+    # a fresh session (catalog lost) re-registers the base from the
+    # marker alone: simulate by dropping the catalog entry
+    mark = _marker(os.path.join(store, "kept"))
+    tbl = _table_ident(os.path.join(store, "kept"), mark["base"])
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    kept_base2, _ = _store_parts(spark, store, "kept")
+    assert spark.catalog.tableExists(tbl)
+    assert kept_base2.count() == kept_base.count()
