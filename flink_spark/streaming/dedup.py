@@ -594,16 +594,19 @@ def run_split_stream(
     store_dir: str,
     checkpoint_dir: str,
     threshold: float = SPLIT_JACCARD,
+    compact_every: int | None = None,
 ):
     """Wire a document stream into the incremental split-assignment
     store (same checkpoint/epoch discipline as ``run_dedup_stream``:
-    restart only with the original checkpoint against a given store)."""
+    restart only with the original checkpoint against a given store;
+    ``compact_every`` = in-stream auto-compaction, ``maybe_compact``)."""
     return (
         sdf.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(
-            lambda df, eid: split_assign_batch(df, eid, store_dir, threshold)
-        )
+        .foreachBatch(_compacting(
+            lambda df, eid: split_assign_batch(df, eid, store_dir, threshold),
+            store_dir, compact_every,
+        ))
         .start()
     )
 
@@ -780,22 +783,25 @@ def run_semantic_split_stream(
     checkpoint_dir: str,
     bits: int | None = None,
     threshold: float | None = None,
+    compact_every: int | None = None,
 ):
     """Wire an embedding stream into the incremental semantic split
     store. ``bits`` pins the SRP band width on first run (size it with
     ``lsh_bits_for`` against the expected corpus); restarts adopt the
     stored value. The band count is pinned too (``_split_bands``) —
-    restarts must run at the store's count."""
+    restarts must run at the store's count. ``compact_every`` =
+    in-stream auto-compaction (``maybe_compact``)."""
     _split_bits(store_dir, bits)
     _split_bands(store_dir)
     return (
         sdf.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(
+        .foreachBatch(_compacting(
             lambda df, eid: semantic_split_assign_batch(
                 df, eid, store_dir, threshold
-            )
-        )
+            ),
+            store_dir, compact_every,
+        ))
         .start()
     )
 
@@ -897,18 +903,39 @@ def doc_stream(
     )
 
 
+def _compacting(body, store_dir: str, every: int | None):
+    """Wrap a ``foreachBatch`` body with the in-stream auto-compaction
+    trigger (``maybe_compact``; no-op when ``every`` is None). Shared
+    by every store-owning stream runner."""
+    if not every:
+        return body
+
+    def wrapped(df: DataFrame, eid: int) -> None:
+        body(df, eid)
+        maybe_compact(df.sparkSession, store_dir, eid, every)
+
+    return wrapped
+
+
 def run_dedup_stream(
     sdf: DataFrame,
     store_dir: str,
     checkpoint_dir: str,
     mode: str = "near",
+    compact_every: int | None = None,
 ):
-    """Wire a document stream into the incremental dedup store."""
+    """Wire a document stream into the incremental dedup store.
+    ``compact_every``: auto-fold the epoch tail into the bucketed
+    base once it reaches that many dirs — safe mid-stream, see
+    ``maybe_compact``."""
     body = neardup_dedup_batch if mode == "near" else exact_dedup_batch
     q = (
         sdf.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(lambda df, eid: body(df, eid, store_dir))
+        .foreachBatch(_compacting(
+            lambda df, eid: body(df, eid, store_dir),
+            store_dir, compact_every,
+        ))
         .start()
     )
     return q
@@ -919,13 +946,17 @@ def kept_docs(spark: SparkSession, store_dir: str) -> DataFrame:
     return _store(spark, store_dir, "kept")
 
 
-def compact_store(spark: SparkSession, store_dir: str) -> None:
-    """Fold all committed epoch dirs into one base per store table.
+def compact_store(
+    spark: SparkSession, store_dir: str,
+    before_epoch: int | None = None,
+) -> None:
+    """Fold committed epoch dirs into one base per store table.
 
     Epoch-per-micro-batch dirs accumulate forever on a long-running
     stream; every batch's store read then opens thousands of small
-    files. Compaction rewrites the live state (current base + all
-    epoch dirs) as a single ``base-<g+1>`` directory and commits it by
+    files. Compaction rewrites the live state (current base + the
+    folded epoch dirs) as a single ``base-<g+1>`` directory — bucketed
+    on the table's probe key, see ``_commit_base`` — and commits it by
     atomically replacing the ``_COMPACTED`` marker (write-temp +
     ``os.replace`` + fsync — the same pointer-commit discipline as
     ``upsert_sink``'s manifest), then deletes the folded epoch dirs.
@@ -934,10 +965,19 @@ def compact_store(spark: SparkSession, store_dir: str) -> None:
     old base + epochs (the half-written new base is invisible); after
     it lands, folded epoch dirs are ignored whether or not their
     deletion finished (``_store`` filters ≤ through), so deletion is
-    plain idempotent GC. Run it while the stream is STOPPED (or
-    between batches): epochs above the stream's last committed batch
-    could be crash debris, and folding uncommitted output into the
-    base would break the retry contract.
+    plain idempotent GC.
+
+    ``before_epoch``: fold only epochs STRICTLY BELOW it. With it
+    unset, run only while the stream is STOPPED — epochs above the
+    stream's last committed batch could be crash debris, and folding
+    uncommitted output into the base would break the retry contract.
+    WITH it set to the current epoch id, the fold is safe from INSIDE
+    a ``foreachBatch`` body (``maybe_compact``): every epoch < the
+    current one belongs to a checkpoint-committed batch (batch N only
+    starts after batch N-1 committed), and the current epoch's own —
+    possibly crash-retried — output stays out of the base, so a
+    retried batch still reads exactly the state its first attempt
+    saw (the ``_store(before_epoch=...)`` contract).
     """
     for name in _EMPTY_SCHEMA:
         path = os.path.join(store_dir, name)
@@ -946,12 +986,53 @@ def compact_store(spark: SparkSession, store_dir: str) -> None:
         mark = _marker(path)
         epochs = sorted(
             int(e.split("=")[1]) for e in os.listdir(path)
-            if e.startswith("epoch=") and int(e.split("=")[1]) > mark["through"]
+            if e.startswith("epoch=")
+            and int(e.split("=")[1]) > mark["through"]
+            and (before_epoch is None or int(e.split("=")[1]) < before_epoch)
         )
         if not epochs:
             continue
-        live = _store(spark, store_dir, name)
+        live = _store(spark, store_dir, name, before_epoch=before_epoch)
         _commit_base(path, live, mark, epochs[-1], epochs)
+
+
+def maybe_compact(
+    spark: SparkSession, store_dir: str, epoch_id: int, every: int,
+) -> bool:
+    """In-stream compaction trigger: called at the END of a
+    ``foreachBatch`` body, folds all committed epochs below the
+    current one once the epoch tail of any store table reaches
+    ``every`` dirs. Returns whether a compaction ran.
+
+    This bounds the per-batch small-file count AND the plain (tail)
+    leg of every store-side join at ``every`` micro-batches, while
+    the bucketed base amortizes its rewrite over ``every`` epochs —
+    the flat two-level analog of an LSM level-0→1 merge (at 100 TB
+    you would go leveled/partial instead of rewriting the whole base;
+    the pointer-commit layout already permits that evolution because
+    readers resolve purely through the marker). Safe mid-stream by
+    the ``before_epoch`` argument — see ``compact_store``. Idempotent
+    under crash-retry: a retried batch re-triggers the same fold,
+    which re-resolves to the same live state.
+    """
+    trigger = False
+    for name in _EMPTY_SCHEMA:
+        path = os.path.join(store_dir, name)
+        if not os.path.isdir(path):
+            continue
+        mark = _marker(path)
+        tail = [
+            e for e in os.listdir(path)
+            if e.startswith("epoch=")
+            and int(e.split("=")[1]) > mark["through"]
+            and int(e.split("=")[1]) < epoch_id
+        ]
+        if len(tail) >= every:
+            trigger = True
+            break
+    if trigger:
+        compact_store(spark, store_dir, before_epoch=epoch_id)
+    return trigger
 
 
 # --------------------------------------------------------------------------
@@ -1097,18 +1178,23 @@ def run_semantic_dedup_stream(
     store_dir: str,
     checkpoint_dir: str,
     cells: int | None = None,
+    compact_every: int | None = None,
 ):
     """Wire an embedding stream into the incremental semantic-dedup store.
 
     ``cells`` pins the quantizer geometry on first run (a production
     deployment would size it like ``ivf_cells_for`` against the
     expected corpus); restarts adopt the stored value.
+    ``compact_every`` = in-stream auto-compaction (``maybe_compact``).
     """
     _sem_config(store_dir, cells)
     return (
         sdf.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(lambda df, eid: semantic_dedup_batch(df, eid, store_dir))
+        .foreachBatch(_compacting(
+            lambda df, eid: semantic_dedup_batch(df, eid, store_dir),
+            store_dir, compact_every,
+        ))
         .start()
     )
 
@@ -1300,17 +1386,22 @@ def run_ensemble_dedup_stream(
     store_dir: str,
     checkpoint_dir: str,
     bits: int | None = None,
+    compact_every: int | None = None,
 ):
     """Wire a (doc_id, text, embedding) stream into the incremental
     ensemble-dedup store. ``bits`` pins the SRP band width on first
     run (size with ``lsh_bits_for`` against the expected vector
     corpus); restarts adopt the stored value, and the band count is
-    pinned like the split stores."""
+    pinned like the split stores. ``compact_every``: in-stream
+    auto-compaction, see ``maybe_compact``."""
     _ens_bits(store_dir, bits)
     return (
         sdf.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(lambda df, eid: ensemble_dedup_batch(df, eid, store_dir))
+        .foreachBatch(_compacting(
+            lambda df, eid: ensemble_dedup_batch(df, eid, store_dir),
+            store_dir, compact_every,
+        ))
         .start()
     )
 
@@ -1406,17 +1497,20 @@ def run_curation_stream(
     store_dir: str,
     checkpoint_dir: str,
     bits: int | None = None,
+    compact_every: int | None = None,
 ):
     """Wire a (doc_id, text, embedding) stream through the fused
     curation pipeline (same pinning/restart contract as the ensemble
-    dedup store)."""
+    dedup store; ``compact_every`` = in-stream auto-compaction,
+    ``maybe_compact``)."""
     _ens_bits(store_dir, bits)
     return (
         sdf.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(
-            lambda df, eid: curation_batch(df, eid, store_dir, eval_shingles)
-        )
+        .foreachBatch(_compacting(
+            lambda df, eid: curation_batch(df, eid, store_dir, eval_shingles),
+            store_dir, compact_every,
+        ))
         .start()
     )
 

@@ -1210,3 +1210,44 @@ def test_compacted_store_joins_are_store_side_shuffle_free(spark, tmp_path):
     kept_base2, _ = _store_parts(spark, store, "kept")
     assert spark.catalog.tableExists(tbl)
     assert kept_base2.count() == kept_base.count()
+
+
+def test_instream_auto_compaction_equivalence(spark, tmp_path):
+    """compact_every folds the epoch tail from INSIDE foreachBatch
+    without changing any survivor decision: the auto-compacting
+    stream's final kept set equals the never-compacted stream's, the
+    tail stays bounded, and the fold is crash-retry-safe by
+    construction (only epochs strictly below the current batch are
+    folded — a retried batch still reads the state its first attempt
+    saw)."""
+    import os
+
+    from flink_spark.streaming.dedup import _marker
+
+    from flink_spark.sources import load
+
+    docs = load(spark, SF_DIR, "documents")
+    a_store, a_ck = str(tmp_path / "a_store"), str(tmp_path / "a_ck")
+    b_store, b_ck = str(tmp_path / "b_store"), str(tmp_path / "b_ck")
+
+    q = run_dedup_stream(
+        doc_stream(spark, docs, str(tmp_path / "ra"), slices=5),
+        a_store, a_ck, mode="near")
+    q.processAllAvailable(); q.stop()
+
+    q = run_dedup_stream(
+        doc_stream(spark, docs, str(tmp_path / "rb"), slices=5),
+        b_store, b_ck, mode="near", compact_every=2)
+    q.processAllAvailable(); q.stop()
+
+    a = sorted(r.doc_id for r in kept_docs(spark, a_store).collect())
+    b = sorted(r.doc_id for r in kept_docs(spark, b_store).collect())
+    assert a == b
+
+    # the tail is bounded and a bucketed base exists mid-stream
+    kept_dir = os.path.join(b_store, "kept")
+    mark = _marker(kept_dir)
+    assert mark["base"] >= 0 and mark["buckets"] > 0
+    tail = [e for e in os.listdir(kept_dir) if e.startswith("epoch=")
+            and int(e.split("=")[1]) > mark["through"]]
+    assert len(tail) <= 2 + 1  # every=2 plus the current epoch's dir
