@@ -58,8 +58,15 @@ def main() -> None:
         ).parquet(f"{dst}/{t}.parquet")
 
     docs = spark.read.parquet(f"{src}/documents.parquet")
+    # Parallelize BEFORE the explode: the source fixture is one file =
+    # one task, and a repartition placed after the select would
+    # exchange only the exploded output — the whole factor× explode +
+    # per-token remap would run single-threaded first (measured: at
+    # factor 10000 that one task is an hour; spread across 64 it's
+    # minutes). Shuffling 5k source rows is free.
     out = (
-        docs.select(
+        docs.repartition(64)
+        .select(
             "*", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("r")
         )
         .withColumn(
@@ -82,9 +89,9 @@ def main() -> None:
         )
         .drop("r")
     )
-    out.repartition(64).write.mode("overwrite").parquet(
-        f"{dst}/documents.parquet"
-    )
+    # already 64 partitions from the pre-explode repartition; a second
+    # exchange here would move the full factor× row set for nothing
+    out.write.mode("overwrite").parquet(f"{dst}/documents.parquet")
     n = spark.read.parquet(f"{dst}/documents.parquet").count()
     print(f"wrote {n} documents to {dst}/documents.parquet")
 
