@@ -145,15 +145,26 @@ _SNAPSHOT_FIRST = (
     "s_cep_jump",
     "s_cep_browse_buy",
     "t_shuffle_shards",
-    # block 3 — r11-stale fill to the cap (oldest-first, registration
-    # order as the tiebreak): 44+6=50.
+    # block 3 — code changed THIS round (r13): the four remaining
+    # replay gates all drive the bucketed-store refactor
+    # (_store_parts two-leg reads, leg-wise verifies) end-to-end;
+    # value-verified at sf0.1 this session (140/140 full-catalog
+    # pass), but the driver gate should see them on the new code.
+    # Changed-code outranks the stale fill.
+    "s_dedup_stream_replay",
+    "s_decontam_stream_replay",
+    "s_split_stream_replay",
+    "s_semantic_split_replay",
+    # block 4 — r11-stale fill to the cap (oldest-first, registration
+    # order as the tiebreak): 44+4+2=50. The four r11-stale p_*/f_*
+    # rows displaced by block 3 queue first for the r14 stale drain.
     "q10_returned_items",
     "q5_local_supplier_volume",
+    # --- the driver's 50-query cap lands here ---
     "p_projection_filter",
     "p_conditional_delta",
     "p_json_extract",
     "f_scalar_datetime",
-    # --- the driver's 50-query cap lands here ---
 )
 
 

@@ -57,7 +57,18 @@ def main() -> None:
             "overwrite"
         ).parquet(f"{dst}/{t}.parquet")
 
+    from flink_spark.plans.textops import EVAL_SOURCE
+
     docs = spark.read.parquet(f"{src}/documents.parquet")
+    # The held-out benchmark source stays FIXED while the corpus
+    # scales (r13): in production the eval set is a constant-size
+    # benchmark, and replicating it factor× breaks the contract every
+    # decontamination stage is built on — the eval shingle set stops
+    # being broadcast-sized (at factor 10000 its driver collect alone
+    # exceeds spark.driver.maxResultSize). Eval docs are copied
+    # verbatim; only the corpus replicates.
+    eval_docs = docs.filter(F.col("source") == EVAL_SOURCE)
+    corpus = docs.filter(F.col("source") != EVAL_SOURCE)
     # Parallelize BEFORE the explode: the source fixture is one file =
     # one task, and a repartition placed after the select would
     # exchange only the exploded output — the whole factor× explode +
@@ -65,7 +76,7 @@ def main() -> None:
     # factor 10000 that one task is an hour; spread across 64 it's
     # minutes). Shuffling 5k source rows is free.
     out = (
-        docs.repartition(64)
+        corpus.repartition(64)
         .select(
             "*", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("r")
         )
@@ -91,7 +102,9 @@ def main() -> None:
     )
     # already 64 partitions from the pre-explode repartition; a second
     # exchange here would move the full factor× row set for nothing
-    out.write.mode("overwrite").parquet(f"{dst}/documents.parquet")
+    out.unionByName(eval_docs).write.mode("overwrite").parquet(
+        f"{dst}/documents.parquet"
+    )
     n = spark.read.parquet(f"{dst}/documents.parquet").count()
     print(f"wrote {n} documents to {dst}/documents.parquet")
 
