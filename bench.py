@@ -209,14 +209,24 @@ CANARY_REF = {"sf": 0.1, "cpus": 32, "total_sec": 2.128}  # r9 session
 # measured two sessions agreeing to 0.5% raw whose canary means
 # differed 39%). A wider sample is the at-the-source fix, but the
 # pinned 2.128 s reference only exists for the original trio — so the
-# wide set runs ALONGSIDE it (same legs, same min-of-N discipline) and
-# reports raw start/end totals with no factor. SCALING.md §R13 pins
-# the first idle-session wide totals as the future reference; once two
-# rounds of history exist the factor can migrate. The three additions
-# are the cheapest plan-stable queries in the headline list with
-# distinct plan shapes (as-of join, shard shuffle, config routing).
+# wide set ran ALONGSIDE it through r13 (same legs, same min-of-N
+# discipline), reporting raw totals with no factor. The three
+# additions are the cheapest plan-stable queries in the headline list
+# with distinct plan shapes (as-of join, shard shuffle, config
+# routing).
 CANARY_WIDE_EXTRA = ["j_asof_nearest", "t_shuffle_shards",
                      "r_config_routing"]
+
+# Round 14 (r13 verdict #5): the session factor now comes from the
+# 6-query WIDE series — double the sample mass, the at-the-source fix
+# for the trio's ±40% between-session noise that compressed the r13
+# flagship margin from 16% to 0.6% on an IMPROVING raw wall. The wide
+# reference is the r13 trusted idle session (SCALING.md §R13: start
+# 2.989 / end 3.106, mean 3.048 s at sf0.1, local[32]). The legacy
+# trio factor is still computed and reported (`legacy_session_factor*`)
+# so the nine rounds of trio history stay readable; budgets are
+# restated against the wide normalization in SCALING.md §R14.
+CANARY_WIDE_REF = {"sf": 0.1, "cpus": 32, "total_sec": 3.048}
 
 # A session's own normalization is only trusted when its two canary
 # legs agree: above this spread the machine moved mid-session and the
@@ -316,8 +326,13 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    factor_start = round(canary_start_total / CANARY_REF["total_sec"], 3)
-    factor_end = round(canary_end_total / CANARY_REF["total_sec"], 3)
+    # r14: the session factor comes from the WIDE 6-query series (see
+    # CANARY_WIDE_REF); the legacy trio factor rides alongside for
+    # cross-round continuity with r4-r13 artifacts.
+    factor_start = round(wide_start_total / CANARY_WIDE_REF["total_sec"], 3)
+    factor_end = round(wide_end_total / CANARY_WIDE_REF["total_sec"], 3)
+    legacy_start = round(canary_start_total / CANARY_REF["total_sec"], 3)
+    legacy_end = round(canary_end_total / CANARY_REF["total_sec"], 3)
     # Normalize with the MEAN of the bracketing factors: the timed
     # passes ran between the two canary legs, so the mean is the least
     # biased single estimate of the session speed they experienced. The
@@ -329,26 +344,31 @@ def main() -> None:
     # disagree by more than SPREAD_TRUST drifted mid-run — its factor
     # is noise, and a reader who sees only this JSON must not be led
     # to normalize by it (that is exactly how r11 was mis-read). When
-    # untrusted, the headline normalized_total_sec falls back to the
-    # RAW total; the canary-computed value is always carried alongside
-    # as normalized_total_canary_sec for full transparency.
+    # untrusted, EVERY headline "normalized" field falls back to raw —
+    # the total AND the per-query map (r13 ADVICE: emitting a
+    # raw-falling-back total next to a still-divided per-query map let
+    # a reader normalize by a factor the same JSON declares noise);
+    # the canary-computed values are always carried alongside under
+    # explicitly soft *_canary keys for full transparency.
     factor_trusted = spread <= SPREAD_TRUST
     # normalized = raw / session_factor: the per-query wall this session
     # WOULD have measured at the pinned reference session's speed.
     # Cross-round readers compare normalized-to-normalized and skip the
-    # hand arithmetic the r10 verdict had to do — but only when
-    # factor_trusted; otherwise the per-query map is soft.
-    normalized = {n: round(t / session_factor, 3) for n, t in times.items()}
-    normalized_total = round(sum(normalized.values()), 3)
+    # hand arithmetic the r10 verdict had to do.
+    normalized_canary = {
+        n: round(t / session_factor, 3) for n, t in times.items()
+    }
+    normalized_total_canary = round(sum(normalized_canary.values()), 3)
     print(json.dumps({
         "metric": "headline_total_sec",
         "value": total,
         "unit": "sec",
         "queries": times,
-        "normalized": normalized,
-        "normalized_total_sec": normalized_total if factor_trusted
+        "normalized": normalized_canary if factor_trusted else times,
+        "normalized_total_sec": normalized_total_canary if factor_trusted
         else total,
-        "normalized_total_canary_sec": normalized_total,
+        "normalized_canary": normalized_canary,
+        "normalized_total_canary_sec": normalized_total_canary,
         "factor_trusted": factor_trusted,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "canary": {
@@ -360,18 +380,25 @@ def main() -> None:
             # >1 = this session is slower than the reference session
             # on plan-identical work; divide per-query deltas by this
             # before reading them as regressions. The mean of the two
-            # bracketing legs; start/end and their spread tell you how
-            # much the session moved while the timed passes ran.
+            # bracketing WIDE legs (r14+; `legacy_session_factor*` is
+            # the r4-r13 trio series); start/end and their spread tell
+            # you how much the session moved while the timed passes ran.
             "session_factor": session_factor,
             "session_factor_start": factor_start,
             "session_factor_end": factor_end,
             "session_factor_spread": spread,
             "factor_trusted": factor_trusted,
-            # wide canary series (r13+): raw totals only, no factor —
-            # the reference for these is pinned in SCALING.md §R13 and
-            # the factor migrates once cross-round history exists.
+            "legacy_session_factor": round((legacy_start + legacy_end) / 2, 3),
+            "legacy_session_factor_start": legacy_start,
+            "legacy_session_factor_end": legacy_end,
+            "legacy_session_factor_spread": round(
+                abs(legacy_end - legacy_start), 3
+            ),
+            # wide canary series (r13+): raw totals; the factor above
+            # is computed from these against CANARY_WIDE_REF (r14+).
             "wide_total_sec": wide_start_total,
             "wide_total_sec_end": wide_end_total,
+            "wide_ref": CANARY_WIDE_REF,
             "wide_queries": CANARY + CANARY_WIDE_EXTRA,
         },
     }))

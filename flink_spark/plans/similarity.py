@@ -1875,13 +1875,30 @@ def e_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     which keeps per-cell lists executor-sized AND recall
     scale-stable at 100 TB with no manual tuning.
     """
+    return ivf_topk(spark, sf_dir)
+
+
+def ivf_topk(
+    spark: SparkSession, sf_dir: str, cents=None,
+    cells: int | None = None, probes: int | None = None,
+) -> DataFrame:
+    """The IVF-flat search kernel behind ``e_ann_ivf_topk``, with the
+    quantizer injectable: ``cents`` = a (cells × DIM) trained centroid
+    matrix (``ivf_train``) — the engine-feature path; None = the
+    md5-derived directions the DuckDB oracle can reproduce (the
+    catalog default). Identical dataflow either way: assignment via
+    ``_with_probe_cells``, one broadcast-query probed cell join, one
+    per-query top-k window — which is the point (a trained quantizer
+    changes WHERE mass lands, not the plan)."""
     emb = load(spark, sf_dir, "embeddings")
-    n_cells = _active_ivf_cells(spark, sf_dir)
+    n_cells = cells if cells is not None else _active_ivf_cells(spark, sf_dir)
     probed = _with_probe_cells(
         emb.select(
             "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
         ),
-        spark, n_cells, _active_ivf_probes(spark, sf_dir),
+        spark, n_cells,
+        probes if probes is not None else _active_ivf_probes(spark, sf_dir),
+        cents=cents,
     )
     q = (
         probed.filter(F.col("vec_id") < N_QUERIES)

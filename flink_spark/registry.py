@@ -91,80 +91,71 @@ def release_persisted() -> None:
 # remainder (all green in the latest snapshot) follow in registration
 # order and absorb the cap.
 _SNAPSHOT_FIRST = (
-    # ===== r13 rotation =====
-    # block 0 — never driver-checked: the two post-snapshot r12
-    # streaming pipeline gates (VERDICT r12 item #1: they lead).
+    # ===== r14 rotation =====
+    # block 0 — code changed THIS round (r14, VERDICT r13 item #1):
+    # all six replay gates now run with compact_every=2 so the
+    # in-stream compaction fires UNDER the driver oracle; the three
+    # epoch-emulated gates additionally replay FOUR slices, so their
+    # final micro-batch genuinely PROBES the bucketed base through the
+    # two-leg _store_parts path (oracles re-derived at slices=4).
+    # Changed-code leads; there are no never-checked queries.
+    "s_dedup_stream_replay",
     "s_ensemble_dedup_replay",
     "s_curation_stream_replay",
-    # block 1 — code changed in r12 but demoted below that round's cap
-    # (recorded at the time): the flagship's refactor through
-    # _pipeline_oracle and the derived-probe default on the
-    # materialized index. Spliced before the stale drain per the
-    # rotation convention (changed-code outranks stale).
-    "t_training_pipeline",
-    "e_indexed_search_topk",
-    # block 2 — the 40 remaining queries whose newest green row is r10
-    # (t_training_pipeline is drained above). 2+2+40=44.
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "j_broadcast_dim_join",
-    "j_left_outer_enrich",
-    "j_full_outer_metrics",
-    "j_two_key_join",
-    "j_interval_join",
-    "j_left_outer_interval",
-    "j_wide_order_5way",
-    "sql_revenue_forecast",
-    "a_approx_sketch_daily",
-    "t_token_stats",
-    "t_substring_dedup",
-    "t_decontaminate",
-    "t_decontaminate_fraction",
-    "t_decontaminate_spans",
-    "t_source_mixture",
-    "t_ngram_jaccard_dups",
-    "t_minhash_lsh_dups",
-    "t_lsh_recall_curve",
-    "t_dup_clusters",
-    "t_leakage_safe_split",
-    "t_leakage_safe_split_loose",
-    "t_simhash_dups",
-    "t_corpus_pipeline",
-    "t_cross_source_dedup",
-    "t_bm25_topk",
-    "t_zipf_profile",
-    "t_containment_dups",
-    "e_cosine_topk",
-    "e_norm_stats",
-    "m_doc_embedding_join",
-    "m_binary_meta",
-    "m_decode_features",
-    "m_frame_sample",
-    "m_resize_bytes",
-    "s_dedup_latest",
-    "s_cep_jump",
-    "s_cep_browse_buy",
-    "t_shuffle_shards",
-    # block 3 — code changed THIS round (r13): the four remaining
-    # replay gates all drive the bucketed-store refactor
-    # (_store_parts two-leg reads, leg-wise verifies) end-to-end;
-    # value-verified at sf0.1 this session (140/140 full-catalog
-    # pass), but the driver gate should see them on the new code.
-    # Changed-code outranks the stale fill.
-    "s_dedup_stream_replay",
-    "s_decontam_stream_replay",
     "s_split_stream_replay",
     "s_semantic_split_replay",
-    # block 4 — r11-stale fill to the cap (oldest-first, registration
-    # order as the tiebreak): 44+4+2=50. The four r11-stale p_*/f_*
-    # rows displaced by block 3 queue first for the r14 stale drain.
-    "q10_returned_items",
-    "q5_local_supplier_volume",
-    # --- the driver's 50-query cap lands here ---
+    "s_decontam_stream_replay",
+    # block 1 — the full 42-row r11-stale drain (VERDICT r13 item #2;
+    # oldest-first, registration order as the tiebreak — the order
+    # gen_rotation.py recommends). 6+42=48.
     "p_projection_filter",
     "p_conditional_delta",
     "p_json_extract",
     "f_scalar_datetime",
+    "ads_channel_stats",
+    "ads_conditional_score",
+    "ads_hourly_stats",
+    "ads_topk_users",
+    "a_salted_hot_key_agg",
+    "u_union_metrics",
+    "j_lru_dim_join",
+    "t_stratified_sample",
+    "t_lsh_precision_stats",
+    "t_keep_best_dedup",
+    "t_context_chunks",
+    "t_distinctive_terms",
+    "t_perplexity_buckets",
+    "t_table_profile",
+    "ads_funnel_union",
+    "ads_category_fullouter",
+    "ads_gmv_topk_brand",
+    "ads_subsidy_rate",
+    "ads_keyword_score",
+    "ads_province_stats",
+    "r_config_routing",
+    "p_split_counts",
+    "p_cdc_map_projection",
+    "e_filtered_topk",
+    "e_ann_lsh_topk",
+    "e_hard_negatives_topk",
+    "t_embedding_neardup",
+    "e_dup_clusters",
+    "e_lsh_recall_curve",
+    "x_ensemble_dup_clusters",
+    "x_modality_agreement",
+    "e_leakage_safe_split",
+    "e_centroid_outliers",
+    "e_semantic_dedup",
+    "e_semantic_decontaminate",
+    "e_sq8_topk",
+    "s_daily_unique_users",
+    "w_topn_per_window",
+    # block 2 — r12 fill to the cap (oldest remaining, registration
+    # order): 48+2=50. After this snapshot nothing in the catalog is
+    # older than r12.
+    "ads_rollup_matrix",
+    "j_asof_nearest",
+    # --- the driver's 50-query cap lands here ---
 )
 
 

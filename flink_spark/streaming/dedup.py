@@ -36,12 +36,25 @@ the store; the store is only ever scanned through a key join (Spark
 prunes columns to the band/fingerprint keys), never cross-joined. The
 per-batch component loop runs on the batch's pair graph, bounded by
 batch size, not corpus size.
+
+Store contract — doc_id uniqueness: a stream MUST NOT re-send a
+``doc_id`` (``vec_id``) that an earlier batch already delivered. The
+per-batch graphs classify a node as "stored" iff it is absent from the
+current batch (``stored_ids`` below), and the per-leg store unions
+assume a stored doc's rows live in exactly one epoch/base leg; an id
+arriving twice would be re-classified as a batch doc, could survive its
+own poisoned cluster, and would write duplicate store rows. This is the
+same at-most-once-per-key contract the reference's keyed dedup state
+carries implicitly (a Kafka key re-delivery is a RETRY of the same
+record, handled by the epoch-overwrite idempotence — not a new record
+with an old id).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -104,6 +117,14 @@ _BUCKET_KEY = {
 # the pre-r13 layout, kept readable and used as the SCALING.md
 # before/after control).
 STORE_BUCKETS = int(os.environ.get("FLINK_SPARK_STORE_BUCKETS", "16"))
+
+# Default in-stream auto-compaction cadence for every run_*_stream: the
+# epoch tail (small files + the plain leg of every store-side join) is
+# bounded at this many micro-batches, with the bucketed-base rewrite
+# amortized over the same window. Pass ``compact_every=None`` (or 0) to
+# disable — a long-running production stream should never run
+# unbounded, so None is an explicit opt-out, not the default.
+DEFAULT_COMPACT_EVERY = 16
 
 
 def _marker(path: str) -> dict:
@@ -261,6 +282,7 @@ def _commit_base(
             .option("path", base_dir)
             .format("parquet").saveAsTable(tbl)
         )
+        _assert_one_file_per_bucket(base_dir)
         marker.update({"buckets": STORE_BUCKETS, "key": key})
     else:
         df.write.mode("overwrite").parquet(base_dir)
@@ -272,14 +294,59 @@ def _commit_base(
     os.replace(tmp, os.path.join(path, "_COMPACTED"))
     for e in epochs:
         shutil.rmtree(os.path.join(path, f"epoch={e}"), ignore_errors=True)
-    if mark["base"] >= 0:
-        shutil.rmtree(
-            os.path.join(path, f"base-{mark['base']}"), ignore_errors=True
+    # GC every superseded base generation, not just the immediate
+    # predecessor: a crash between the marker swap and this sweep would
+    # otherwise leak base-(gen-1) (and its catalog entry) forever,
+    # because later compactions only knew their own predecessor. Like
+    # the epoch debris above, anything below the marker's generation is
+    # ignored by readers and safe to collect idempotently.
+    for e in os.listdir(path):
+        if not e.startswith("base-"):
+            continue
+        old = int(e.split("-", 1)[1])
+        if old >= gen:
+            continue
+        shutil.rmtree(os.path.join(path, e), ignore_errors=True)
+        df.sparkSession.sql(
+            f"DROP TABLE IF EXISTS {_table_ident(path, old)}"
         )
-        if mark.get("buckets"):
-            df.sparkSession.sql(
-                f"DROP TABLE IF EXISTS {_table_ident(path, mark['base'])}"
+
+
+# Bucketed parquet part files carry their bucket id as the `_NNNNN`
+# block before the codec/extension suffix, e.g.
+# part-00003-<uuid>_00003.c000.snappy.parquet.
+_BUCKET_FILE_RE = re.compile(r"_(\d{5})\.")
+
+
+def _assert_one_file_per_bucket(base_dir: str) -> None:
+    """Write-time guard for the session-wide
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` trust
+    (`session.py`): that conf makes every reader believe a bucketed
+    scan is sorted, which is only true when each bucket is exactly ONE
+    file (multi-file buckets concatenate sorted runs into an unsorted
+    whole and would silently corrupt the no-Sort SortMergeJoins).
+    ``_commit_base`` aligns writer partitions with bucket ids
+    (``repartition(buckets, key)``) precisely to get one file per
+    bucket; this assert turns any future violation — an appending
+    writer, ``maxRecordsPerFile`` splitting, a skipped repartition —
+    into a loud failure instead of wrong join results."""
+    seen: dict[str, str] = {}
+    for f in os.listdir(base_dir):
+        if not f.startswith("part-"):
+            continue
+        m = _BUCKET_FILE_RE.search(f)
+        if m is None:
+            raise AssertionError(
+                f"non-bucketed data file {f!r} in bucketed base {base_dir}"
             )
+        if m.group(1) in seen:
+            raise AssertionError(
+                f"bucket {m.group(1)} has multiple files in {base_dir} "
+                f"({seen[m.group(1)]!r}, {f!r}); the sorted-scan trust "
+                "(session.py bucketedTableScan.outputOrdering) requires "
+                "exactly one file per bucket"
+            )
+        seen[m.group(1)] = f
 
 
 def exact_dedup_batch(
@@ -439,7 +506,9 @@ def neardup_dedup_batch(
     # batch↔batch and store↔batch only), so the stored nodes are just
     # the graph nodes NOT in the batch — two batch-bounded frames; the
     # old stored_ids = store.distinct() shape reshuffled the whole
-    # store per micro-batch for the same answer
+    # store per micro-batch for the same answer. Relies on the store
+    # contract (module docstring): a doc_id never re-arrives in a
+    # later batch, else it would be misread here as batch-only.
     stored_ids = labels.select("doc_id").join(
         docs.select("doc_id"), "doc_id", "left_anti"
     )
@@ -594,7 +663,7 @@ def run_split_stream(
     store_dir: str,
     checkpoint_dir: str,
     threshold: float = SPLIT_JACCARD,
-    compact_every: int | None = None,
+    compact_every: int | None = DEFAULT_COMPACT_EVERY,
 ):
     """Wire a document stream into the incremental split-assignment
     store (same checkpoint/epoch discipline as ``run_dedup_stream``:
@@ -783,7 +852,7 @@ def run_semantic_split_stream(
     checkpoint_dir: str,
     bits: int | None = None,
     threshold: float | None = None,
-    compact_every: int | None = None,
+    compact_every: int | None = DEFAULT_COMPACT_EVERY,
 ):
     """Wire an embedding stream into the incremental semantic split
     store. ``bits`` pins the SRP band width on first run (size it with
@@ -851,15 +920,19 @@ def run_decontaminate_stream(
     eval_shingles: DataFrame,
     store_dir: str,
     checkpoint_dir: str,
+    compact_every: int | None = DEFAULT_COMPACT_EVERY,
 ):
-    """Wire a document stream through benchmark decontamination."""
+    """Wire a document stream through benchmark decontamination
+    (``compact_every`` = in-stream auto-compaction of the ``clean``
+    store, ``maybe_compact``)."""
     q = (
         sdf.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(
+        .foreachBatch(_compacting(
             lambda df, eid: decontaminate_batch(df, eid, store_dir,
-                                                eval_shingles)
-        )
+                                                eval_shingles),
+            store_dir, compact_every,
+        ))
         .start()
     )
     return q
@@ -922,7 +995,7 @@ def run_dedup_stream(
     store_dir: str,
     checkpoint_dir: str,
     mode: str = "near",
-    compact_every: int | None = None,
+    compact_every: int | None = DEFAULT_COMPACT_EVERY,
 ):
     """Wire a document stream into the incremental dedup store.
     ``compact_every``: auto-fold the epoch tail into the bucketed
@@ -1178,7 +1251,7 @@ def run_semantic_dedup_stream(
     store_dir: str,
     checkpoint_dir: str,
     cells: int | None = None,
-    compact_every: int | None = None,
+    compact_every: int | None = DEFAULT_COMPACT_EVERY,
 ):
     """Wire an embedding stream into the incremental semantic-dedup store.
 
@@ -1349,7 +1422,8 @@ def _ensemble_dedup_core(
     labels = connected_components(pairs)
     # graph nodes are batch docs or stored docs/vectors, so the stored
     # nodes are the graph nodes NOT in the batch — batch-bounded, no
-    # per-batch store-wide distinct (see neardup_dedup_batch)
+    # per-batch store-wide distinct (see neardup_dedup_batch; same
+    # doc_id-never-re-arrives store contract, module docstring)
     stored_ids = labels.select("doc_id").join(
         docs.select("doc_id"), "doc_id", "left_anti"
     )
@@ -1386,7 +1460,7 @@ def run_ensemble_dedup_stream(
     store_dir: str,
     checkpoint_dir: str,
     bits: int | None = None,
-    compact_every: int | None = None,
+    compact_every: int | None = DEFAULT_COMPACT_EVERY,
 ):
     """Wire a (doc_id, text, embedding) stream into the incremental
     ensemble-dedup store. ``bits`` pins the SRP band width on first
@@ -1497,7 +1571,7 @@ def run_curation_stream(
     store_dir: str,
     checkpoint_dir: str,
     bits: int | None = None,
-    compact_every: int | None = None,
+    compact_every: int | None = DEFAULT_COMPACT_EVERY,
 ):
     """Wire a (doc_id, text, embedding) stream through the fused
     curation pipeline (same pinning/restart contract as the ensemble

@@ -35,6 +35,8 @@ def main() -> None:
     p.add_argument("--probes", type=int, default=None)
     p.add_argument("--sample", type=int, default=4)
     p.add_argument("--trained-pq", action="store_true")
+    p.add_argument("--trained-ivf", action="store_true")
+    p.add_argument("--ivf-iters", type=int, default=2)
     p.add_argument(
         "--variants",
         default="e_ann_ivf_topk,e_pq_adc_topk,e_ivfpq_topk",
@@ -79,6 +81,27 @@ def main() -> None:
         release_persisted()
         walls[name] = round(time.time() - t0, 1)
         out[name] = round(len(got & truth) / denom, 3)
+
+    if args.trained_ivf:
+        # The r13 watch item (SCALING §R13): the data-independent md5
+        # quantizer leaves hot cells on clustered mass, so IVF legs pay
+        # ~20x more wall on the clustered replica than structure-free.
+        # This leg trains the spherical-k-means quantizer (ivf_train,
+        # the IVF twin of --trained-pq) and re-runs the SAME search
+        # kernel with centroids injected — recall AND wall, so the
+        # defaults ruling can weigh both.
+        t0 = time.time()
+        cents = S.ivf_train(spark, sf, iters=args.ivf_iters)
+        walls["ivf_train"] = round(time.time() - t0, 1)
+        t0 = time.time()
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in S.ivf_topk(spark, sf, cents=cents)
+            .filter(F.col("query_id").isin(ids)).collect()
+        }
+        release_persisted()
+        walls["ivf_trained"] = round(time.time() - t0, 1)
+        out["ivf_trained"] = round(len(got & truth) / denom, 3)
 
     if args.trained_pq:
         import numpy as np

@@ -50,13 +50,22 @@ def main() -> None:
         line = out.stdout.strip().splitlines()[-1]
         sessions.append(json.loads(line))
 
+    # min-raw over ALL sessions; min-normalized over TRUSTED sessions
+    # only (r13 ADVICE: an untrusted session's factor is declared noise
+    # by its own artifact — mixing its canary-normalized values into a
+    # min would rule budgets on numbers nobody trusts). bench.py r14+
+    # carries the always-divided map under "normalized_canary";
+    # "normalized" itself falls back to raw when untrusted.
     min_raw: dict[str, float] = {}
     min_norm: dict[str, float] = {}
+    trusted = [s for s in sessions if s["canary"].get(
+        "session_factor_spread", 1.0) <= SPREAD_TRUST]
     for s in sessions:
         for q, t in s["queries"].items():
             if q not in min_raw or t < min_raw[q]:
                 min_raw[q] = t
-        for q, t in s["normalized"].items():
+    for s in trusted:
+        for q, t in s.get("normalized_canary", s["normalized"]).items():
             if q not in min_norm or t < min_norm[q]:
                 min_norm[q] = t
 
@@ -65,10 +74,16 @@ def main() -> None:
     budgets = {}
     if sf == 0.1 and cpus == "32":
         for q, limit in BUDGETS_SF01.items():
-            got = min_norm.get(q)
+            # Ruled on trusted-session normalized walls; with no
+            # trusted session in the batch the verdict falls back to
+            # the raw min (stated in the basis) rather than silently
+            # using a noisy factor.
+            got = min_norm.get(q) if trusted else min_raw.get(q)
             budgets[q] = {
                 "limit_normalized_sec": limit,
                 "min_normalized_sec": got,
+                "basis": "normalized (trusted sessions)" if trusted
+                else "raw (no trusted session)",
                 "verdict": (
                     "IN" if got is not None and got <= limit else "OUT"
                 ),
@@ -88,6 +103,7 @@ def main() -> None:
             }
             for s in sessions
         ],
+        "n_trusted": len(trusted),
         "min_raw_total_sec": round(sum(min_raw.values()), 3),
         "min_normalized_total_sec": round(sum(min_norm.values()), 3),
         "min_raw": min_raw,

@@ -1,8 +1,25 @@
 """Generate a DOCUMENTS-ONLY N× replica dir for text-scale benches.
 
-``python scripts/gen_doc_scale.py [factor] [src_dir] [dst_dir]``
+``python scripts/gen_doc_scale.py [factor] [src_dir] [dst_dir]
+[--quality]``
 (defaults: 1000 /root/testdata/sf0.1 /tmp/flink_spark_scale/sf100docs
 — 1000 × the 5,000-doc fixture = 5M documents)
+
+``--quality`` (r13 verdict #4): a PAIR-STAGE-HEAVY replica. The plain
+remap suffixes EVERY token, which destroys the stopword-ratio and
+avg-token-length quality features — so every decade-ladder rung
+throttles at the quality gate (~1% pass at 10000×) and the LSH
+banding/verify/CC stages never see millions of survivors. Quality
+mode (a) filters the source corpus to quality-PASSING docs first and
+(b) suffixes only NON-stopword tokens, preserving the token count and
+stopword ratio exactly — two of the three score features, i.e. every
+replica of a passing doc still passes (score >= 2 of 3). Shingle
+disjointness across replicas survives: a shingle collides across
+replicas only if ALL its SHINGLE_N tokens are stopwords — at the
+fixture's 6.6% stopword rate that is ~0.03% of 3-shingles, far below
+any near-dup or banding threshold. Within a replica the token remap
+is a content bijection (same word → same output everywhere), so
+near-dup Jaccard structure is preserved exactly.
 
 The documents twin of ``gen_vec_scale.py``: `gen_scale.py` replicates
 every table by the same factor, which for the flagship's 5M-doc
@@ -42,9 +59,11 @@ STRIDE = 1_000_000_000
 
 
 def main() -> None:
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
-    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    dst = sys.argv[3] if len(sys.argv) > 3 else (
+    args = [a for a in sys.argv[1:] if a != "--quality"]
+    quality = "--quality" in sys.argv[1:]
+    factor = int(args[0]) if len(args) > 0 else 1000
+    src = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
+    dst = args[2] if len(args) > 2 else (
         "/tmp/flink_spark_scale/sf100docs"
     )
 
@@ -57,7 +76,7 @@ def main() -> None:
             "overwrite"
         ).parquet(f"{dst}/{t}.parquet")
 
-    from flink_spark.plans.textops import EVAL_SOURCE
+    from flink_spark.plans.textops import EVAL_SOURCE, STOPWORDS
 
     docs = spark.read.parquet(f"{src}/documents.parquet")
     # The held-out benchmark source stays FIXED while the corpus
@@ -69,6 +88,17 @@ def main() -> None:
     # verbatim; only the corpus replicates.
     eval_docs = docs.filter(F.col("source") == EVAL_SOURCE)
     corpus = docs.filter(F.col("source") != EVAL_SOURCE)
+    if quality:
+        from flink_spark.plans.textops import _quality_score_spark
+
+        corpus = corpus.filter(_quality_score_spark() >= 2)
+
+    def remap(w, r):
+        suffixed = F.concat(w, F.lit("x"), r.cast("string"))
+        if not quality:
+            return suffixed
+        # stopwords stay bare so the stopword-ratio feature survives
+        return F.when(w.isin(*STOPWORDS), w).otherwise(suffixed)
     # Parallelize BEFORE the explode: the source fixture is one file =
     # one task, and a repartition placed after the select would
     # exchange only the exploded output — the whole factor× explode +
@@ -90,9 +120,7 @@ def main() -> None:
                 F.array_join(
                     F.transform(
                         F.split("text", " "),
-                        lambda w: F.concat(
-                            w, F.lit("x"), F.col("r").cast("string")
-                        ),
+                        lambda w: remap(w, F.col("r")),
                     ),
                     " ",
                 )
