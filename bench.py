@@ -146,6 +146,10 @@ HEADLINE = [
     "e_pq_adc_topk",
     "e_filtered_topk",
     "e_ivfpq_topk",
+    # round 14: the trained-quantizer configuration — its cost model
+    # (search + IVF_TRAIN_ITERS assignment passes) should stay visible
+    # next to the md5 baseline it refines
+    "e_ivf_trained_topk",
     # tokenizer-training family (t_bpe_train itself is excluded: its
     # cost is 24 fixed-size argmax rounds — scale-independent by
     # design, measured in SCALING.md — and would read as data-scale

@@ -1989,6 +1989,170 @@ def e_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# IVF with a TRAINED coarse quantizer (spherical k-means, unrolled oracle)
+# --------------------------------------------------------------------------
+
+# Lloyd rounds for the catalog's trained-IVF query. A compile-time
+# constant for the same reason BPE_MERGES is: the training loop
+# UNROLLS into this many materialized CTE rounds in the oracle, making
+# the whole trainer value-checkable SQL (the t_bpe_train move). Two
+# rounds is where the r13/r14 geometry instrument measured the recall
+# gain (0.583 -> 0.667 on the clustered 500k replica) with each round
+# costing one assignment pass over the corpus.
+IVF_TRAIN_ITERS = 2
+
+
+def _cl_scores_sql(a: str) -> str:
+    """Per-cell scores of ``a`` against the centroid list-of-lists
+    column ``cl`` (the trained twin of ``_cell_scores_sql``): same
+    left fold in ascending dimension order, so scores are bit-exact
+    with the ``_with_probe_cells`` kernel's ``acc += E[:, i] * CT[i]``
+    accumulation for the same centroid values."""
+    return (
+        "list_transform(range(1, cells + 1), j -> "
+        f"list_reduce(list_transform(range(1, {DIM + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * cl[j][i]), (x, y) -> x + y))"
+    )
+
+
+_TOP1_CELL_SQL = """list_transform(list_slice(list_sort(
+               list_transform(range(1, cells + 1),
+                              j -> {'nv': -d[j], 'i': j})),
+             1, 1), s -> s.i)[1]"""
+
+
+def _lloyd_round_sql(r: int, prev: str) -> str:
+    """One unrolled spherical-k-means round: assign every vector to
+    its argmax-cosine cell under the ``prev`` centroids, compute
+    exact-decimal per-(cell, dim) means, renormalize to unit length,
+    keep the previous direction for empty cells. Mirrors one
+    ``ivf_train`` iteration op for op (see its DETERMINISM note)."""
+    return f"""
+    a{r} AS (
+      SELECT vec_id, embedding, {_TOP1_CELL_SQL} AS cell
+      FROM (SELECT vec_id, embedding, {_cl_scores_sql('embedding')} AS d,
+                   cells
+            FROM embeddings, nc, {prev})
+    ),
+    m{r} AS (
+      SELECT cell, idx,
+             CAST(SUM(CAST(CAST(embedding[idx] AS DOUBLE)
+                           AS DECIMAL(32,12))) AS DOUBLE)
+               / COUNT(*) AS m
+      FROM a{r}, range(1, {DIM + 1}) t(idx)
+      GROUP BY cell, idx
+    ),
+    l{r} AS (
+      SELECT cell, list(m ORDER BY idx) AS mv,
+             sqrt(list_reduce(
+               list_transform(list(m ORDER BY idx), x -> x * x),
+               (x, y) -> x + y)) AS nn
+      FROM m{r} GROUP BY cell
+    ),
+    c{r} AS (
+      SELECT list(CASE WHEN nn IS NULL OR nn = 0 THEN prev_c
+                  ELSE list_transform(mv, x -> x / nn) END
+                  ORDER BY k) AS cl
+      FROM (SELECT k, cl[k] AS prev_c
+            FROM {prev},
+                 (SELECT unnest(range(1, cells + 1)) AS k FROM nc)) seeds
+      LEFT JOIN l{r} ON l{r}.cell = seeds.k
+    )"""
+
+
+def _ivf_trained_oracle() -> str:
+    # seed scale 1/sqrt(DIM): repr() round-trips the exact double, and
+    # DuckDB's literal parse is correctly rounded to the same value
+    # the Spark side computes (for DIM=64 it is exactly 0.125)
+    seed = repr(1.0 / math.sqrt(DIM))
+    rounds = ",".join(
+        _lloyd_round_sql(r + 1, f"c{r}") for r in range(IVF_TRAIN_ITERS)
+    )
+    return f"""
+    WITH {_IVF_CELLS_CTE},
+    {_IVF_PROBES_CTE},
+    c0 AS (
+      SELECT list(sc ORDER BY k) AS cl
+      FROM (SELECT k, list_transform(range(1, {DIM + 1}),
+                     i -> {_CENT_SIGN_SQL} * {seed}) AS sc
+            FROM (SELECT unnest(range(1, cells + 1)) AS k FROM nc))
+    ),
+    {rounds},
+    scored AS (
+      SELECT vec_id, embedding, {_norm_sql('embedding')} AS nrm,
+             {_cl_scores_sql('embedding')} AS d, cells, probes
+      FROM embeddings, nc, np, c{IVF_TRAIN_ITERS}
+    ),
+    cellassign AS (
+      SELECT *, list_transform(list_slice(list_sort(
+                  list_transform(range(1, cells + 1),
+                                 j -> {{'nv': -d[j], 'i': j}})),
+                1, probes), x -> x.i) AS topc
+      FROM scored
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qe, nrm AS qn,
+             unnest(topc) AS cell
+      FROM cellassign WHERE vec_id < {N_QUERIES}
+    ),
+    n AS (SELECT vec_id AS neighbor_id, embedding AS ne, nrm AS nn,
+                 topc[1] AS cell
+          FROM cellassign),
+    pairs AS (
+      SELECT query_id, neighbor_id, {_COSINE_SQL} AS cosine
+      FROM q JOIN n USING (cell) WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk, cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS rnk FROM pairs)
+    WHERE rnk <= {LSH_TOPK}
+    """
+
+
+@query(
+    "e_ivf_trained_topk",
+    oracle=_ivf_trained_oracle(),
+    tags=("similarity", "ann", "ivf", "trained"),
+)
+def e_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN with a TRAINED coarse quantizer: {IVF_TRAIN_ITERS}
+    spherical-k-means rounds (``ivf_train``) refine the md5 seed
+    directions, then the identical ``ivf_topk`` search runs against
+    the trained centroids — the engine path every IVF docstring
+    promised ("trained centroids drop in without changing the
+    dataflow"), now a driver-value-checked catalog query rather than
+    a pytest-only instrument.
+
+    Measured motivation (SCALING.md §R14): on the clustered 500k
+    replica the trained quantizer lifts recall@3 0.583 -> 0.667 at
+    the derived-probes default with no search-wall cost; training
+    itself costs one assignment pass per round. On structure-free
+    geometry it is a no-op by construction (the control) — i.e. this
+    query is the realistic-corpus configuration of the IVF family.
+
+    Oracle: the training loop is unrolled into {IVF_TRAIN_ITERS}
+    materialized CTE rounds (assignment -> exact-decimal means ->
+    renormalize, empty cells keep their previous direction), exactly
+    the ``t_bpe_train`` move for iterative trainers. Bit-exactness
+    is arranged op by op: seeds are exactly ±1/sqrt({DIM}); scores
+    fold in ascending dimension order on both sides; means use the
+    proven ``e_centroid_stats`` decimal pattern; norms fold
+    sequentially (see the ``ivf_train`` DETERMINISM note).
+
+    Scale shape: identical to ``e_ann_ivf_topk`` plus
+    {IVF_TRAIN_ITERS} assignment passes (the shared Arrow kernel, one
+    small int per vector) and two cells x {DIM} driver-side means
+    collects (≤ 2 MB at the 4096-cell cap) — training cost grows
+    linearly with the corpus and the model stays broadcast-sized,
+    the same contract as FAISS coarse-quantizer training.
+    """
+    return ivf_topk(
+        spark, sf_dir,
+        cents=ivf_train(spark, sf_dir, iters=IVF_TRAIN_ITERS),
+    )
+
+
+# --------------------------------------------------------------------------
 # IVF cell-balance audit (partition-skew instrument)
 # --------------------------------------------------------------------------
 
@@ -2557,21 +2721,28 @@ def ivf_train(
     (normalized), the standard empty-cluster rule.
 
     DETERMINISM (round 10): per-(cell, dim) means are EXACT-DECIMAL
-    sums divided by counts — float avg() accumulates in partition
-    order, so two runs over differently-partitioned input could
-    diverge by ulps and flip argmax assignments on near-ties. Decimal
-    addition is associative/commutative exactly, so the trained
-    centroids are a pure function of the data regardless of partition
-    layout (assignment tie-breaks were already order-free: np.argmax
+    sums (one final cast to double, then one IEEE division) — float
+    avg() accumulates in partition order, so two runs over
+    differently-partitioned input could diverge by ulps and flip
+    argmax assignments on near-ties. Decimal addition is
+    associative/commutative exactly, so the trained centroids are a
+    pure function of the data regardless of partition layout
+    (assignment tie-breaks were already order-free: np.argmax
     first-index over row-local sequential folds). ``emb`` lets the
     partition-permutation property test inject a reshuffled corpus.
 
-    Training is an engine feature, not a catalog query: trained
-    centroids are data, so the DuckDB oracles keep using the
-    md5-derived directions both engines can generate independently.
-    ``tests/test_ann_recall.py`` pins the training contract instead —
-    monotone quantization improvement and an end-to-end assignment
-    through the same kernel.
+    Since r14 training is ALSO a value-checked catalog path:
+    ``e_ivf_trained_topk`` unrolls this exact loop into DuckDB SQL
+    (the ``t_bpe_train`` move — a compile-time iteration count makes
+    an iterative trainer oracle-checkable), which is why every float
+    op here is chosen for an identically-rounding SQL twin: means use
+    the ``e_centroid_stats`` pattern (double widening, DECIMAL(32,12)
+    sum, one double cast, double/count division), the norm is a
+    sequential left fold (numpy's pairwise ``.sum()`` can differ by
+    ulps from ``list_reduce``), and the seed directions normalize to
+    exactly ±1/sqrt(DIM). ``tests/test_ann_recall.py`` additionally
+    pins the training contract — monotone quantization improvement
+    and an end-to-end assignment through the same kernel.
     """
     import numpy as np
 
@@ -2592,13 +2763,19 @@ def ivf_train(
             F.col("embedding"),
         )
         pe = assigned.select(
-            "cell", F.posexplode("embedding").alias("idx", "x")
-        )
+            "cell", F.posexplode("embedding").alias("idx", "xf")
+        ).select("cell", "idx", F.col("xf").cast("double").alias("x"))
+        # Mean arithmetic mirrors the PROVEN e_centroid_stats oracle
+        # pattern bit for bit (float -> exact DOUBLE widening -> exact
+        # DECIMAL(32,12) sum -> one cast to DOUBLE -> IEEE double/count
+        # division): since r14 the whole trainer is value-checked by
+        # the e_ivf_trained_topk oracle, so every float op here must
+        # have an identically-rounding DuckDB twin.
         means = (
             pe.groupBy("cell", "idx")
             .agg(
-                (F.sum(F.col("x").cast("decimal(38,18)"))
-                 / F.count(F.lit(1))).cast("double").alias("m")
+                (F.sum(F.col("x").cast("decimal(32,12)")).cast("double")
+                 / F.count(F.lit(1))).alias("m")
             )
             .groupBy("cell")
             .agg(
@@ -2612,7 +2789,13 @@ def ivf_train(
         nxt = cents.copy()
         for r in means:
             v = np.array(r["mv"], dtype=np.float64)
-            nn = float(np.sqrt((v * v).sum()))
+            # sequential left fold, NOT np.sum (numpy pairwise-sums
+            # long arrays, which can differ by ulps from the oracle's
+            # list_reduce left fold and flip argmax near-ties)
+            acc = 0.0
+            for x in r["mv"]:
+                acc += x * x
+            nn = math.sqrt(acc)
             if nn > 0:
                 nxt[r["cell"] - 1] = v / nn
         cents = nxt

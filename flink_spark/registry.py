@@ -92,13 +92,17 @@ def release_persisted() -> None:
 # order and absorb the cap.
 _SNAPSHOT_FIRST = (
     # ===== r14 rotation =====
+    # block -1 — NEW this round, never driver-checked: the trained
+    # coarse-quantizer IVF query (ivf_train unrolled into a
+    # two-Lloyd-round DuckDB oracle; SCALING.md §R14's defaults
+    # ruling made it a catalog query).
+    "e_ivf_trained_topk",
     # block 0 — code changed THIS round (r14, VERDICT r13 item #1):
     # all six replay gates now run with compact_every=2 so the
     # in-stream compaction fires UNDER the driver oracle; the three
     # epoch-emulated gates additionally replay FOUR slices, so their
     # final micro-batch genuinely PROBES the bucketed base through the
     # two-leg _store_parts path (oracles re-derived at slices=4).
-    # Changed-code leads; there are no never-checked queries.
     "s_dedup_stream_replay",
     "s_ensemble_dedup_replay",
     "s_curation_stream_replay",
@@ -151,11 +155,12 @@ _SNAPSHOT_FIRST = (
     "s_daily_unique_users",
     "w_topn_per_window",
     # block 2 — r12 fill to the cap (oldest remaining, registration
-    # order): 48+2=50. After this snapshot nothing in the catalog is
-    # older than r12.
+    # order): 1+6+42=49, +1 fill = 50. The new query displaced
+    # j_asof_nearest below the cap; it stays r12-fresh (still checked
+    # by the full-catalog sf0.1 compare) and leads the r15 fill.
     "ads_rollup_matrix",
-    "j_asof_nearest",
     # --- the driver's 50-query cap lands here ---
+    "j_asof_nearest",
 )
 
 

@@ -95,8 +95,31 @@ def clustered_main() -> None:
         ),
         "label": pa.array(uniq[lab].astype(np.int32)),
     })
-    pq.write_table(tbl, f"{dst}/embeddings.parquet")
-    print(f"wrote {n} clustered vectors to {dst}/embeddings.parquet")
+    # Write a DIRECTORY of 32 files, not pq.write_table's default
+    # single file with one 500k-row row group: that layout is an
+    # unsplittable scan unit (one row group can't split, and even
+    # chunked row groups inside a ~131 MB file yield only
+    # ceil(131/128 MB) = 2 partitions under default
+    # files.maxPartitionBytes) — every Arrow-batched kernel over the
+    # replica (IVF assignment, exact-truth cosine, PQ encode) ran as
+    # ONE task no matter how many cores the session had. That layout
+    # artifact, not cell skew, was most of the r13 "IVF wall on
+    # clustered geometry" watch item (158 s -> ~29 s at local[32]
+    # once split; measured occupancy is uniform: 708 cells, max
+    # share 0.2%). 32 files matches the Spark-written orthogonal
+    # replica's layout.
+    out_dir = f"{dst}/embeddings.parquet"
+    if os.path.isfile(out_dir):
+        os.remove(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    files = 32
+    step = (n + files - 1) // files
+    for i in range(files):
+        pq.write_table(
+            tbl.slice(i * step, step),
+            f"{out_dir}/part-{i:05d}.parquet",
+        )
+    print(f"wrote {n} clustered vectors to {out_dir} ({files} files)")
 
 
 def main() -> None:
