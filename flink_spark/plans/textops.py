@@ -54,7 +54,7 @@ from flink_spark.functions.text import (
 from flink_spark.plans.graph import CC_SQL_CTES, connected_components
 from flink_spark.plans.pairjoin import pair_self_join
 from flink_spark.registry import query, track_persist
-from flink_spark.sources import load, table_rows
+from flink_spark.sources import load, load_spread, table_rows
 
 # --- shared constants (mirrored literally in the DuckDB oracles) ---
 
@@ -159,7 +159,7 @@ def _shingled(spark: SparkSession, sf_dir: str, persist: bool = False):
     tokenize→shingle pipeline once per branch. At cluster scale this
     materialization is the "shingle table" stage of any LSH pipeline.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
     toks = docs.select("doc_id", tokenize("text").alias("t"))
     sh = toks.filter(F.size("t") >= SHINGLE_N).select(
         "doc_id", F.array_distinct(word_shingles(F.col("t"), SHINGLE_N)).alias("sl")
@@ -249,7 +249,7 @@ def t_vocab_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     a diverse corpus are few) — broadcasts back onto the token stream
     as a map-side anti-probe. No shuffle grows with the stoplist.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
     total = table_rows(spark, sf_dir, "documents")
     ex = docs.select(
         "doc_id", "source", F.explode(tokenize("text")).alias("w")
@@ -357,7 +357,7 @@ def t_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, i) lexicographic order — pinned by
     ``test_substring_dedup_keeper_formulations_agree``).
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
     t = docs.select("doc_id", "source", tokenize("text").alias("t")).filter(
         F.size("t") >= REPEAT_N
     )
@@ -459,7 +459,7 @@ def t_repeated_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     moves |grams × sources| rows. A pathological million-fold span is
     ONE group row with ct_src = 1e6, not a million-row join fan-out.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
     t = docs.select("source", tokenize("text").alias("t")).filter(
         F.size("t") >= REPEAT_N
     )
@@ -523,7 +523,7 @@ def t_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the matrix stays cheap at any scale. Integer counts, one exact
     double division — oracle-exact.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
     t = docs.select("source", tokenize("text").alias("t")).filter(
         F.size("t") >= SHINGLE_N
     )
@@ -719,7 +719,7 @@ def t_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanned once, probed map-side against the broadcast set, and only
     |sources| aggregate rows shuffle. No corpus self-join anywhere.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
     _, ex = _shingled(spark, sf_dir, persist=True)
     src = docs.select("doc_id", "source")
     ex_src = ex.join(src, "doc_id")
@@ -805,7 +805,7 @@ def t_decontaminate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc then per-source aggregation is two partial-agg shuffles of
     key-sized rows. Linear in corpus, flat in eval size.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
     _, ex = _shingled(spark, sf_dir, persist=True)
     src = docs.select("doc_id", "source")
     ex_src = ex.join(src, "doc_id")
@@ -902,7 +902,7 @@ def t_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     text — and collapse in a partial-agg distinct. Linear in corpus
     tokens, flat in eval size.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
     toks = docs.select(
         "doc_id", "source", tokenize("text").alias("t")
     )
@@ -1666,7 +1666,7 @@ def t_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     determinism rules; fractions are emitted as one int/int division
     each for reporting.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
     toks = track_persist(
         docs.select("doc_id", tokenize("text").alias("t"))
     )
@@ -2645,7 +2645,7 @@ def t_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus so same-chunk collisions stay bounded; the env knob pins it.
     All integer math ⇒ oracle-identical at every width.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
     bits = (int(_SIMHASH_ENV) if _SIMHASH_ENV
             else simhash_bits_for(table_rows(spark, sf_dir, "documents")))
     cbits = bits // SIMHASH_CHUNKS
@@ -2773,7 +2773,7 @@ def t_keep_best_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     pairs = track_persist(_minhash_pairs(spark, sf_dir).select("d1", "d2"))
     labels = connected_components(pairs)
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
     toks = tokenize("text")
     stop_ratio = F.col("stop_ct").cast("double") / F.col("n_tokens")
     avg_len = F.col("alpha_chars").cast("double") / F.col("n_tokens")
@@ -2898,7 +2898,7 @@ def t_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional aggregation over doc-level flags (no re-scans per
     stage).
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
     # tokenize ONCE: the array is projected first and every quality
     # stat reads the column, then the same array feeds the shingle
     # stage through the persisted barrier (no second tokenize pass)
@@ -3333,6 +3333,12 @@ def _training_pipeline_parts(
     """
     from pyspark.sql import Window
 
+    # plain load, not load_spread: both flagship pipelines MEASURED
+    # slower with the spread scan (t 10.06→10.52 s, ensemble
+    # 10.81→12.75 s min-of-2 interleaved at sf0.1) — their tokenize
+    # cost amortizes across the q/canon_toks persists and the extra
+    # exchange feeds every downstream stage of the widest plans in
+    # the catalog. OPTIMIZATION_r14.md has the numbers.
     docs = load(spark, sf_dir, "documents")
     t0 = docs.filter(F.col("source") != EVAL_SOURCE).select(
         "doc_id", "source", "text", tokenize("text").alias("t")
@@ -3669,7 +3675,7 @@ def t_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined back (AQE broadcast when small, skew-split when not) — a
     hot boilerplate chunk is never one unsplittable window task.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
     t = docs.select("doc_id", "source", tokenize("text").alias("t")).filter(
         F.size("t") >= CHUNK_N
     )
@@ -3775,7 +3781,7 @@ def t_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from flink_spark.plans.topk import grouped_topk
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
     total = table_rows(spark, sf_dir, "documents")
     ex = docs.select(
         "doc_id", "source", F.explode(tokenize("text")).alias("w")
@@ -3845,7 +3851,7 @@ def t_cross_source_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (canonical-per-fingerprint view): this is the per-SOURCE ledger a
     mixture rebalance consumes.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
     fp = docs.select("doc_id", "source", fingerprint("text").alias("fp"))
     totals = fp.groupBy("source").agg(
         F.count(F.lit(1)).alias("docs_total")
@@ -3941,7 +3947,7 @@ def t_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew-split otherwise. Per-doc and per-source reductions are
     ordinary partial aggregations.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
     from pyspark.sql.types import DecimalType
 
     ex = docs.select(
@@ -4051,7 +4057,7 @@ def t_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.types import DecimalType
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
     ex = docs.select(
         "doc_id", "source", F.explode(tokenize("text")).alias("w")
     ).filter(F.col("w") != "")
@@ -4172,7 +4178,7 @@ def t_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-count, which aggregates fingerprints already ~60% smaller
     than the gram stream.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
     t = docs.select("doc_id", "source", tokenize("text").alias("t")).filter(
         F.size("t") >= WINNOW_K + WINNOW_W - 1
     )
@@ -4301,7 +4307,7 @@ def t_quality_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     than rank-to-quota: quotas need a per-stratum sort; rates don't,
     and a mix spec in rates is how production pipelines state it.)
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
     score = _quality_score_spark()
     pct = F.element_at(
         F.array(*[F.lit(p) for p in QMIX_PCT]), score + 1
@@ -4602,7 +4608,7 @@ def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact DECIMAL, so both engines produce bit-identical scores and
     the SAME top-k set.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
     from pyspark.sql.types import DecimalType
 
     toks = docs.select("doc_id", "source", tokenize("text").alias("t"))
@@ -4708,7 +4714,7 @@ def t_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     returned DataFrame re-executes against current data instead of
     baking a plan-build-time count in as a stale literal.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
     ex = docs.select(F.explode(tokenize("text")).alias("w")).filter(
         F.col("w") != ""
     )

@@ -16,6 +16,8 @@ order-insensitive value hash, so:
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -51,26 +53,51 @@ _PERSISTED: list[DataFrame] = []
 
 
 def track_persist(df: DataFrame, eager: bool = True) -> DataFrame:
-    """Persist an intermediate and register it for ``release_persisted``.
+    """Materialize an intermediate, CUT ITS LINEAGE, and register it for
+    ``release_persisted``.
 
-    Catalog queries persist shared intermediates (e.g. the LSH shingle
-    table feeding both sides of a candidate join) but return a lazy
-    DataFrame, so they can't unpersist before the caller consumes it.
-    Harnesses that run many queries in one session (bench, the oracle
-    compare, the driver gate) call ``release_persisted()`` after each
-    query's action completes — otherwise cached blocks accumulate for
-    the life of the session and pin executor storage memory.
+    Catalog queries materialize shared intermediates (e.g. the LSH
+    shingle table feeding both sides of a candidate join) but return a
+    lazy DataFrame, so they can't release before the caller consumes
+    it. Harnesses that run many queries in one session (bench, the
+    oracle compare, the driver gate) call ``release_persisted()`` after
+    each query's action completes — otherwise blocks accumulate for the
+    life of the session and pin executor storage memory.
+
+    Since r14 the barrier is ``localCheckpoint`` rather than
+    ``persist()+count()``: persist keeps the full logical lineage, so
+    with AQE every downstream query stage re-optimizes a plan that
+    still CONTAINS the whole upstream pipeline — on the composed
+    pipelines (the widest plans in the catalog) that driver-side
+    re-planning was measured at ~50% of the query wall (5.45 s of
+    10.97 s with zero jobs running, profile_query.py r14).
+    ``localCheckpoint`` truncates the plan at the materialization point
+    (guide §3.3/§5: "materialising an intermediate — write + read
+    back, or localCheckpoint — truncates the plan"), which cut the
+    flagship pipelines 40%/34% and every pair-chain query 16-29%
+    (min-of-3 interleaved A/B, OPTIMIZATION_r14.md). The barrier
+    semantics are unchanged: eager=True runs the subtree exactly once
+    before any consumer exists (the race-avoidance the old count()
+    bought); eager=False keeps the materialization lazy for strictly
+    sequential consumers.
+
+    Trade-off at cluster scale: a localCheckpoint is non-reliable — a
+    lost executor cannot recompute its blocks from lineage (a cached
+    frame could). ``FLINK_SPARK_CUT_LINEAGE=0`` restores the
+    persist()+count() form for deployments that want lineage-based
+    recovery over driver-time; on a 100 TB run the huge-plan
+    re-optimization cost the truncation removes GROWS with plan width,
+    so the default stays "cut".
     """
+    if os.environ.get("FLINK_SPARK_CUT_LINEAGE", "1") != "0":
+        df = df.localCheckpoint(eager=eager)
+        _PERSISTED.append(df)
+        return df
     df = df.persist()
-    # Materialize the barrier eagerly by default: most tracked
+    # count() materializes the barrier eagerly: most tracked
     # intermediates feed BOTH sides of a downstream self-join, and lazy
     # persist lets the two join stages race to compute the same
     # partitions (duplicate work + "Block already exists" churn).
-    # count() runs the pipeline exactly once; every consumer then reads
-    # the cache. ``eager=False`` is for the narrower case where every
-    # consumer reads the frame in a DIFFERENT, strictly sequential
-    # action (the first action populates the cache before any other
-    # consumer exists) — then the count() job is pure overhead.
     if eager:
         df.count()
     _PERSISTED.append(df)
@@ -78,9 +105,19 @@ def track_persist(df: DataFrame, eager: bool = True) -> DataFrame:
 
 
 def release_persisted() -> None:
-    """Unpersist every intermediate tracked by ``track_persist``."""
+    """Release every intermediate tracked by ``track_persist``."""
     while _PERSISTED:
-        _PERSISTED.pop().unpersist()
+        df = _PERSISTED.pop()
+        df.unpersist()
+        # A checkpointed frame is not in the CacheManager (unpersist()
+        # above is a no-op for it): free its RDD blocks directly so a
+        # many-query session doesn't accumulate them until a JVM GC.
+        try:
+            lp = df._jdf.queryExecution().analyzed()
+            if lp.getClass().getSimpleName() == "LogicalRDD":
+                lp.rdd().unpersist(False)
+        except Exception:
+            pass  # best-effort: blocks fall to the ContextCleaner
 
 
 # The driver's correctness gate snapshots at most 50 catalog queries per

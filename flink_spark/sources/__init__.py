@@ -10,6 +10,8 @@ real kafka reader builder for cluster use).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -74,7 +76,51 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # parquet footer costs ~0.1 s of driver time per read.parquet call, which
 # dominates sub-second queries. Keyed by the session's Python identity so
 # a stopped-and-recreated session never sees a stale handle.
-_DF_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_DF_CACHE: dict[tuple, DataFrame] = {}
+
+
+def load_spread(
+    spark: SparkSession, sf_dir: str, name: str, key: str
+) -> DataFrame:
+    """``load()`` + hash-repartition across the session's cores when the
+    scan itself cannot parallelize.
+
+    Parquet splits are row-group-aligned, so a table written as one (or
+    few) row groups is scanned by one (or few) tasks no matter how many
+    cores the session has — the classic unsplittable-input skew
+    (optimization guide §2.5). For consumers whose FIRST map stage is
+    the expensive one (tokenize → shingle → md5/MinHash: tens of
+    CPU-seconds per scanned MB, measured r14 — the whole stage ran on
+    one core of 32), that serialization IS the query wall, so they opt
+    in here and pay one small exchange of the raw rows to spread the
+    compute. Hash partitioning on the table's unique ``key`` keeps the
+    placement deterministic under task retries (guide §2.5's rand()
+    warning) with no sort-before-repartition cost.
+
+    Scale-adaptive by construction: when the scan already yields at
+    least ``defaultParallelism`` partitions (any real multi-file /
+    multi-row-group table — the 100 TB case), the repartition is
+    skipped entirely and this IS ``load()``. Aggregation-only readers
+    (token stats, percentiles) keep plain ``load()``: their scan work
+    is trivial and the exchange would be pure cost — measured both
+    ways in OPTIMIZATION_r14.md. ``FLINK_SPARK_SPREAD_SCAN=0`` pins
+    the old single-task behavior for A/B runs.
+    """
+    base = load(spark, sf_dir, name)
+    if os.environ.get("FLINK_SPARK_SPREAD_SCAN", "1") == "0":
+        return base
+    ck = (id(spark), sf_dir, name, "spread")
+    cached = _DF_CACHE.get(ck)
+    if cached is not None and cached.sparkSession is spark:
+        return cached
+    n = spark.sparkContext.defaultParallelism
+    # .rdd.getNumPartitions() plans the scan without running a job;
+    # cached via _DF_CACHE so each (session, table) pays it once.
+    df = base if base.rdd.getNumPartitions() >= n else base.repartition(
+        n, F.col(key)
+    )
+    _DF_CACHE[ck] = df
+    return df
 
 
 _COUNT_CACHE: dict[tuple[str, str], int] = {}
