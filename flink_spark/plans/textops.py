@@ -150,7 +150,10 @@ _SHINGLE_CTE = f"""
 """
 
 
-def _shingled(spark: SparkSession, sf_dir: str, persist: bool = False):
+def _shingled(
+    spark: SparkSession, sf_dir: str, persist: bool = False,
+    spread: bool = True,
+):
     """(sh, ex): per-doc distinct shingle arrays and their exploded form.
 
     ``persist=True`` caches the shingle table: the near-dup queries
@@ -158,8 +161,15 @@ def _shingled(spark: SparkSession, sf_dir: str, persist: bool = False):
     of candidate verification), and without a cache Spark re-runs the
     tokenize→shingle pipeline once per branch. At cluster scale this
     materialization is the "shingle table" stage of any LSH pipeline.
+
+    ``spread=False`` keeps the plain single-split scan for consumers
+    that only PROBE the shingle stream against a broadcast set (the
+    decontamination audits) — there the extra exchange measured
+    slower, while every self-join consumer measured faster spread
+    (OPTIMIZATION_r14.md).
     """
-    docs = load_spread(spark, sf_dir, "documents", "doc_id")
+    docs = (load_spread(spark, sf_dir, "documents", "doc_id") if spread
+            else load(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", tokenize("text").alias("t"))
     sh = toks.filter(F.size("t") >= SHINGLE_N).select(
         "doc_id", F.array_distinct(word_shingles(F.col("t"), SHINGLE_N)).alias("sl")
@@ -719,8 +729,8 @@ def t_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanned once, probed map-side against the broadcast set, and only
     |sources| aggregate rows shuffle. No corpus self-join anywhere.
     """
-    docs = load_spread(spark, sf_dir, "documents", "doc_id")
-    _, ex = _shingled(spark, sf_dir, persist=True)
+    docs = load(spark, sf_dir, "documents")
+    _, ex = _shingled(spark, sf_dir, persist=True, spread=False)
     src = docs.select("doc_id", "source")
     ex_src = ex.join(src, "doc_id")
     ev = (
@@ -805,8 +815,8 @@ def t_decontaminate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc then per-source aggregation is two partial-agg shuffles of
     key-sized rows. Linear in corpus, flat in eval size.
     """
-    docs = load_spread(spark, sf_dir, "documents", "doc_id")
-    _, ex = _shingled(spark, sf_dir, persist=True)
+    docs = load(spark, sf_dir, "documents")
+    _, ex = _shingled(spark, sf_dir, persist=True, spread=False)
     src = docs.select("doc_id", "source")
     ex_src = ex.join(src, "doc_id")
     ev = (

@@ -79,6 +79,23 @@ STREAMING_CONFS = {
 }
 
 
+# Static confs: only effective for the process that CREATES the JVM
+# (the bench, scripts, tests); the correctness driver hands us its own
+# session, where these silently keep Spark's defaults.
+_STATIC_CONFS = {
+    # The whole-stage-codegen class cache holds 100 entries by default.
+    # A session that runs the 89-query bench generates far more than
+    # 100 codegen units, so the cache thrashes and EVERY pass re-pays
+    # Janino compilation — jstack during warm-repeated passes showed a
+    # compiler thread at ~40% of a core and live Janino frames
+    # (OPTIMIZATION_r14.md). 5000 entries make the bench's warm-pass
+    # contract real (timed passes measure data processing, not
+    # compilation) for ~tens of MB of class metadata; a long-running
+    # production app with a wide plan repertoire wants the same.
+    "spark.sql.codegen.cache.maxEntries": "5000",
+}
+
+
 def get_spark(
     app_name: str = "flink_spark",
     cpus: int | str | None = None,
@@ -109,6 +126,8 @@ def get_spark(
         # JVM, which is exactly the bench/one-shot-script use case.
         builder = builder.config("spark.local.dir", local_dir)
     for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in _STATIC_CONFS.items():
         builder = builder.config(k, v)
     if streaming_scale:
         for k, v in STREAMING_CONFS.items():
