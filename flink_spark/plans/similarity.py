@@ -1056,14 +1056,23 @@ def x_ensemble_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup is one map-side-combined aggregate keyed by the d1-side
     label join. Nothing new shuffles at corpus width.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from flink_spark.plans.textops import _minhash_pairs
 
-    lex = _minhash_pairs(spark, sf_dir).select("d1", "d2").withColumn(
-        "modality", F.lit("lex")
-    )
-    sem = _emb_neardup_pairs(spark, sf_dir).select("d1", "d2").withColumn(
-        "modality", F.lit("sem")
-    )
+    # the two pair generators are independent subplans, each with its
+    # own plan-build barriers (shingle/band materializations, probe
+    # jobs) — build them concurrently so one side's scalar jobs fill
+    # the cores the other side's barrier just freed (guide §2.6)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        lex_f = pool.submit(
+            lambda: _minhash_pairs(spark, sf_dir).select("d1", "d2")
+        )
+        sem_f = pool.submit(
+            lambda: _emb_neardup_pairs(spark, sf_dir).select("d1", "d2")
+        )
+        lex = lex_f.result().withColumn("modality", F.lit("lex"))
+        sem = sem_f.result().withColumn("modality", F.lit("sem"))
     tagged = track_persist(lex.unionByName(sem))
     edges = track_persist(tagged.select("d1", "d2").distinct())
     labels = connected_components(edges)
@@ -1136,12 +1145,22 @@ def x_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair tables on their compound key — no fan-out possible — and a
     3-row rollup.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from flink_spark.plans.textops import _minhash_pairs
 
-    lex = _minhash_pairs(spark, sf_dir).select("d1", "d2")
-    sem = _emb_neardup_pairs(spark, sf_dir).select(
-        F.col("d1").alias("s1"), F.col("d2").alias("s2")
-    )
+    # independent generators, concurrent plan builds (guide §2.6 —
+    # same overlap as x_ensemble_dup_clusters)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        lex_f = pool.submit(
+            lambda: _minhash_pairs(spark, sf_dir).select("d1", "d2")
+        )
+        sem_f = pool.submit(
+            lambda: _emb_neardup_pairs(spark, sf_dir).select(
+                F.col("d1").alias("s1"), F.col("d2").alias("s2")
+            )
+        )
+        lex, sem = lex_f.result(), sem_f.result()
     j = lex.join(
         sem, (lex.d1 == sem.s1) & (lex.d2 == sem.s2), "full_outer"
     ).select(
@@ -3774,13 +3793,13 @@ def e_ann_variant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     if ids is not None:
         exact = exact.filter(F.col("query_id").isin(ids))
     exact = track_persist(exact.select("query_id", "neighbor_id"))
-    out = None
-    for name in _ANN_VARIANTS:
+
+    def build_leg(name: str) -> DataFrame:
         got = fns[name](spark, sf_dir)
         if ids is not None:
             got = got.filter(F.col("query_id").isin(ids))
         got = got.select("query_id", F.col("neighbor_id").alias("_vn"))
-        leg = (
+        return (
             exact.join(
                 got,
                 (exact.query_id == got.query_id)
@@ -3793,6 +3812,24 @@ def e_ann_variant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select(F.lit(name).alias("variant"), "hits", "recall")
         )
+
+    # The five legs are independent plan builds, each paying its own
+    # plan-build-time scalar jobs (query-vector collects, knob
+    # derivations, materialization barriers). Built sequentially those
+    # jobs serialize on the driver; a small thread pool overlaps them
+    # so one leg's collect fills the cores another leg's barrier just
+    # freed (guide §2.6 — overlap independent jobs). Output order is
+    # pinned by the ordered union below, so results are unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    workers = int(os.environ.get("FLINK_SPARK_LEG_THREADS", "3"))
+    if workers <= 1:
+        legs = [build_leg(n) for n in _ANN_VARIANTS]
+    else:
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            legs = list(pool.map(build_leg, _ANN_VARIANTS))
+    out = None
+    for leg in legs:
         out = leg if out is None else out.unionByName(leg)
     return out
 

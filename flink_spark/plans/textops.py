@@ -3343,6 +3343,22 @@ def _training_pipeline_parts(
     """
     from pyspark.sql import Window
 
+    sem_base_f = None
+    if ensemble:
+        # the semantic pair generator reads only the embeddings table —
+        # independent of the whole lexical chain below — so its plan
+        # build (band materialization + probe jobs) overlaps the
+        # lexical barriers on a driver thread (guide §2.6); the result
+        # handle is harvested at the union point where winners exist
+        from concurrent.futures import ThreadPoolExecutor
+
+        from flink_spark.plans.similarity import _emb_neardup_pairs
+
+        _pool = ThreadPoolExecutor(max_workers=1)
+        sem_base_f = _pool.submit(
+            lambda: _emb_neardup_pairs(spark, sf_dir).select("d1", "d2")
+        )
+
     # plain load, not load_spread: both flagship pipelines MEASURED
     # slower with the spread scan (t 10.06→10.52 s, ensemble
     # 10.81→12.75 s min-of-2 interleaved at sf0.1) — their tokenize
@@ -3431,18 +3447,18 @@ def _training_pipeline_parts(
     # barrier would be one pure-overhead job over the verify subtree.
     vpairs_lex = pairkey_verify(cand, sh2, JACCARD_THRESHOLD).select("d1", "d2")
     if ensemble:
-        from flink_spark.plans.similarity import _emb_neardup_pairs
-
         # both endpoints restricted to the lexical stage's universe
         # (exact-canonical quality survivors); UNION ≡ the oracle's
-        # set-union — a pair both modalities find collapses to one row
+        # set-union — a pair both modalities find collapses to one row.
+        # The generator itself was built concurrently above; .result()
+        # harvests the finished handle (or waits out the remainder).
         keep = winners.select(F.col("_keep").alias("doc_id"))
         sem = (
-            _emb_neardup_pairs(spark, sf_dir)
-            .select("d1", "d2")
+            sem_base_f.result()
             .join(keep.withColumnRenamed("doc_id", "d1"), "d1")
             .join(keep.withColumnRenamed("doc_id", "d2"), "d2")
         )
+        _pool.shutdown(wait=False)
         vpairs = track_persist(
             vpairs_lex.unionByName(sem).distinct(), eager=False
         )
