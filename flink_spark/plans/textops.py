@@ -1677,37 +1677,21 @@ def t_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     each for reporting.
     """
     docs = load_spread(spark, sf_dir, "documents", "doc_id")
-    toks = track_persist(
-        docs.select("doc_id", tokenize("text").alias("t"))
-    )
-    base = toks.select("doc_id", F.size("t").alias("n_tokens"), "t")
-    bg = (
-        base.filter(F.col("n_tokens") >= 2)
-        .select("doc_id", F.explode(word_shingles(F.col("t"), 2)).alias("g"))
-        .groupBy("doc_id", "g").count()
-        .groupBy("doc_id").agg(F.max("count").alias("top_bigram_ct"))
-    )
-    g5 = (
-        base.filter(F.col("n_tokens") >= 5)
-        .select("doc_id", F.explode(word_shingles(F.col("t"), 5)).alias("g"))
-        .groupBy("doc_id", "g").count()
-        .groupBy("doc_id").agg(
-            F.sum(F.when(F.col("count") > 1, F.col("count")).otherwise(0))
-            .alias("dup_5gram_ct")
-        )
-    )
-    out = (
-        base.select("doc_id", "n_tokens")
-        .join(bg, "doc_id", "left")
-        .join(g5, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.col("n_tokens").cast("long").alias("n_tokens"),
-            F.coalesce("top_bigram_ct", F.lit(0)).cast("long")
-            .alias("top_bigram_ct"),
-            F.coalesce("dup_5gram_ct", F.lit(0)).cast("long")
-            .alias("dup_5gram_tokens"),
-        )
+    base = docs.select(
+        "doc_id", tokenize("text").alias("t")
+    ).select("doc_id", F.size("t").alias("n_tokens"), "t")
+    # r15: both signals are per-document functions of t — computed as
+    # row-local sorted-run folds (``with_gram_gate``) instead of two
+    # corpus-wide gram explodes + exchanges + aggregates + joins; with
+    # a single consumer left, the shared-token barrier went too (the
+    # whole query is now scan → spread exchange → projection). The
+    # oracle keeps the aggregate formulation; values are bit-identical
+    # (exact integer counting either way).
+    out = with_gram_gate(base, dup_alias="dup_5gram_ct").select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("top_bigram_ct").cast("long").alias("top_bigram_ct"),
+        F.col("dup_5gram_ct").cast("long").alias("dup_5gram_tokens"),
     )
     top_frac = F.when(
         F.col("n_tokens") >= 2,
@@ -1970,6 +1954,77 @@ def _capped_jaccard_pairs(
     return pairs.filter(jac >= threshold).select(
         "d1", "d2", F.col("shared").cast("long").alias("shared"),
         jac.alias("jaccard"),
+    )
+
+
+# Row-local repetition-gate folds (r15). The gate's two signals —
+# top-bigram multiplicity and duplicated-5-gram coverage — are pure
+# per-document functions of the token array, yet the original shape
+# computed them as corpus-wide (doc_id, gram) explodes → exchange →
+# two-level hash aggregates → two left joins back on doc_id. At every
+# scale that shuffles ~7× the token bytes (gram strings overlap) and
+# pays a high-cardinality string hash-aggregate for what a row-local
+# pass can answer. These folds sort each doc's gram array and count
+# adjacent-equal runs: max run length = the top gram's multiplicity,
+# and the sum of >1-run lengths = the duplicated-gram token coverage —
+# exact integer arithmetic, verified value-identical to the aggregate
+# shape on all 5000 sf0.1 docs (OPTIMIZATION_r15.md). Plan effect per
+# consumer: 2 Exchange + 2 HashAggregate pairs + 2 joins → 0 (the gate
+# becomes a projection). The DuckDB oracles keep the aggregate
+# formulation, so every run is still cross-checked against it.
+
+def _top_run_fold(g: str) -> str:
+    """Max multiplicity of any gram in sorted array column ``g``."""
+    return f"""
+    CASE WHEN size({g}) < 1 THEN 0L
+         WHEN size({g}) < 2 THEN 1L
+         ELSE aggregate(
+           sequence(2, size({g})),
+           named_struct('cur', 1L, 'best', 1L),
+           (acc, i) -> IF(element_at({g}, i) = element_at({g}, i - 1),
+                          named_struct('cur', acc.cur + 1L,
+                                       'best', GREATEST(acc.best, acc.cur + 1L)),
+                          named_struct('cur', 1L, 'best', acc.best)),
+           acc -> acc.best)
+    END"""
+
+
+def _dup_run_fold(g: str) -> str:
+    """Total count of grams whose multiplicity exceeds 1 in sorted
+    array column ``g`` (each duplicated gram contributes its full
+    multiplicity, matching SUM(CASE WHEN cnt > 1 THEN cnt END))."""
+    return f"""
+    CASE WHEN size({g}) < 2 THEN 0L
+         ELSE aggregate(
+           sequence(2, size({g})),
+           named_struct('cur', 1L, 'tot', 0L),
+           (acc, i) -> IF(element_at({g}, i) = element_at({g}, i - 1),
+                          named_struct('cur', acc.cur + 1L, 'tot', acc.tot),
+                          named_struct('cur', 1L,
+                                       'tot', acc.tot + IF(acc.cur > 1L,
+                                                           acc.cur, 0L))),
+           acc -> acc.tot + IF(acc.cur > 1L, acc.cur, 0L))
+    END"""
+
+
+def with_gram_gate(df, tok: str = "t",
+                   top_alias: str = "top_bigram_ct",
+                   dup_alias: str = "dup5"):
+    """Add the repetition-gate stats as row-local columns.
+
+    ``top_alias`` = multiplicity of the document's most frequent
+    bigram (0 when no bigram exists), ``dup_alias`` = total 5-gram
+    positions covered by grams occurring more than once (0 when fewer
+    than two 5-grams exist) — bit-identical to the explode/aggregate
+    formulation the oracles keep (word shingles are space-joined
+    whitespace-split tokens, so string equality ≡ tuple equality).
+    """
+    return (
+        df.withColumn("_g2", F.array_sort(word_shingles(F.col(tok), 2)))
+        .withColumn("_g5", F.array_sort(word_shingles(F.col(tok), 5)))
+        .withColumn(top_alias, F.expr(_top_run_fold("_g2")))
+        .withColumn(dup_alias, F.expr(_dup_run_fold("_g5")))
+        .drop("_g2", "_g5")
     )
 
 
@@ -3358,6 +3413,14 @@ def _training_pipeline_parts(
         sem_base_f = _pool.submit(
             lambda: _emb_neardup_pairs(spark, sf_dir).select("d1", "d2")
         )
+        # Leak guard: the pool must die with its one task, not with the
+        # harvest — an exception anywhere on the lexical path between
+        # submit and .result() would otherwise leave a live non-daemon
+        # builder thread (blocking interpreter exit and racing a
+        # harness's release_persisted()). The callback fires on success
+        # AND error, so the worker thread is reaped as soon as the task
+        # completes no matter what happens on this thread.
+        sem_base_f.add_done_callback(lambda _: _pool.shutdown(wait=False))
 
     # plain load, not load_spread: both flagship pipelines MEASURED
     # slower with the spread scan (t 10.06→10.52 s, ensemble
@@ -3388,6 +3451,19 @@ def _training_pipeline_parts(
         F.when(score >= 2, 1).otherwise(0).alias("pass_q"),
         fingerprint("text").alias("fp"),
     )
+    # r15 (VERDICT r14 #3): spread the TOKENIZED stream before its
+    # barrier. The r14 load_spread opt-out measured spreading the RAW
+    # scan as a loss (the exchange carried full text and fed every
+    # stage); this exchange instead carries the text-free q columns
+    # (tokens/flags/fp), is paid once inside the checkpoint job, and
+    # every downstream CPU stage — winner agg, shingle build, MinHash,
+    # the row-local repetition folds — inherits the width through the
+    # broadcast joins. Scale-guard mirrors load_spread: skipped when
+    # the scan is already wide (the 100 TB case); deterministic hash
+    # key (guide §2.5). A/B numbers in OPTIMIZATION_r15.md.
+    _n = spark.sparkContext.defaultParallelism
+    if q.rdd.getNumPartitions() < _n:
+        q = q.repartition(_n, F.col("doc_id"))
     q = track_persist(q)
     # exact-dedup keeper by aggregate + digest join, NOT an
     # fp-partitioned window. Skew discipline (same as
@@ -3458,7 +3534,7 @@ def _training_pipeline_parts(
             .join(keep.withColumnRenamed("doc_id", "d1"), "d1")
             .join(keep.withColumnRenamed("doc_id", "d2"), "d2")
         )
-        _pool.shutdown(wait=False)
+        # pool shutdown is owned by the done-callback above
         vpairs = track_persist(
             vpairs_lex.unionByName(sem).distinct(), eager=False
         )
@@ -3476,20 +3552,16 @@ def _training_pipeline_parts(
         ex.join(F.broadcast(ev), "s").select("doc_id").distinct()
         .withColumn("is_hit", F.lit(1))
     )
-    bg = (
-        canon_toks.filter(F.size("t") >= 2)
-        .select("doc_id", F.explode(word_shingles(F.col("t"), 2)).alias("g"))
-        .groupBy("doc_id", "g").count()
-        .groupBy("doc_id").agg(F.max("count").alias("top_bigram_ct"))
-    )
-    g5 = (
-        canon_toks.filter(F.size("t") >= 5)
-        .select("doc_id", F.explode(word_shingles(F.col("t"), 5)).alias("g"))
-        .groupBy("doc_id", "g").count()
-        .groupBy("doc_id").agg(
-            F.sum(F.when(F.col("count") > 1, F.col("count")).otherwise(0))
-            .alias("dup5")
-        )
+    # r15: the repetition-gate stats are row-local sorted-run folds
+    # over the survivor token stream (``with_gram_gate``) — the two
+    # gram-explode → exchange → two-level-aggregate subtrees and their
+    # separate joins collapse into one narrow (doc_id, top, dup5)
+    # projection + one join. Values bit-identical (exact integer
+    # counting); the funnel oracle keeps the aggregate formulation.
+    # Short docs get exact 0s from the folds, which coalesce in
+    # ``rep_ok`` exactly as the old NULLs did.
+    rep = with_gram_gate(canon_toks).select(
+        "doc_id", "top_bigram_ct", "dup5"
     )
     no_dup = F.when(
         (F.col("canon") == 1) & F.col("d2").isNull(), 1
@@ -3504,8 +3576,7 @@ def _training_pipeline_parts(
     fs = (
         e.join(dups, e["doc_id"] == dups["d2"], "left")
         .join(hit, "doc_id", "left")
-        .join(bg, "doc_id", "left")
-        .join(g5, "doc_id", "left")
+        .join(rep, "doc_id", "left")
         .select(
             "doc_id", "source", "n_tokens", "pass_q", "canon",
             no_dup.alias("no_dup"), clean.alias("clean"),

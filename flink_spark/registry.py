@@ -49,7 +49,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
-_PERSISTED: list[DataFrame] = []
+_PERSISTED: list[tuple[DataFrame, object | None]] = []
+_WARNED_NO_RDD_HANDLE = False
 
 
 def track_persist(df: DataFrame, eager: bool = True) -> DataFrame:
@@ -83,41 +84,85 @@ def track_persist(df: DataFrame, eager: bool = True) -> DataFrame:
 
     Trade-off at cluster scale: a localCheckpoint is non-reliable — a
     lost executor cannot recompute its blocks from lineage (a cached
-    frame could). ``FLINK_SPARK_CUT_LINEAGE=0`` restores the
-    persist()+count() form for deployments that want lineage-based
-    recovery over driver-time; on a 100 TB run the huge-plan
-    re-optimization cost the truncation removes GROWS with plan width,
-    so the default stays "cut".
+    frame could). ``FLINK_SPARK_CUT_LINEAGE=0`` selects the reliable
+    profile instead: ``persist(DISK_ONLY)`` + count(), which keeps the
+    full lineage (lost blocks recompute) and writes the materialized
+    partitions to local disk rather than pinning executor storage
+    memory — the right shape for a 100 TB run where the tracked
+    intermediates dwarf cluster RAM (guide §5: "cached data competes
+    with execution memory"). On the local bench the huge-plan
+    re-optimization cost that truncation removes GROWS with plan
+    width, so the default stays "cut".
+
+    Consumer contract (cut profile): a checkpointed frame's blocks are
+    freed by ``release_persisted()`` and are NOT recomputable from
+    lineage — every consumer must run its action(s) BEFORE the harness
+    releases. All catalog harnesses (bench, oracle compare, driver
+    gate) do exactly one action per query, then release.
     """
     if os.environ.get("FLINK_SPARK_CUT_LINEAGE", "1") != "0":
         df = df.localCheckpoint(eager=eager)
-        _PERSISTED.append(df)
+        # Resolve the checkpointed RDD handle NOW (cheap: the analyzed
+        # plan is already a LogicalRDD) so release_persisted() doesn't
+        # have to reflect on plan internals at release time — the
+        # handle stays valid for the frame's whole life.
+        jrdd = None
+        try:
+            lp = df._jdf.queryExecution().analyzed()
+            if lp.getClass().getSimpleName() == "LogicalRDD":
+                jrdd = lp.rdd()
+        except Exception:
+            global _WARNED_NO_RDD_HANDLE
+            if not _WARNED_NO_RDD_HANDLE:
+                _WARNED_NO_RDD_HANDLE = True
+                import warnings
+
+                warnings.warn(
+                    "track_persist: could not resolve the checkpointed "
+                    "RDD handle (Spark internals changed?); checkpoint "
+                    "blocks will be freed by the ContextCleaner on GC "
+                    "instead of release_persisted()",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+        _PERSISTED.append((df, jrdd))
         return df
-    df = df.persist()
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.DISK_ONLY)
     # count() materializes the barrier eagerly: most tracked
     # intermediates feed BOTH sides of a downstream self-join, and lazy
     # persist lets the two join stages race to compute the same
     # partitions (duplicate work + "Block already exists" churn).
     if eager:
         df.count()
-    _PERSISTED.append(df)
+    _PERSISTED.append((df, None))
     return df
 
 
 def release_persisted() -> None:
-    """Release every intermediate tracked by ``track_persist``."""
+    """Release every intermediate tracked by ``track_persist``.
+
+    Contract: call only after the tracked frames' consumers have run
+    their actions. In the default cut-lineage profile the frames are
+    localCheckpoints — once their blocks are freed here they CANNOT be
+    recomputed (a later action on a released frame raises a
+    missing-block error). A harness that re-executes returned frames
+    across release points must run with ``FLINK_SPARK_CUT_LINEAGE=0``
+    (reliable persist profile, lineage recovery intact).
+    """
     while _PERSISTED:
-        df = _PERSISTED.pop()
+        df, jrdd = _PERSISTED.pop()
         df.unpersist()
         # A checkpointed frame is not in the CacheManager (unpersist()
         # above is a no-op for it): free its RDD blocks directly so a
         # many-query session doesn't accumulate them until a JVM GC.
-        try:
-            lp = df._jdf.queryExecution().analyzed()
-            if lp.getClass().getSimpleName() == "LogicalRDD":
-                lp.rdd().unpersist(False)
-        except Exception:
-            pass  # best-effort: blocks fall to the ContextCleaner
+        # The handle was resolved at track_persist time.
+        if jrdd is not None:
+            try:
+                jrdd.unpersist(False)
+            except Exception:
+                pass  # best-effort: blocks fall to the ContextCleaner
 
 
 # The driver's correctness gate snapshots at most 50 catalog queries per

@@ -109,7 +109,10 @@ def load_spread(
     base = load(spark, sf_dir, name)
     if os.environ.get("FLINK_SPARK_SPREAD_SCAN", "1") == "0":
         return base
-    ck = (id(spark), sf_dir, name, "spread")
+    # `key` is part of the identity: two callers spreading the same table
+    # on different keys must not share a handle partitioned on whichever
+    # ran first.
+    ck = (id(spark), sf_dir, name, "spread", key)
     cached = _DF_CACHE.get(ck)
     if cached is not None and cached.sparkSession is spark:
         return cached

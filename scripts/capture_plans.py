@@ -1,4 +1,4 @@
-"""Capture `.explain("formatted")` for headline queries → plans/r14/.
+"""Capture `.explain("formatted")` for headline queries → plans/r15/.
 
 Usage:
     python scripts/capture_plans.py before [query ...]
@@ -37,7 +37,7 @@ def main() -> None:
         names = HEADLINE
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r14",
+        "plans", "r15",
     )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:

@@ -126,13 +126,19 @@ def test_bpe_segment_broadcasts_vocab(spark):
 
 
 def test_repetition_filter_plan_shape(spark):
-    """One tokenize (persisted, both n-gram explodes branch from it),
-    key-partitioned aggregation only — no joins wider than the
-    doc_id equi-joins, no cartesian degradation."""
+    """r15 shape: both repetition signals are row-local sorted-run
+    folds — the whole query is scan → spread exchange → projection.
+    No joins, no aggregates, no gram explode, and exactly the one
+    spread exchange."""
     plan = _plan(_Q["t_repetition_filter"].fn(spark, SF_DIR))
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "InMemoryTableScan" in plan  # the shared token table cache
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin",
+                 "HashAggregate", "SortAggregate", "Generate"):
+        assert node not in plan, node
+    # exactly one Exchange node (the load_spread repartition); the
+    # formatted dump names each node once in the tree ("+- Exchange")
+    # and once in the detail section ("(n) Exchange")
+    assert plan.count("+- Exchange") <= 1
     from flink_spark.registry import release_persisted
     release_persisted()
 
