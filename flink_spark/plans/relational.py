@@ -20,7 +20,7 @@ from pyspark.sql.types import DecimalType
 
 from flink_spark.functions.scalar import dec2, dec4, dsum
 from flink_spark.registry import query
-from flink_spark.sources import load
+from flink_spark.sources import local_df, load
 
 # --- shared exact-decimal revenue expressions (Spark + DuckDB oracle) ---
 
@@ -625,7 +625,7 @@ def j_wide_order_5way(spark: SparkSession, sf_dir: str) -> DataFrame:
     oi = load(spark, sf_dir, "orders").filter(
         F.col("o_orderdate").between("1995-01-01", "1995-01-31")
     )
-    dic = spark.createDataFrame(list(_DIC), "dic_code string, dic_name string")
+    dic = local_df(spark, list(_DIC), "dic_code string, dic_name string")
     wide = (
         od.join(oi, od["order_id"] == oi["o_orderkey"])
         .join(act, "detail_id", "left")
@@ -1232,7 +1232,7 @@ def j_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     impossible here).
     """
     li = load(spark, sf_dir, "lineitem")
-    bands = spark.createDataFrame(
+    bands = local_df(spark, 
         list(QUANTITY_BANDS), "lo int, hi int, band string"
     )
     joined = li.join(

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from flink_spark.registry import query
-from flink_spark.sources import load
+from flink_spark.sources import local_df, load
 
 # the table_process analog (rt/bean/TableProcess.java:5-17):
 # source event_type -> (sink table, columns to keep)
@@ -85,7 +85,7 @@ def r_config_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-insensitive, so it hashes identically under any shuffle).
     """
     ev = load(spark, sf_dir, "events")
-    cfg = spark.createDataFrame(
+    cfg = local_df(spark, 
         ROUTING_CONFIG, "source_type string, sink_table string, sink_columns string"
     )
     data = F.create_map(

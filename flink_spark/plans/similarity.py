@@ -68,7 +68,7 @@ from flink_spark.plans.textops import (
     split_bucket_col,
 )
 from flink_spark.registry import query, track_persist
-from flink_spark.sources import load, table_rows
+from flink_spark.sources import local_df, load, table_rows
 
 DIM = 64              # embedding width of the fixture corpus
 N_QUERIES = 10        # vec_id < 10 form the query set
@@ -1900,6 +1900,7 @@ def e_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ivf_topk(
     spark: SparkSession, sf_dir: str, cents=None,
     cells: int | None = None, probes: int | None = None,
+    probed: DataFrame | None = None,
 ) -> DataFrame:
     """The IVF-flat search kernel behind ``e_ann_ivf_topk``, with the
     quantizer injectable: ``cents`` = a (cells × DIM) trained centroid
@@ -1908,17 +1909,26 @@ def ivf_topk(
     catalog default). Identical dataflow either way: assignment via
     ``_with_probe_cells``, one broadcast-query probed cell join, one
     per-query top-k window — which is the point (a trained quantizer
-    changes WHERE mass lands, not the plan)."""
-    emb = load(spark, sf_dir, "embeddings")
-    n_cells = cells if cells is not None else _active_ivf_cells(spark, sf_dir)
-    probed = _with_probe_cells(
-        emb.select(
-            "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
-        ),
-        spark, n_cells,
-        probes if probes is not None else _active_ivf_probes(spark, sf_dir),
-        cents=cents,
-    )
+    changes WHERE mass lands, not the plan).
+
+    ``probed`` (r15): a pre-annotated corpus carrying at least
+    (vec_id, embedding, nrm, topc) — the variant scoreboard passes its
+    shared checkpointed annotation so the assignment kernel runs once
+    per scoreboard instead of once per leg (guide §2.4: remove
+    duplicated work outright). The kernel is row-wise, so the shared
+    frame's values are identical to a private pass."""
+    if probed is None:
+        emb = load(spark, sf_dir, "embeddings")
+        n_cells = (cells if cells is not None
+                   else _active_ivf_cells(spark, sf_dir))
+        probed = _with_probe_cells(
+            emb.select(
+                "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+            ),
+            spark, n_cells,
+            probes if probes is not None else _active_ivf_probes(spark, sf_dir),
+            cents=cents,
+        )
     q = (
         probed.filter(F.col("vec_id") < N_QUERIES)
         .select(
@@ -3138,7 +3148,9 @@ _PQ_LUT_SQL = (
     """,
     tags=("similarity", "ann", "pq"),
 )
-def e_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def e_pq_adc_topk(spark: SparkSession, sf_dir: str, *,
+                  coded: DataFrame | None = None,
+                  qrows=None) -> DataFrame:
     """PQ-compressed ANN: asymmetric-distance scan + exact re-rank.
 
     The third ANN strategy next to LSH (`e_ann_lsh_topk`, prunes
@@ -3169,9 +3181,10 @@ def e_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     emb = load(spark, sf_dir, "embeddings")
-    coded = _with_pq_codes(emb.select("vec_id", "embedding")).select(
-        F.col("vec_id").alias("neighbor_id"), "codes"
-    )
+    if coded is None:
+        coded = _with_pq_codes(emb.select("vec_id", "embedding")).select(
+            F.col("vec_id").alias("neighbor_id"), "codes"
+        )
     # Query LUTs ride in the task closure (|Q| × M × K doubles — the
     # query side is the small side by construction, same license the
     # IVF centroid matrix uses). The scan kernel scores every code
@@ -3180,11 +3193,12 @@ def e_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # selection is order-total (score desc, neighbor_id asc), so the
     # global top-R is exactly preserved while the exchange carries
     # |Q| × R × partitions rows instead of |Q| × N.
-    qrows = sorted(
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .select("vec_id", "embedding").collect(),
-        key=lambda r: r["vec_id"],
-    )
+    if qrows is None:
+        qrows = sorted(
+            emb.filter(F.col("vec_id") < N_QUERIES)
+            .select("vec_id", "embedding").collect(),
+            key=lambda r: r["vec_id"],
+        )
     qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     QL = _pq_lut_matrix(np.array([r["embedding"] for r in qrows]))
 
@@ -3282,7 +3296,9 @@ def e_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("similarity", "ann", "ivf", "pq"),
 )
-def e_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def e_ivfpq_topk(spark: SparkSession, sf_dir: str, *,
+                 ann: DataFrame | None = None,
+                 qrows=None) -> DataFrame:
     """IVF+PQ (the FAISS ``IVFADC`` index): probe cells, ADC-scan only
     the probed cells' codes, re-rank the shortlist exactly.
 
@@ -3312,25 +3328,39 @@ def e_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     emb = load(spark, sf_dir, "embeddings")
-    n_cells = _active_ivf_cells(spark, sf_dir)
-    n_probes = _active_ivf_probes(spark, sf_dir)
-    base = emb.select("vec_id", "embedding")
-    corpus = _with_pq_codes(
-        _with_probe_cells(base, spark, n_cells, n_probes)
-    ).select(
+    # ``ann``/``qrows`` (r15): the variant scoreboard passes its shared
+    # checkpointed annotated corpus (vec_id, embedding, …, topc, codes)
+    # and the one query-row collect, so the assignment/encoding kernels
+    # run once per scoreboard, not once per leg. Both kernels are
+    # row-wise, so the shared values are identical to a private pass.
+    if ann is None:
+        n_cells = _active_ivf_cells(spark, sf_dir)
+        n_probes = _active_ivf_probes(spark, sf_dir)
+        base = emb.select("vec_id", "embedding")
+        ann = _with_pq_codes(
+            _with_probe_cells(base, spark, n_cells, n_probes)
+        )
+        if qrows is None:
+            # one collect from the SAME annotated subtree the corpus
+            # leg scans (pre-r15 ran a second assignment kernel over
+            # just the query rows — same values, one extra Python
+            # stage); tracked so the collect and the save share the
+            # materialized kernel output instead of running it twice
+            # (lazy: the collect right below is the materializer).
+            ann = track_persist(ann, eager=False)
+    corpus = ann.select(
         F.col("vec_id").alias("neighbor_id"),
         F.element_at("topc", 1).alias("cell"),
         "codes",
     )
-    qrows = sorted(
-        _with_probe_cells(
-            base.filter(F.col("vec_id") < N_QUERIES), spark, n_cells,
-            n_probes,
-        ).select("vec_id", "embedding", "topc").collect(),
-        key=lambda r: r["vec_id"],
-    )
+    if qrows is None:
+        qrows = sorted(
+            ann.filter(F.col("vec_id") < N_QUERIES)
+            .select("vec_id", "embedding", "topc").collect(),
+            key=lambda r: r["vec_id"],
+        )
     QL = _pq_lut_matrix(np.array([r["embedding"] for r in qrows]))
-    qdf = spark.createDataFrame(
+    qdf = local_df(spark, 
         [
             (int(r["vec_id"]), int(cell), [float(x) for x in QL[i].ravel()])
             for i, r in enumerate(qrows)
@@ -3595,7 +3625,7 @@ def search_ann_index(
     QL = _pq_lut_matrix(
         np.array([r["embedding"] for r in qrows]), codebook=codebook
     )
-    qdf = spark.createDataFrame(
+    qdf = local_df(spark, 
         [
             (int(r["vec_id"]), int(cell), [float(x) for x in QL[i].ravel()])
             for i, r in enumerate(qrows)
@@ -3780,12 +3810,42 @@ def e_ann_variant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     proportionally, so the scoreboard can ride in per-corpus
     production jobs rather than only audits.
     """
+    # r15 (VERDICT r14 #4): the IVF and PQ legs used to each run their
+    # own corpus annotation kernels (cell assignment, PQ encoding) and
+    # their own query-row collects — three Python-stage pipelines and
+    # two collects deriving THE SAME values. One shared annotated
+    # corpus (vec_id, embedding, nrm, topc, codes) is built behind a
+    # single lazy checkpoint; the query-row collect below materializes
+    # it, and the ivf / pq_adc / ivfpq legs all scan the shared
+    # barrier (``Scan ExistingRDD`` in their plans). Both kernels are
+    # row-wise, so every leg sees values identical to a private pass
+    # (oracle re-verified). The lsh / sq8 / exact legs have no shared
+    # derivation and are unchanged.
+    n_cells = _active_ivf_cells(spark, sf_dir)
+    n_probes = _active_ivf_probes(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    ann = track_persist(
+        _with_pq_codes(_with_probe_cells(
+            emb.select("vec_id", "embedding",
+                       _norm(F.col("embedding")).alias("nrm")),
+            spark, n_cells, n_probes,
+        )),
+        eager=False,  # the qrows collect right below materializes it
+    )
+    qrows = sorted(
+        ann.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding", "topc").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    coded = ann.select(F.col("vec_id").alias("neighbor_id"), "codes")
     fns = {
-        "e_ann_lsh_topk": e_ann_lsh_topk,
-        "e_ann_ivf_topk": e_ann_ivf_topk,
-        "e_pq_adc_topk": e_pq_adc_topk,
-        "e_ivfpq_topk": e_ivfpq_topk,
-        "e_sq8_topk": e_sq8_topk,
+        "e_ann_lsh_topk": lambda: e_ann_lsh_topk(spark, sf_dir),
+        "e_ann_ivf_topk": lambda: ivf_topk(spark, sf_dir, probed=ann),
+        "e_pq_adc_topk": lambda: e_pq_adc_topk(
+            spark, sf_dir, coded=coded, qrows=qrows),
+        "e_ivfpq_topk": lambda: e_ivfpq_topk(
+            spark, sf_dir, ann=ann, qrows=qrows),
+        "e_sq8_topk": lambda: e_sq8_topk(spark, sf_dir),
     }
     ids = recall_sample_ids(RECALL_SAMPLE) if RECALL_SAMPLE else None
     denom = (len(ids) if ids is not None else N_QUERIES) * LSH_TOPK
@@ -3795,7 +3855,7 @@ def e_ann_variant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = track_persist(exact.select("query_id", "neighbor_id"))
 
     def build_leg(name: str) -> DataFrame:
-        got = fns[name](spark, sf_dir)
+        got = fns[name]()
         if ids is not None:
             got = got.filter(F.col("query_id").isin(ids))
         got = got.select("query_id", F.col("neighbor_id").alias("_vn"))
@@ -3879,7 +3939,7 @@ def e_indexed_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells = build_ann_index(spark, sf_dir, idx_dir)
         out = search_ann_index(spark, sf_dir, idx_dir, cells)
         rows = out.collect()  # |Q| × k rows by construction
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows, "query_id long, neighbor_id long, rnk long, cosine double"
         )
     finally:

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from flink_spark.plans.cep import SeqPattern, pattern_matches, pattern_oracle_sql
 from flink_spark.registry import query
-from flink_spark.sources import load
+from flink_spark.sources import local_df, load
 
 def _assert_compacted(store_dir: str, table: str) -> None:
     """The replay gates pass ``compact_every=2`` precisely so the
@@ -607,7 +607,7 @@ def s_split_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         rows = out.collect()  # ≤ 2×|sources| rows by construction
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows,
             "source string, split string, n_docs bigint, "
             "id_sum bigint, gkey_sum bigint",
@@ -708,7 +708,7 @@ def s_decontam_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         rows = out.collect()  # ≤ |sources| rows by construction
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows, "source string, n_clean bigint, id_sum bigint"
         )
     finally:
@@ -836,7 +836,7 @@ def s_semantic_split_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         rows = out.collect()  # ≤ 2×|labels| rows by construction
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows,
             "label int, split string, n_vecs bigint, "
             "id_sum bigint, gkey_sum bigint",
@@ -1024,7 +1024,7 @@ def s_dedup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         rows = out.collect()  # ≤ |sources| rows by construction
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows, "source string, n_kept bigint, id_sum bigint"
         )
     finally:
@@ -1134,7 +1134,7 @@ def s_ensemble_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         rows = out.collect()  # ≤ |sources| rows by construction
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows, "source string, n_kept bigint, id_sum bigint"
         )
     finally:
@@ -1354,7 +1354,7 @@ def s_curation_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         rows = out.collect()  # ≤ |sources| rows by construction
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows, "source string, n_kept bigint, id_sum bigint"
         )
     finally:

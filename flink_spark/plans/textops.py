@@ -54,7 +54,7 @@ from flink_spark.functions.text import (
 from flink_spark.plans.graph import CC_SQL_CTES, connected_components
 from flink_spark.plans.pairjoin import pair_self_join
 from flink_spark.registry import query, track_persist
-from flink_spark.sources import load, load_spread, table_rows
+from flink_spark.sources import local_df, load, load_spread, table_rows
 
 # --- shared constants (mirrored literally in the DuckDB oracles) ---
 
@@ -1211,7 +1211,7 @@ def hash_quota_heads(
                 break
             acc += buckets[hb]
     if bound1:
-        b1df = spark.createDataFrame(
+        b1df = local_df(spark, 
             [(s, hb) for s, (hb, _) in bound1.items()],
             f"{source_col} string, _B1 string",
         )
@@ -1235,7 +1235,7 @@ def hash_quota_heads(
     if not meta:
         return df.limit(0), stats
     bc = F.broadcast(
-        spark.createDataFrame(
+        local_df(spark, 
             meta,
             f"{source_col} string, _all int, _B1 string, _B2 string,"
             " _need2 long, _w int",
@@ -1320,7 +1320,7 @@ def t_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     sel, stats = hash_quota_heads(
         docs, dict(MIXTURE), DEFAULT_MIX_PCT
     )
-    spark_stats = spark.createDataFrame(
+    spark_stats = local_df(spark, 
         [(s, n, q, dict(MIXTURE).get(s, DEFAULT_MIX_PCT))
          for s, (n, q) in stats.items()],
         "source string, n_docs long, quota long, pct long",
@@ -1838,7 +1838,7 @@ def t_cjk_keyword_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ASCII. Mixed-script tokens exercise every branch: Han runs → bigram
     fan-out, embedded Latin/digit runs → whole words.
     """
-    docs = spark.createDataFrame(list(CJK_DOCS), "doc_id long, text string")
+    docs = local_df(spark, list(CJK_DOCS), "doc_id long, text string")
     return (
         docs.select(F.explode(tokenize("text")).alias("word"))
         .filter(F.col("word") != "")
@@ -3327,7 +3327,7 @@ def _training_pipeline_df(
     fs, _vpairs, mk, mix_stats = _training_pipeline_parts(
         spark, sf_dir, ensemble=ensemble
     )
-    quotas = spark.createDataFrame(
+    quotas = local_df(spark, 
         [(s, q) for s, (_, q) in mix_stats.items()],
         "source string, mix_quota long",
     )

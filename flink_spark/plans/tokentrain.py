@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from flink_spark.functions.text import tokenize
 from flink_spark.registry import query
-from flink_spark.sources import load, table_rows
+from flink_spark.sources import local_df, load, table_rows
 
 # --- global-shuffle knobs (derived, oracle-symmetric — the pack/LSH
 # pattern: same corpus ⇒ same shard count in both engines) ---
@@ -444,7 +444,7 @@ def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rank, left, right, merged, pair_count).
     """
     merges, _ = _trained(spark, sf_dir)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(r, l, x, l + x, n) for r, l, x, n in merges],
         "rank int, left string, right string, merged string, "
         "pair_count long",

@@ -126,6 +126,36 @@ def load_spread(
     return df
 
 
+def local_df(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """``spark.createDataFrame`` for small driver-local row lists via
+    the Arrow path.
+
+    The plain tuple-list form parallelizes the rows into
+    ``defaultParallelism`` pickled slices, each evaluated through a
+    Python worker — measured 0.36 s per ACTION at local[32] for a
+    30-row frame (32 tasks × worker handshake), re-paid by every
+    consumer job (broadcast builds included). Routing a small pandas
+    frame through Arrow decodes in the JVM with no Python workers:
+    0.066 s for the same frame, same values. Falls back to the plain
+    path for anything pandas/Arrow cannot represent (the caller's
+    schema always wins — Arrow casts to it).
+
+    Only for SMALL local metadata (dims, knob tables, query-side
+    frames): the rows live on the driver either way.
+    """
+    rows = list(rows)
+    try:
+        import pandas as pd
+        from pyspark.sql.types import StructType, _parse_datatype_string
+
+        st = (schema if isinstance(schema, StructType)
+              else _parse_datatype_string(schema))
+        pdf = pd.DataFrame.from_records(rows, columns=st.names)
+        return spark.createDataFrame(pdf, schema)
+    except Exception:
+        return spark.createDataFrame(rows, schema)
+
+
 _COUNT_CACHE: dict[tuple[str, str], int] = {}
 
 

@@ -56,6 +56,7 @@ import json
 import os
 import re
 
+from flink_spark.sources import local_df
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -222,7 +223,7 @@ def _store(
     base, tail = _store_parts(spark, store_dir, name, before_epoch)
     legs = [df for df in (base, tail) if df is not None]
     if not legs:
-        return spark.createDataFrame([], _EMPTY_SCHEMA[name])
+        return local_df(spark, [], _EMPTY_SCHEMA[name])
     return legs[0] if len(legs) == 1 else legs[0].unionByName(legs[1])
 
 
@@ -966,7 +967,7 @@ def doc_stream(
     for i in range(slices):
         chunk = ordered[i * per:(i + 1) * per]
         if chunk:
-            spark.createDataFrame(chunk, docs.schema).coalesce(1).write.mode(
+            local_df(spark, chunk, docs.schema).coalesce(1).write.mode(
                 "overwrite"
             ).parquet(os.path.join(out_dir, f"slice={start_slice + i}"))
     return (
@@ -1767,7 +1768,7 @@ def repair_split_store(
     _replace_table(spark, store_dir, "splits", new)
     _replace_table(
         spark, store_dir, "conflicts",
-        spark.createDataFrame([], _EMPTY_SCHEMA["conflicts"]),
+        local_df(spark, [], _EMPTY_SCHEMA["conflicts"]),
     )
     if own_pairs:
         pairs.unpersist()
@@ -1815,7 +1816,7 @@ def repair_semantic_split_store(
     _replace_table(spark, store_dir, "vsplits", new)
     _replace_table(
         spark, store_dir, "vconflicts",
-        spark.createDataFrame([], _EMPTY_SCHEMA["vconflicts"]),
+        local_df(spark, [], _EMPTY_SCHEMA["vconflicts"]),
     )
     if own_pairs:
         pairs.unpersist()

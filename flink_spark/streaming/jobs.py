@@ -12,6 +12,7 @@ columns.
 
 from __future__ import annotations
 
+from flink_spark.sources import local_df
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -431,7 +432,7 @@ def run_foreach_to_memory(sdf: DataFrame, transform, name: str):
         .start()
     )
     q.awaitTermination()
-    return spark.createDataFrame(rows, schema_box[0])
+    return local_df(spark, rows, schema_box[0])
 
 
 def run_to_memory(
