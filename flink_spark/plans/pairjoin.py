@@ -65,7 +65,12 @@ def pair_self_join(
     cap = cap or MAX_BUCKET
     keys = list(key_cols)
     if persist:
-        rows = track_persist(rows)
+        # lazy barrier (r15): the size probe right below is a full scan
+        # and the FIRST action on this frame, so it materializes the
+        # checkpoint inside its own job — the dedicated eager job was
+        # pure fixed cost (one job per banded query). A LIMIT-cut probe
+        # leaves missing partitions to doCheckpoint's automatic fill.
+        rows = track_persist(rows, eager=False)
     counts = rows.groupBy(*keys).agg(F.count(F.lit(1)).alias("_m"))
 
     def side(suffix: str) -> DataFrame:

@@ -755,6 +755,8 @@ def _emb_neardup_pairs(
     """
     bits = _active_lsh_bits(spark, sf_dir)
     emb = load(spark, sf_dir, "embeddings")
+    # lazy barrier (r15): the oversized-bucket probe right below is the
+    # first action and fully scans the band table
     bands_v = track_persist(
         _with_band_keys(
             emb.select(
@@ -763,7 +765,8 @@ def _emb_neardup_pairs(
             spark, bits,
         ).select(
             "vec_id", "embedding", "nrm", F.explode("bkeys").alias("bkey")
-        )
+        ),
+        eager=False,
     )
     oversized = (
         bands_v.groupBy("bkey").agg(F.count(F.lit(1)).alias("_m"))
@@ -894,7 +897,8 @@ def e_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     range. cluster_id = smallest vec_id in the component.
     """
     pairs = track_persist(
-        t_embedding_neardup(spark, sf_dir).select("d1", "d2")
+        t_embedding_neardup(spark, sf_dir).select("d1", "d2"),
+        eager=False,  # CC's first convergence action fully scans it
     )
     labels = connected_components(pairs)
     return labels.groupBy("cluster_id").agg(

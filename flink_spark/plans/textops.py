@@ -175,7 +175,10 @@ def _shingled(
         "doc_id", F.array_distinct(word_shingles(F.col("t"), SHINGLE_N)).alias("sl")
     )
     if persist:
-        sh = track_persist(sh)
+        # lazy barrier (r15): every consumer chain's first action on
+        # the shingle table (band-probe count or a downstream barrier)
+        # fully scans it — the eager job was one fixed job per query
+        sh = track_persist(sh, eager=False)
     ex = sh.select("doc_id", F.explode("sl").alias("s"))
     return sh, ex
 
@@ -2459,7 +2462,8 @@ def t_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist the PAIR table, not the symmetrized edge view: the union
     # has two branches, and an unpersisted subtree would pay the LSH
     # candidate join twice
-    pairs = track_persist(_minhash_pairs(spark, sf_dir).select("d1", "d2"))
+    pairs = track_persist(_minhash_pairs(spark, sf_dir).select("d1", "d2"),
+                          eager=False)  # CC's first action fully scans it
     labels = connected_components(pairs)
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", F.length("text").alias("len")
@@ -2836,7 +2840,8 @@ def t_keep_best_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax survivorship is the LLM-curation extension of the same
     keep-one-of-many contract.
     """
-    pairs = track_persist(_minhash_pairs(spark, sf_dir).select("d1", "d2"))
+    pairs = track_persist(_minhash_pairs(spark, sf_dir).select("d1", "d2"),
+                          eager=False)  # CC's first action fully scans it
     labels = connected_components(pairs)
     docs = load_spread(spark, sf_dir, "documents", "doc_id")
     toks = tokenize("text")
@@ -2981,13 +2986,19 @@ def t_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.when(stop_ratio.between(0.02, 0.5), 1).otherwise(0)
         + F.when(avg_len.between(3, 8), 1).otherwise(0)
     )
+    # lazy barriers (r15): q/winners/sh2 form a strictly sequential
+    # build chain whose first action (the band-probe count inside
+    # pair_self_join) fully scans the cascade — the three dedicated
+    # eager jobs were pure fixed cost. cand stays eager (its two
+    # verify legs scan it inside ONE job and would race).
     q = track_persist(
         t0.select(
             "doc_id", "source", "t",
             n_tok.alias("n_tokens"),
             F.when(score >= 2, 1).otherwise(0).alias("pass_q"),
             fingerprint("text").alias("fp"),
-        )
+        ),
+        eager=False,
     )
     # exact-dedup keeper by aggregate + digest join, NOT an
     # fp-partitioned window. The hot-fingerprint key (an empty page
@@ -3001,7 +3012,8 @@ def t_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     winners = track_persist(
         q.filter(F.col("pass_q") == 1)
         .groupBy("fp")
-        .agg(F.min("doc_id").alias("_keep"))
+        .agg(F.min("doc_id").alias("_keep")),
+        eager=False,
     )
     e = (
         q.drop("t")
@@ -3024,7 +3036,7 @@ def t_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(word_shingles(F.col("t"), SHINGLE_N)).alias("sl"),
         )
     )
-    sh2 = track_persist(sh2)
+    sh2 = track_persist(sh2, eager=False)
     ex = sh2.select("doc_id", F.explode("sl").alias("s"))
     sigs = _hashed_shingles_spark(ex).groupBy("doc_id").agg(*_minhash_cols_spark())
     bands = sigs.select(
@@ -3464,7 +3476,12 @@ def _training_pipeline_parts(
     _n = spark.sparkContext.defaultParallelism
     if q.rdd.getNumPartitions() < _n:
         q = q.repartition(_n, F.col("doc_id"))
-    q = track_persist(q)
+    # lazy barrier (r15, like t_corpus_pipeline): the q/winners/
+    # canon_toks/sh2 chain materializes at its first action (the
+    # band-probe count inside pair_self_join) — four dedicated eager
+    # jobs were pure fixed cost; cand/fs/mk stay eager (multi-leg
+    # consumers inside one job).
+    q = track_persist(q, eager=False)
     # exact-dedup keeper by aggregate + digest join, NOT an
     # fp-partitioned window. Skew discipline (same as
     # t_corpus_pipeline): the hot fingerprint only touches slim
@@ -3474,7 +3491,8 @@ def _training_pipeline_parts(
     winners = track_persist(
         q.filter(F.col("pass_q") == 1)
         .groupBy("fp")
-        .agg(F.min("doc_id").alias("_keep"))
+        .agg(F.min("doc_id").alias("_keep")),
+        eager=False,
     )
     e = (
         q.drop("t")
@@ -3492,13 +3510,14 @@ def _training_pipeline_parts(
     # read the survivor token stream — persist it once
     canon_toks = track_persist(
         q.join(winners.select(F.col("_keep").alias("doc_id")), "doc_id")
-        .select("doc_id", "t")
+        .select("doc_id", "t"),
+        eager=False,
     )
     sh2 = canon_toks.filter(F.size("t") >= SHINGLE_N).select(
         "doc_id",
         F.array_distinct(word_shingles(F.col("t"), SHINGLE_N)).alias("sl"),
     )
-    sh2 = track_persist(sh2)
+    sh2 = track_persist(sh2, eager=False)
     ex = sh2.select("doc_id", F.explode("sl").alias("s"))
     sigs = _hashed_shingles_spark(ex).groupBy("doc_id").agg(*_minhash_cols_spark())
     bands = sigs.select(
