@@ -1077,8 +1077,11 @@ def x_ensemble_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         lex = lex_f.result().withColumn("modality", F.lit("lex"))
         sem = sem_f.result().withColumn("modality", F.lit("sem"))
-    tagged = track_persist(lex.unionByName(sem))
-    edges = track_persist(tagged.select("d1", "d2").distinct())
+    # lazy barriers (r15): edges' first consumer (CC's quotient probe)
+    # fully scans it and, through the distinct, tagged as well — the
+    # two dedicated eager jobs were fixed cost
+    tagged = track_persist(lex.unionByName(sem), eager=False)
+    edges = track_persist(tagged.select("d1", "d2").distinct(), eager=False)
     labels = connected_components(edges)
     sizes = labels.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_docs")
@@ -1268,7 +1271,8 @@ def e_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercised loose-threshold twin on the text modality).
     """
     pairs = track_persist(
-        _emb_neardup_pairs(spark, sf_dir, SPLIT_COSINE).select("d1", "d2")
+        _emb_neardup_pairs(spark, sf_dir, SPLIT_COSINE).select("d1", "d2"),
+        eager=False,  # CC's first convergence action fully scans it
     )
     labels = connected_components(pairs)
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "label")

@@ -1174,7 +1174,9 @@ def hash_quota_heads(
         )
     spark = df.sparkSession
     if persist:
-        df = track_persist(df)
+        # lazy (r15): the phase-1 bucket-count collect right below is
+        # the first action and fully scans it
+        df = track_persist(df, eager=False)
     pri = _mix_priority(id_col)
     b1 = F.substring(pri, 1, 2)
     b2 = F.substring(pri, 3, 2)
