@@ -54,7 +54,8 @@ from flink_spark.functions.text import (
 from flink_spark.plans.graph import CC_SQL_CTES, connected_components
 from flink_spark.plans.pairjoin import pair_self_join
 from flink_spark.registry import query, track_persist
-from flink_spark.sources import local_df, load, load_spread, table_rows
+from flink_spark.sources import (local_df, load, load_spread,
+                                 spread_width, table_rows)
 
 # --- shared constants (mirrored literally in the DuckDB oracles) ---
 
@@ -3475,7 +3476,7 @@ def _training_pipeline_parts(
     # broadcast joins. Scale-guard mirrors load_spread: skipped when
     # the scan is already wide (the 100 TB case); deterministic hash
     # key (guide §2.5). A/B numbers in OPTIMIZATION_r15.md.
-    _n = spark.sparkContext.defaultParallelism
+    _n = spread_width(spark, sf_dir, "documents")
     if q.rdd.getNumPartitions() < _n:
         q = q.repartition(_n, F.col("doc_id"))
     # lazy barrier (r15, like t_corpus_pipeline): the q/winners/
