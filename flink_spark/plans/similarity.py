@@ -3482,16 +3482,27 @@ def e_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the beyond-reference LLM-data family (SURVEY §2 additions).
     """
     emb = load(spark, sf_dir, "embeddings")
-    st = emb.agg(
-        F.array(*[
-            F.min(F.element_at("embedding", i).cast("double"))
-            for i in range(1, DIM + 1)
-        ]).alias("mins"),
-        F.array(*[
-            F.max(F.element_at("embedding", i).cast("double"))
-            for i in range(1, DIM + 1)
-        ]).alias("maxs"),
+    # r15: the codebook (per-dim corpus min/max) is collected once via
+    # a posexplode aggregate and injected as two LITERAL arrays. The
+    # previous form planted 2×{DIM} aggregate expressions plus a
+    # crossJoin-broadcast of the 1-row result into the scan — most of
+    # the query's wall was Catalyst/codegen over that tree, not
+    # execution. Values are identical: min/max over the same doubles,
+    # collected exactly, re-emitted as double literals. One extra tiny
+    # job (the collect); the scan plan shrinks to the transform fold.
+    st_rows = (
+        emb.select(F.posexplode("embedding").alias("idx", "xf"))
+        .groupBy("idx")
+        .agg(F.min(F.col("xf").cast("double")).alias("mn"),
+             F.max(F.col("xf").cast("double")).alias("mx"))
+        .collect()
     )
+    mins = [None] * DIM
+    maxs = [None] * DIM
+    for r in st_rows:
+        mins[r["idx"]] = r["mn"]   # posexplode positions are 0-based
+        maxs[r["idx"]] = r["mx"]
+    assert None not in mins and None not in maxs
     deq = F.expr(
         f"transform(sequence(1, {DIM}), i -> "
         "CASE WHEN element_at(maxs, i) = element_at(mins, i) "
@@ -3502,7 +3513,8 @@ def e_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"* (element_at(maxs, i) - element_at(mins, i)) / {SQ_LEVELS} END)"
     )
     cn = (
-        emb.crossJoin(F.broadcast(st))  # 1-row codebook broadcast
+        emb.withColumn("mins", F.array(*[F.lit(v) for v in mins]))
+        .withColumn("maxs", F.array(*[F.lit(v) for v in maxs]))
         .select(
             F.col("vec_id").alias("neighbor_id"), deq.alias("deq")
         )

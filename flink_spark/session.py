@@ -109,7 +109,16 @@ def get_spark(
     On a real cluster the same confs apply; only ``master`` changes.
     """
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "4")
-    shuffle_partitions = shuffle_partitions or cpus
+    # Default: one shuffle partition per core, AQE coalescing/skew-split
+    # on top. Measured r15 (sf0.1, local[32], 7-query mix): initial 200
+    # partitions cost +24% and 64 cost +5% vs =cpus even with AQE
+    # coalescing — the extra map-side blocks and AQE stage stats are
+    # pure overhead at this input size. A cluster run sizes partitions
+    # to data (guide §2.2: 100 MB-1 GB each) via the env override or
+    # the explicit parameter.
+    shuffle_partitions = (shuffle_partitions
+                          or os.environ.get("FLINK_SPARK_SHUFFLE_PARTITIONS")
+                          or cpus)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
