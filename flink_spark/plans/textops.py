@@ -169,7 +169,12 @@ def _shingled(
     slower, while every self-join consumer measured faster spread
     (OPTIMIZATION_r14.md).
     """
-    docs = (load_spread(spark, sf_dir, "documents", "doc_id") if spread
+    # cpu_factor 10: the shingle->md5->MinHash map stage is ~10x more
+    # CPU per byte than a plain tokenize reader (r15 width A/B: the
+    # chain-audit family needs full core width where the light
+    # readers measured fastest at ~10 tasks)
+    docs = (load_spread(spark, sf_dir, "documents", "doc_id",
+                        cpu_factor=10.0) if spread
             else load(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", tokenize("text").alias("t"))
     sh = toks.filter(F.size("t") >= SHINGLE_N).select(
@@ -3476,7 +3481,7 @@ def _training_pipeline_parts(
     # broadcast joins. Scale-guard mirrors load_spread: skipped when
     # the scan is already wide (the 100 TB case); deterministic hash
     # key (guide §2.5). A/B numbers in OPTIMIZATION_r15.md.
-    _n = spread_width(spark, sf_dir, "documents")
+    _n = spread_width(spark, sf_dir, "documents", cpu_factor=10.0)
     if q.rdd.getNumPartitions() < _n:
         q = q.repartition(_n, F.col("doc_id"))
     # lazy barrier (r15, like t_corpus_pipeline): the q/winners/

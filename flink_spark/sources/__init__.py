@@ -80,7 +80,8 @@ _DF_CACHE: dict[tuple, DataFrame] = {}
 
 
 def load_spread(
-    spark: SparkSession, sf_dir: str, name: str, key: str
+    spark: SparkSession, sf_dir: str, name: str, key: str,
+    cpu_factor: float = 1.0,
 ) -> DataFrame:
     """``load()`` + hash-repartition across the session's cores when the
     scan itself cannot parallelize.
@@ -112,7 +113,7 @@ def load_spread(
     # `key` is part of the identity: two callers spreading the same table
     # on different keys must not share a handle partitioned on whichever
     # ran first.
-    ck = (id(spark), sf_dir, name, "spread", key)
+    ck = (id(spark), sf_dir, name, "spread", key, cpu_factor)
     cached = _DF_CACHE.get(ck)
     if cached is not None and cached.sparkSession is spark:
         return cached
@@ -120,7 +121,7 @@ def load_spread(
     # default derives from the input size (``spread_width``). The
     # repartition is skipped once the scan is already that wide (the
     # at-scale case), so the derivation only matters for small inputs.
-    n = spread_width(spark, sf_dir, name)
+    n = spread_width(spark, sf_dir, name, cpu_factor)
     # .rdd.getNumPartitions() plans the scan without running a job;
     # cached via _DF_CACHE so each (session, table) pays it once.
     df = base if base.rdd.getNumPartitions() >= n else base.repartition(
@@ -130,7 +131,8 @@ def load_spread(
     return df
 
 
-def spread_width(spark: SparkSession, sf_dir: str, name: str) -> int:
+def spread_width(spark: SparkSession, sf_dir: str, name: str,
+                 cpu_factor: float = 1.0) -> int:
     """Partition width for spreading a small CPU-dense scan.
 
     Derived from the table's on-disk size — ``ceil(bytes / target)``
@@ -158,7 +160,14 @@ def spread_width(spark: SparkSession, sf_dir: str, name: str) -> int:
         sz = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
     except OSError:
         return cores
-    return max(1, min(cores, math.ceil(sz / target)))
+    # ``cpu_factor`` scales the width for consumers whose map stage
+    # does far more CPU per scanned byte than the plain text readers
+    # the 64 KB/task target was measured on. The shingle→md5→MinHash
+    # chain measured ~10× denser: at the derived ~10-way width the
+    # eight chain-audit queries ran 24.4 s vs 20.5 s at full core
+    # width (r15 A/B), while the light readers ran 20% FASTER narrow —
+    # so the density, not the byte count, decides.
+    return max(1, min(cores, math.ceil(sz * cpu_factor / target)))
 
 
 def local_df(spark: SparkSession, rows, schema: str) -> DataFrame:
